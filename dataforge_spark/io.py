@@ -1,0 +1,76 @@
+"""Sources and sinks (SURVEY §2.1 S1/S2).
+
+The reference loads one CSV into pandas (`/root/reference/pipeline.py:131`)
+and writes it back (`:210-211`). Row order is load-bearing there (ffill,
+keep-first dedup), so the Spark scan materializes an explicit ``_row_id``
+order column at ingest; order-sensitive operators consume it and the sink
+drops it.
+
+Scale note: ``monotonically_increasing_id`` encodes (partition_id, offset)
+with partitions numbered in input-split order, so it is a valid *order key*
+(monotone w.r.t. file position) without any shuffle or driver round-trip —
+unlike ``zipWithIndex`` which needs an extra job to count partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROW_ID = "_row_id"
+
+
+def with_row_id(df: DataFrame) -> DataFrame:
+    """Attach a monotone order key reflecting input order (no shuffle)."""
+    if ROW_ID in df.columns:
+        return df
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+    row_id: bool = True,
+) -> DataFrame:
+    """CSV scan with type inference (S1, /root/reference/pipeline.py:131)."""
+    df = (
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        .option("nullValue", "")
+        .csv(path)
+    )
+    return with_row_id(df) if row_id else df
+
+
+def read_parquet(spark: SparkSession, path: str, row_id: bool = False) -> DataFrame:
+    df = spark.read.parquet(path)
+    return with_row_id(df) if row_id else df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's testdata tables from an sf directory."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink (S2, /root/reference/pipeline.py:210-211).
+
+    ``single_file=True`` honors the reference's one-file download contract
+    (`/root/reference/main.py:190-202`) via coalesce(1) — fine for the
+    service layer, never for 100 TB output where the default multi-part
+    write is the only sane path.
+    """
+    out = df.drop(ROW_ID) if ROW_ID in df.columns else df
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    out = df.drop(ROW_ID) if ROW_ID in df.columns else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

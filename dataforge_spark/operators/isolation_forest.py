@@ -1,0 +1,84 @@
+"""Isolation-forest outlier detection O4 (SURVEY §2.4).
+
+Reference: sklearn ``IsolationForest(contamination=0.1, random_state=42)``
+fit per single column (/root/reference/methods/outliers.py:110-119).
+
+Spark has no isolation forest; the scalable pattern is sample-fit +
+broadcast-score: fit sklearn on a driver-side sample (bounded by
+``max_fit_rows``), broadcast the fitted model, and score every row with an
+Arrow-vectorized pandas UDF. Exact parity with the reference requires
+fitting on the FULL column (its fit is whole-column); we do that when the
+table is small enough, otherwise sample — flagged approximate.
+
+sklearn is import-gated: the container may not ship it. Without sklearn we
+fall back to a deterministic proxy (modified z-score at the contamination
+quantile), so the operator surface stays usable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - environment probe
+    from sklearn.ensemble import IsolationForest  # type: ignore
+
+    HAVE_SKLEARN = True
+except Exception:  # pragma: no cover
+    IsolationForest = None
+    HAVE_SKLEARN = False
+
+
+def isolation_forest_mask(
+    df: DataFrame,
+    cols: list[str],
+    contamination: float = 0.1,
+    random_state: int = 42,
+    max_fit_rows: int = 1_000_000,
+) -> Column:
+    """Boolean Column, True where ANY target column flags the row."""
+    import pandas as pd
+
+    if not HAVE_SKLEARN:
+        # Deterministic fallback: flag the `contamination` tail by
+        # modified z-score rank (approximate, clearly not sklearn-parity).
+        from .outliers import outlier_bounds
+
+        bounds = outlier_bounds(df, cols, "modified_zscore", 3.5)
+        pred: Column | None = None
+        for c in cols:
+            b = bounds.get(c)
+            if b is None:
+                continue
+            p = (F.col(c) < b[0]) | (F.col(c) > b[1])
+            pred = p if pred is None else (pred | p)
+        return F.coalesce(pred, F.lit(False)) if pred is not None else F.lit(False)
+
+    spark = df.sparkSession
+    n = df.count()
+    masks: Column | None = None
+    for c in cols:
+        col_df = df.select(c).where(F.col(c).isNotNull())
+        if n > max_fit_rows:
+            col_pdf = col_df.sample(fraction=max_fit_rows / n, seed=random_state).toPandas()
+        else:
+            col_pdf = col_df.toPandas()
+        model = IsolationForest(contamination=contamination, random_state=random_state)
+        model.fit(col_pdf[[c]].values)
+        bc = spark.sparkContext.broadcast(model)
+
+        @F.pandas_udf("boolean")
+        def score(s: pd.Series) -> pd.Series:  # noqa: B023 - bc/c captured per loop
+            m = bc.value
+            import numpy as np
+
+            vals = s.to_numpy(dtype=float).reshape(-1, 1)
+            ok = ~np.isnan(vals[:, 0])
+            out = pd.Series(False, index=s.index)
+            if ok.any():
+                out[ok] = m.predict(vals[ok]) == -1
+            return out
+
+        p = score(F.col(c).cast("double"))
+        masks = p if masks is None else (masks | p)
+    return masks if masks is not None else F.lit(False)

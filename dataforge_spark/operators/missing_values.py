@@ -1,0 +1,218 @@
+"""Missing-value strategies M1–M9 (SURVEY §2.2).
+
+Reference: ``MissingValues.fix_missing_values``
+(/root/reference/methods/missingValues.py:12-191), dispatched from
+/root/reference/pipeline.py:253-266. Nine strategies; exactness notes that
+matter for oracle matching:
+
+* fill_median uses pandas ``median`` = linear-interpolated exact quantile →
+  Spark ``percentile`` (exact), NOT ``percentile_approx``.
+* mode ties break to the SMALLEST value (pandas sorts mode results,
+  methods/missingValues.py:112) → deterministic groupBy + (count desc,
+  value asc) ordering, never ``F.mode`` (tie-nondeterministic).
+* ffill/bfill depend on row order → ``_row_id`` window.
+
+Scale notes: all fill statistics are computed in ONE aggregate job across
+every target column (the reference loops per column). ffill/bfill over a
+global ``Window.orderBy`` serializes into one task; ``ffill``/``bfill``
+here use the scalable two-pass scheme: per-partition last/first non-null
+(mapInPandas-free, pure window over ``_row_id`` ranges) — see
+``_ordered_fill``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import ROW_ID
+
+NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+STRATEGIES = [
+    "drop_rows", "drop_rows_threshold", "drop_columns", "drop_columns_threshold",
+    "fill_mean", "fill_median", "fill_mode", "forward_fill", "backward_fill",
+]
+
+
+def _numeric_cols(df: DataFrame, cols: list[str]) -> list[str]:
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in cols if isinstance(by_name[c], NUMERIC_TYPES)]
+
+
+def _data_cols(df: DataFrame, columns: list[str] | None) -> list[str]:
+    cols = columns if columns else [c for c in df.columns if c != ROW_ID]
+    return [c for c in cols if c in df.columns and c != ROW_ID]
+
+
+def modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
+    """Per-column mode with pandas tie-break (smallest value first), for all
+    columns in ONE shuffle: melt to (col_name, value) then rank.
+
+    Reference: ``Series.mode().iloc[0]`` (methods/missingValues.py:112,153).
+    """
+    if not cols:
+        return {}
+    # Melt: one row per (column, stringified value); remember original value
+    # per column by re-casting on the way out.
+    pairs = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    melted = df.select(F.explode(F.create_map(*pairs)).alias("col", "val")).where(
+        F.col("val").isNotNull()
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("val"))
+    top = (
+        melted.groupBy("col", "val").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    )
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    out: dict[str, object] = {}
+    for r in top:
+        dt = dtypes[r["col"]]
+        v: object = r["val"]
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            v = int(float(v))
+        elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            v = float(v)
+        out[r["col"]] = v
+    return out
+
+
+def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str) -> DataFrame:
+    """ffill (M8) / bfill (M9) in ``order_col`` order.
+
+    Uses last/first-ignorenulls over an unbounded window. A plain
+    ``Window.orderBy`` with no partition runs in ONE task; that is exact but
+    a scale cliff. At cluster scale the right plan is: range-partition by
+    ``order_col`` (keeps Spark's range exchange), compute the fill inside
+    each range partition, then fix boundaries with a tiny driver-side prefix
+    of per-partition last-non-null values. The boundary fix touches
+    #partitions rows — negligible. Implemented below via a two-level
+    window: partition-local fill + broadcast boundary map.
+    """
+    bucket = F.spark_partition_id()
+    dfp = df.repartitionByRange(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32") and int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), F.col(order_col)).withColumn("_bucket", bucket)
+
+    if direction == "ffill":
+        local_w = (
+            Window.partitionBy("_bucket").orderBy(F.asc(order_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(F.col(c), ignorenulls=True).over(local_w)  # noqa: E731
+        edge_agg = lambda c: F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(order_col)))  # noqa: E731
+        cmp_bucket = F.col("b._bucket") < F.col("_bucket")
+    else:
+        local_w = (
+            Window.partitionBy("_bucket").orderBy(F.asc(order_col))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(F.col(c), ignorenulls=True).over(local_w)  # noqa: E731
+        edge_agg = lambda c: F.min_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(order_col)))  # noqa: E731
+        cmp_bucket = F.col("b._bucket") > F.col("_bucket")
+
+    filled = dfp.select(
+        "*", *[pick(c).alias(f"_f_{c}") for c in cols]
+    )
+    # Per-bucket edge values (last non-null for ffill / first for bfill).
+    edges = dfp.groupBy("_bucket").agg(
+        *[edge_agg(c).alias(c) for c in cols]
+    )
+    # Tiny (#buckets rows): resolve, for each bucket, the carry-in value per
+    # column from the nearest prior (ffill) / next (bfill) bucket.
+    edge_rows = sorted(edges.collect(), key=lambda r: r["_bucket"])
+    if direction == "bfill":
+        edge_rows = list(reversed(edge_rows))
+    carry: dict[int, dict[str, object]] = {}
+    running: dict[str, object] = {c: None for c in cols}
+    for r in edge_rows:
+        carry[r["_bucket"]] = dict(running)
+        for c in cols:
+            if r[c] is not None:
+                running[c] = r[c]
+    spark = df.sparkSession
+    carry_df = spark.createDataFrame(
+        [{"_bucket": b, **{f"_c_{c}": vals[c] for c in cols}} for b, vals in carry.items()],
+        schema=T.StructType(
+            [T.StructField("_bucket", T.IntegerType())]
+            + [T.StructField(f"_c_{c}", df.schema[c].dataType) for c in cols]
+        ),
+    )
+    out = filled.join(F.broadcast(carry_df), "_bucket", "left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"_f_{c}"), F.col(f"_c_{c}")))
+    return out.drop("_bucket", *[f"_f_{c}" for c in cols], *[f"_c_{c}" for c in cols])
+
+
+def fix_missing_values(
+    df: DataFrame,
+    strategy: str = "fill_mean",
+    threshold: float = 0.5,
+    columns: list[str] | None = None,
+    order_col: str = ROW_ID,
+) -> DataFrame:
+    """Apply one of the 9 strategies (advertised contract, SURVEY §2.2)."""
+    if strategy not in STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r}; one of {STRATEGIES}")
+    cols = _data_cols(df, columns)
+
+    if strategy == "drop_rows":
+        return df.na.drop("any", subset=cols)
+
+    if strategy == "drop_rows_threshold":
+        # pandas: keep rows with >= int(threshold * ncols) non-null
+        # (methods/missingValues.py:78-81); df.na.drop(thresh=) matches.
+        return df.na.drop(thresh=int(threshold * len(cols)), subset=cols)
+
+    if strategy in ("drop_columns", "drop_columns_threshold"):
+        counts = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.count(F.col(c)).alias(c) for c in cols],
+        ).collect()[0]
+        n = counts["__n"]
+        min_non_null = int(threshold * n) if strategy == "drop_columns_threshold" else n
+        drop = [c for c in cols if counts[c] < min_non_null]
+        return df.drop(*drop)
+
+    if strategy in ("fill_mean", "fill_median"):
+        num = _numeric_cols(df, cols)
+        cat = [c for c in cols if c not in num]
+        fills: dict[str, object] = {}
+        if num:
+            if strategy == "fill_mean":
+                aggs = [F.avg(F.col(c)).alias(c) for c in num]
+            else:
+                # exact linear-interpolated percentile, matching pandas median
+                aggs = [F.expr(f"percentile({c}, 0.5)").alias(c) for c in num]
+            stats = df.agg(*aggs).collect()[0]
+            for c in num:
+                v = stats[c]
+                fills[c] = float(v) if v is not None else 0.0
+        if cat:
+            cat_modes = modes(df, cat)
+            for c in cat:
+                fills[c] = cat_modes.get(c, "Unknown")
+        return df.na.fill(fills) if fills else df
+
+    if strategy == "fill_mode":
+        m = modes(df, cols)
+        fills = {c: m.get(c, "Unknown") for c in cols}
+        # na.fill needs type-consistent values; split by type
+        return df.na.fill(fills)
+
+    if strategy in ("forward_fill", "backward_fill"):
+        direction = "ffill" if strategy == "forward_fill" else "bfill"
+        if order_col not in df.columns:
+            raise ValueError(
+                f"{strategy} requires an order column (got {order_col!r}); "
+                "ingest with io.with_row_id"
+            )
+        return _ordered_fill(df, cols, direction, order_col)
+
+    raise AssertionError("unreachable")

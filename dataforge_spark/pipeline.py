@@ -1,0 +1,222 @@
+"""Cleaning-pipeline orchestrator (SURVEY §3, §2.1).
+
+Reference: ``DataCleaningPipeline.run_pipeline``
+(/root/reference/pipeline.py:112-232). The JSON operations config IS the
+logical plan: ops execute in a FIXED canonical order regardless of dict
+order (:142-152), each op is error-isolated (log + continue with previous
+DataFrame, :191-201), and a per-op report dict is assembled.
+
+Spark-first differences (deliberate):
+
+* Transformations are composed LAZILY; nothing executes until the caller
+  writes or collects. Catalyst then optimizes across op boundaries —
+  filters merge, projections fuse, one scan instead of nine.
+* Per-op row/column metrics force an action per op in the reference; here
+  they are OPT-IN (``collect_metrics=True``) because each count is a job.
+* The reference's stage-boundary scrub (±Inf→NaN→median-fill after EVERY
+  op, /root/reference/pipeline.py:72-100,189) is bug-compat behavior —
+  available via ``bug_compat=True`` (SURVEY §1), default off (advertised
+  semantics).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import (
+    datetime_parsing,
+    duplicates,
+    encoding,
+    missing_values,
+    normalization,
+    outliers,
+    text_cleaning,
+    type_conversion,
+    typo_fix,
+)
+from .operators.missing_values import _data_cols, _numeric_cols
+from .sanitize import sanitize_for_json
+
+# Fixed canonical order (/root/reference/pipeline.py:142-152).
+CANONICAL_ORDER = [
+    "data_type_conversion",
+    "text_cleaning",
+    "datetime_parsing",
+    "missing_values",
+    "duplicates",
+    "outliers",
+    "typo_fix",
+    "encoding",
+    "normalization",
+]
+
+VALID_MISSING_STRATEGIES = missing_values.STRATEGIES
+VALID_OUTLIER_METHODS = outliers.METHODS
+
+
+def validate_operations(operations: dict[str, Any]) -> list[str]:
+    """Mirror of /root/reference/pipeline.py:498-529: returns a list of
+    problems (empty = valid)."""
+    errors: list[str] = []
+    if not isinstance(operations, dict):
+        return ["operations must be a dict"]
+    for name, cfg in operations.items():
+        if name not in CANONICAL_ORDER:
+            errors.append(f"unknown operation: {name}")
+            continue
+        if not isinstance(cfg, dict):
+            errors.append(f"config for {name} must be a dict")
+            continue
+        if name == "missing_values":
+            s = cfg.get("strategy", "fill_mean")
+            if s not in VALID_MISSING_STRATEGIES:
+                errors.append(f"invalid missing_values.strategy: {s}")
+        if name == "outliers":
+            m = cfg.get("method", "iqr")
+            if m not in VALID_OUTLIER_METHODS:
+                errors.append(f"invalid outliers.method: {m}")
+    return errors
+
+
+def boundary_scrub(df: DataFrame) -> DataFrame:
+    """Bug-compat stage-boundary scrub (/root/reference/pipeline.py:72-100):
+    ±Inf→NULL, numeric NULL→column median (fallback 0), string NULL→''."""
+    num = _numeric_cols(df, _data_cols(df, None))
+    out = df
+    for c in num:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isin(float("inf"), float("-inf")) | F.isnan(F.col(c).cast("double")),
+                None,
+            ).otherwise(F.col(c)),
+        )
+    if num:
+        meds = out.agg(
+            *[F.expr(f"percentile({c}, 0.5)").alias(c) for c in num]
+        ).collect()[0]
+        out = out.na.fill({c: float(meds[c]) if meds[c] is not None else 0.0 for c in num})
+    str_cols = [c for c in _data_cols(df, None) if c not in num and dict(df.dtypes)[c] == "string"]
+    if str_cols:
+        out = out.na.fill({c: "" for c in str_cols})
+    return out
+
+
+class CleaningPipeline:
+    """Compose the 9 operators per a JSON config, Spark-lazily."""
+
+    def __init__(self, bug_compat: bool = False, collect_metrics: bool = False):
+        self.bug_compat = bug_compat
+        self.collect_metrics = collect_metrics
+
+    def _apply_one(self, df: DataFrame, name: str, cfg: dict[str, Any]) -> DataFrame:
+        if name == "data_type_conversion":
+            return type_conversion.convert_data_types(
+                df,
+                type_mapping=cfg.get("type_mapping"),
+                auto_detect=cfg.get("auto_detect", True),
+                errors=cfg.get("errors", "coerce"),
+            )
+        if name == "text_cleaning":
+            return text_cleaning.clean_text_columns(
+                df,
+                columns=cfg.get("columns"),
+                operations=cfg.get("operations"),
+                custom_patterns=cfg.get("custom_patterns"),
+            )
+        if name == "datetime_parsing":
+            return datetime_parsing.parse_datetime_columns(
+                df,
+                columns=cfg.get("columns"),
+                date_format=cfg.get("date_format"),
+                auto_detect=cfg.get("auto_detect", True),
+                extract_features=cfg.get("extract_features", False),
+            )
+        if name == "missing_values":
+            return missing_values.fix_missing_values(
+                df,
+                strategy=cfg.get("strategy", "fill_mean"),
+                threshold=cfg.get("threshold", 0.5),
+                columns=cfg.get("columns"),
+            )
+        if name == "duplicates":
+            return duplicates.drop_duplicates(
+                df, subset=cfg.get("subset"), keep=cfg.get("keep", "first")
+            )
+        if name == "outliers":
+            return outliers.handle_outliers(
+                df,
+                columns=cfg.get("columns"),
+                method=cfg.get("method", "iqr"),
+                action=cfg.get("action", "remove"),
+                threshold=cfg.get("threshold", 1.5),
+            )
+        if name == "typo_fix":
+            return typo_fix.fix_typos(
+                df,
+                columns=cfg.get("columns"),
+                method=cfg.get("method", "common_typos"),
+                similarity_threshold=cfg.get("similarity_threshold", 0.8),
+                custom_dict=cfg.get("custom_dict"),
+            )
+        if name == "encoding":
+            method = cfg.get("method", "label")
+            if method == "label":
+                return encoding.encode_label(df, cfg.get("columns"))[0]
+            if method == "onehot":
+                return encoding.encode_onehot(
+                    df, cfg.get("columns"), drop_first=cfg.get("drop_first", False)
+                )
+            return encoding.encode_frequency(df, cfg.get("columns"))
+        if name == "normalization":
+            return normalization.normalize_data(
+                df,
+                columns=cfg.get("columns"),
+                method=cfg.get("method", "minmax"),
+                feature_range=tuple(cfg.get("feature_range", (0, 1))),
+                with_mean=cfg.get("with_mean", True),
+                with_std=cfg.get("with_std", True),
+            )[0]
+        raise ValueError(f"unknown operation {name!r}")
+
+    def run(self, df: DataFrame, operations: dict[str, Any]) -> tuple[DataFrame, dict]:
+        """Apply enabled ops in canonical order; per-op error isolation
+        (reference :191-201). Returns (DataFrame, report)."""
+        problems = validate_operations(operations)
+        if problems:
+            raise ValueError("; ".join(problems))
+
+        report: dict[str, Any] = {"operations": {}, "order": []}
+        t0 = time.time()
+        current = boundary_scrub(df) if self.bug_compat else df
+
+        for name in CANONICAL_ORDER:
+            cfg = operations.get(name)
+            if not cfg or not cfg.get("enabled", False):
+                continue
+            op_report: dict[str, Any] = {"status": "success"}
+            try:
+                before = current.count() if self.collect_metrics else None
+                nxt = self._apply_one(current, name, cfg)
+                if self.collect_metrics:
+                    after = nxt.count()
+                    op_report.update(
+                        {
+                            "rows_before": before, "rows_after": after,
+                            "columns_before": len(current.columns),
+                            "columns_after": len(nxt.columns),
+                        }
+                    )
+                current = boundary_scrub(nxt) if self.bug_compat else nxt
+            except Exception as e:  # error-isolated: keep previous df
+                op_report = {"status": "error", "message": str(e)}
+            report["operations"][name] = op_report
+            report["order"].append(name)
+
+        report["processing_time_seconds"] = round(time.time() - t0, 4)
+        report["final_columns"] = list(current.columns)
+        return current, sanitize_for_json(report)

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+The reference (/root/reference/pipeline.py:131) is a single-process pandas
+pipeline; our engine targets a multi-executor cluster. Local settings below
+(shuffle partitions = cores, AQE on) are overridable via env so the same
+code runs on a real cluster unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Sentinel strings the reference's profiler treats as missing
+# (/root/reference/pipeline.py:437-441).
+MISSING_SENTINELS = [
+    "nan", "null", "none", "na", "n/a", "missing", "unknown",
+    "", " ", "nil", "undefined",
+]
+
+
+def get_spark(app_name: str = "dataforge_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults are sized for local[{SPARK_GRAFT_CPUS}] single-JVM runs; on a
+    real cluster the master/memory settings come from spark-submit and these
+    builder calls are inert. AQE handles runtime coalescing and skew joins —
+    essential at 100 TB where static partition counts are always wrong.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,160 @@
+"""Differential tests for the §2 operators against pandas (the reference's
+engine), per SURVEY §5 test strategy."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataforge_spark import profile
+from dataforge_spark.io import with_row_id
+from dataforge_spark.operators import (
+    duplicates,
+    missing_values,
+    normalization,
+    outliers,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    """Small frame with nulls/dupes/outliers, deterministic."""
+    rows = []
+    for i in range(100):
+        rows.append(
+            {
+                "id": i,
+                "x": None if i % 7 == 0 else float(i % 13),
+                "y": 1000.0 if i == 50 else float(i),
+                "cat": None if i % 11 == 0 else f"c{i % 3}",
+            }
+        )
+    # exact duplicates of the first 5 rows
+    for i in range(5):
+        r = dict(rows[i])
+        r["id"] = 100 + i
+        rows.append(r)
+    return spark.createDataFrame(pd.DataFrame(rows)), pd.DataFrame(rows)
+
+
+def test_profile_counts(dirty):
+    sdf, pdf = dirty
+    info = profile.dataset_info(sdf)
+    assert info["shape"]["rows"] == len(pdf)
+    assert info["missing_values"]["x"] == int(pdf["x"].isna().sum())
+    assert info["missing_values"]["cat"] == int(pdf["cat"].isna().sum())
+    assert info["duplicate_rows"] == int(pdf.duplicated().sum())
+    assert duplicates.duplicate_count(sdf, subset=["x", "y", "cat"]) == int(
+        pdf.duplicated(subset=["x", "y", "cat"]).sum()
+    )
+
+
+def test_fill_mean_matches_pandas(dirty):
+    sdf, pdf = dirty
+    out = missing_values.fix_missing_values(sdf, "fill_mean", columns=["x"]).toPandas()
+    expected = pdf["x"].fillna(pdf["x"].mean())
+    got = out.sort_values("id")["x"].reset_index(drop=True)
+    assert ((got - expected).abs() < 1e-9).all()
+
+
+def test_fill_median_matches_pandas(dirty):
+    sdf, pdf = dirty
+    out = missing_values.fix_missing_values(sdf, "fill_median", columns=["x"]).toPandas()
+    expected = pdf["x"].fillna(pdf["x"].median())
+    got = out.sort_values("id")["x"].reset_index(drop=True)
+    assert ((got - expected).abs() < 1e-9).all()
+
+
+def test_fill_mode_smallest_tie(spark):
+    pdf = pd.DataFrame({"id": range(6), "c": ["b", "a", None, "a", "b", None]})
+    sdf = spark.createDataFrame(pdf)
+    out = missing_values.fix_missing_values(sdf, "fill_mode", columns=["c"]).toPandas()
+    # tie between a and b → pandas mode picks 'a' (smallest)
+    assert set(out[out["id"].isin([2, 5])]["c"]) == {"a"}
+
+
+def test_drop_rows(dirty):
+    sdf, pdf = dirty
+    out = missing_values.fix_missing_values(sdf, "drop_rows")
+    assert out.count() == len(pdf.dropna())
+
+
+def test_drop_columns(dirty):
+    sdf, pdf = dirty
+    out = missing_values.fix_missing_values(sdf, "drop_columns")
+    assert set(out.columns) == set(pdf.dropna(axis=1).columns)
+
+
+def test_ffill_bfill_match_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": range(200),
+            "v": [None if i % 3 == 0 else float(i) for i in range(200)],
+            "s": [None if i % 5 == 0 else f"s{i}" for i in range(200)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    for direction, pd_fn in (("forward_fill", pdf.ffill()), ("backward_fill", pdf.bfill())):
+        out = (
+            missing_values.fix_missing_values(sdf, direction, order_col="k")
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        for col in ("v", "s"):
+            exp = pd_fn[col]
+            got = out[col]
+            assert (got.isna() == exp.isna()).all(), (direction, col)
+            assert (got.dropna() == exp.dropna()).all(), (direction, col)
+
+
+def test_dedup_keep_first(spark):
+    pdf = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": ["x", "x", "y", "y", "z"], "tag": list("pqrst")})
+    sdf = with_row_id(spark.createDataFrame(pdf).coalesce(1))
+    out = duplicates.drop_duplicates(sdf, subset=["a", "b"]).toPandas().sort_values("a")
+    assert list(out["tag"]) == ["p", "r", "t"]  # first occurrences
+    assert duplicates.duplicate_count(sdf, subset=["a", "b"]) == 2
+
+
+def test_outlier_iqr_matches_pandas(dirty):
+    sdf, pdf = dirty
+    out = outliers.handle_outliers(sdf, columns=["y"], method="iqr", action="remove")
+    q1, q3 = pdf["y"].quantile(0.25), pdf["y"].quantile(0.75)
+    iqr = q3 - q1
+    keep = pdf[(pdf["y"] >= q1 - 1.5 * iqr) & (pdf["y"] <= q3 + 1.5 * iqr)]
+    assert out.count() == len(keep)
+
+
+def test_outlier_zscore_ddof1(dirty):
+    sdf, pdf = dirty
+    out = outliers.handle_outliers(sdf, columns=["y"], method="zscore", action="remove", threshold=3.0)
+    z = (pdf["y"] - pdf["y"].mean()) / pdf["y"].std(ddof=1)
+    assert out.count() == int((z.abs() <= 3.0).sum())
+
+
+def test_outlier_cap(dirty):
+    sdf, pdf = dirty
+    out = outliers.handle_outliers(sdf, columns=["y"], method="iqr", action="cap").toPandas()
+    assert out["y"].max() < 1000.0
+    assert len(out) == len(pdf)
+
+
+def test_normalize_standard_pop_std(dirty):
+    sdf, pdf = dirty
+    out, params = normalization.normalize_data(sdf, columns=["y"], method="standard")
+    got = out.toPandas().sort_values("id")["y"].reset_index(drop=True)
+    exp = (pdf["y"] - pdf["y"].mean()) / pdf["y"].std(ddof=0)
+    assert ((got - exp).abs() < 1e-9).all()
+    back = normalization.inverse_transform(out, params).toPandas().sort_values("id")["y"]
+    assert ((back.reset_index(drop=True) - pdf["y"]).abs() < 1e-9).all()
+
+
+def test_normalize_l2_rowwise(spark):
+    pdf = pd.DataFrame({"a": [3.0, 0.0], "b": [4.0, 0.0]})
+    sdf = spark.createDataFrame(pdf)
+    out, _ = normalization.normalize_data(sdf, method="normalize")
+    got = out.toPandas()
+    assert math.isclose(got.loc[0, "a"], 0.6)
+    assert math.isclose(got.loc[0, "b"], 0.8)
+    assert got.loc[1, "a"] == 0.0
