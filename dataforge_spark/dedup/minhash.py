@@ -1,0 +1,144 @@
+"""MinHash + LSH near-dup detection (extension, SURVEY §7.7).
+
+Classic shingle → minhash → band → bucket-join pipeline (Broder '97,
+Leskovec/Rajaraman/Ullman ch.3), expressed as DataFrame ops:
+
+1. distinct word shingles per doc (explode),
+2. ``num_perm`` minhash values per doc = min over shingles of
+   ``xxhash64(seed_i, shingle)`` — ALL perms in ONE aggregation (one
+   shuffle on doc id, num_perm tiny min() aggregates),
+3. signature split into ``bands`` bands of ``rows_per_band``; docs
+   sharing any band bucket are candidates (groupBy band+band-hash),
+4. candidates optionally verified with exact Jaccard.
+
+Scale: no n² anywhere. Stage 2 shuffles |docs|·num_perm longs; stage 3
+shuffles |docs|·bands rows; bucket blow-up is bounded by ``max_bucket``
+(skip degenerate buckets — boilerplate shingle sets). Probability a pair
+with Jaccard j becomes a candidate: 1 − (1 − j^r)^b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ngram_jaccard import word_shingles
+
+# Fixed seeds: deterministic across runs/partitionings (NOT Python's
+# hash() — Spark's xxhash64 is stable and seedable).
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) — one shuffle."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    mins = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: (id_a, id_b) candidate pairs, id_a < id_b, distinct."""
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    # Self-join within buckets; prune degenerate buckets first.
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    ok = banded.join(
+        F.broadcast(sizes.where((F.col("n") > 1) & (F.col("n") <= max_bucket))),
+        ["band", "bucket"],
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidates via LSH, then EXACT Jaccard verification of candidates
+    only — output (id_a, id_b, jaccard ≥ threshold). The verify join
+    touches candidate docs only, so precision is exact and recall is the
+    LSH probability curve."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
+    cands = candidate_pairs(sigs, bands, rows_per_band)
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: from every verified pair, the larger id is
+    dropped (connected-component-free greedy — standard at corpus scale;
+    transitive chains collapse to the smallest id of each chain edge-wise)."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

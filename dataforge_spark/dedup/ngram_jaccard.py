@@ -1,0 +1,69 @@
+"""Word n-gram Jaccard near-dup detection (extension, SURVEY §7.7).
+
+Exact Jaccard over word-shingle sets via an inverted-index self-join:
+explode distinct shingles, join docs sharing a shingle, count shared
+shingles per pair, Jaccard = |A∩B| / (|A| + |B| − |A∩B|).
+
+Scale: the join key is the shingle — a pair of docs is joined once per
+SHARED shingle only, so cost is Σ_shingle (docs_per_shingle choose 2),
+not n². Hot shingles (boilerplate) are the skew risk: ``max_df`` drops
+shingles occurring in more than that many docs (stopword-shingle pruning),
+which bounds the blow-up and is standard practice for candidate
+generation at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of ``col`` (array<string>); [] when < n words."""
+    toks = F.split(F.trim(col), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for all pairs with Jaccard ≥ threshold
+    (id_a < id_b), jaccard rounded to 6dp."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    )
+    if max_df is not None:
+        hot = sh.groupBy("s").count().where(F.col("count") > max_df).select("s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,85 @@
+"""Text-analysis functions for LLM training-data pipelines (extension
+surface beyond the reference, SURVEY §7.7): token counting, language ID,
+quality scoring, document fingerprinting.
+
+All pure Column expressions — JVM-side, whole-stage codegen, no UDFs —
+so they run at 100 TB as a single scan-and-project with pushdown intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deterministic and self-contained; not a real LID model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "en", "por"],
+}
+
+# A BPE-ish word/number/punctuation splitter for token counting.
+TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty-string safe)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count: words + standalone punctuation."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(col)), lambda x: x.isin(words)))
+
+
+def language_id(col: Column) -> Column:
+    """Stopword-vote language guess with deterministic tie-break (first
+    language in STOPWORDS order wins ties); 'unknown' when no hits."""
+    scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    expr = None
+    for lang in STOPWORDS:  # priority order = tie-break order (first wins)
+        cond = scores[lang] > 0
+        for other in STOPWORDS:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + alpha ratio +
+    English-stopword presence (the classic Gopher/C4-style signals,
+    simplified)."""
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    avg_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stopword_hits(col, "en").cast("double") / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    word_ok = F.when((avg_word >= 3) & (avg_word <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_ok = F.least(F.lit(0.3), stop_ratio * 3)
+    return F.round(len_ok + word_ok + stop_ok, 6)
+
+
+def normalize_for_fingerprint(col: Column) -> Column:
+    """Canonical form used by fingerprint(): lowercase, collapse
+    whitespace, strip."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint (md5 of normalized text)."""
+    return F.md5(normalize_for_fingerprint(col))
