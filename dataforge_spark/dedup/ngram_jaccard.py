@@ -19,14 +19,22 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of ``col`` (array<string>); [] when < n words."""
+    """Distinct word n-grams of ``col`` (array<string>); [] when < n words.
+
+    Guarded with ``when(size >= n)`` because ``sequence(0, -1)`` in Spark
+    auto-descends to [0, -1] (never empty) and ``slice(toks, 0, n)`` then
+    throws INVALID_PARAMETER_VALUE.START at execution.
+    """
     toks = F.split(F.trim(col), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def jaccard_pairs(

@@ -20,7 +20,7 @@ broadcast join of the tiny frequency table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -52,22 +52,52 @@ def label_mapping(df: DataFrame, col: str) -> dict[str, int]:
     return {v: i for i, v in enumerate(sorted(vals))}
 
 
-def encode_label(df: DataFrame, columns: list[str] | None = None) -> tuple[DataFrame, dict]:
+def encode_label(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_literal_categories: int = 10_000,
+) -> tuple[DataFrame, dict]:
     """E1. Returns (encoded df, {col: {value: code}}) for inverse_transform
-    (reference keeps encoders, :242-264)."""
+    (reference keeps encoders, :242-264).
+
+    Dictionary-sized domains become a literal ``create_map`` (no join, no
+    shuffle). Above ``max_literal_categories`` a literal map would explode
+    the plan/driver (think user-id columns at 100 TB), so the mapping is
+    computed distributedly (dense_rank over sorted distincts — same sorted
+    code assignment) and applied via broadcast join; the returned mapping
+    dict is then empty for that column (too large to hold on the driver).
+    """
     cols = _categorical_cols(df, columns)
     mappings: dict[str, dict[str, int]] = {}
     out = df
     for c in cols:
-        m = label_mapping(df, c)
-        mappings[c] = m
-        mapping_expr = F.create_map(
-            *[x for kv in m.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-        )
-        out = out.withColumn(
-            c,
-            mapping_expr[F.coalesce(F.col(c).cast("string"), F.lit(MISSING_TOKEN))],
-        )
+        val = F.coalesce(F.col(c).cast("string"), F.lit(MISSING_TOKEN))
+        n_distinct = df.select(val.alias("v")).distinct().limit(
+            max_literal_categories + 1
+        ).count()
+        if n_distinct <= max_literal_categories:
+            m = label_mapping(df, c)
+            mappings[c] = m
+            mapping_expr = F.create_map(
+                *[x for kv in m.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+            )
+            out = out.withColumn(c, mapping_expr[val])
+        else:
+            codes = (
+                df.select(val.alias("__v"))
+                .distinct()
+                .select(
+                    "__v",
+                    (F.dense_rank().over(Window.orderBy("__v")) - 1).alias("__code"),
+                )
+            )
+            mappings[c] = {}
+            out = (
+                out.withColumn("__v", val)
+                .join(codes, "__v", "left")
+                .withColumn(c, F.col("__code"))
+                .drop("__v", "__code")
+            )
     return out, mappings
 
 
@@ -108,18 +138,36 @@ def encode_onehot(
 def encode_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """E3: ``value_counts(normalize=True, dropna=False)`` → new column
     ``{col}_freq_encoded``; original kept; unmapped→0 can't occur in a
-    same-table fit/transform."""
+    same-table fit/transform.
+
+    ONE scan computes total row count AND every column's value counts
+    (melt → single groupBy), instead of the naive count() + one groupBy per
+    column (×N scans of the big table). The tiny per-column frequency
+    tables are broadcast-joined back.
+    """
     cols = _categorical_cols(df, columns)
-    n = df.count()
+    if not cols:
+        return df
+    pairs = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    counts = (
+        df.select(F.explode(F.create_map(*pairs)).alias("col", "val"))
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    n_total = counts.where(F.col("col") == cols[0]).agg(F.sum("n")).collect()[0][0]
     out = df
     for c in cols:
         key = f"__key_{c}"
         freqs = F.broadcast(
-            df.groupBy(F.col(c).alias(key)).agg(
-                (F.count(F.lit(1)) / F.lit(float(n))).alias(f"{c}_freq_encoded")
+            counts.where(F.col("col") == c).select(
+                F.col("val").alias(key),
+                (F.col("n") / F.lit(float(n_total))).alias(f"{c}_freq_encoded"),
             )
         )
         out = out.join(
-            freqs, on=F.col(c).eqNullSafe(F.col(key)), how="left"
+            freqs, on=F.col(c).cast("string").eqNullSafe(F.col(key)), how="left"
         ).drop(key)
     return out

@@ -40,22 +40,48 @@ def isolation_forest_mask(
     import pandas as pd
 
     if not HAVE_SKLEARN:
-        # Deterministic fallback: flag the `contamination` tail by
-        # modified z-score rank (approximate, clearly not sklearn-parity).
-        from .outliers import outlier_bounds
-
-        bounds = outlier_bounds(df, cols, "modified_zscore", 3.5)
+        # Deterministic fallback honoring `contamination`: flag the most
+        # extreme `contamination` fraction per column, ranked by modified
+        # z-score, i.e. rows outside the column's central
+        # [contamination/2, 1 - contamination/2] quantile band
+        # (approximate, clearly not sklearn-parity).
+        lo_q, hi_q = contamination / 2, 1 - contamination / 2
+        aggs = [
+            F.expr(f"percentile({c}, array({lo_q}, {hi_q}))").alias(c) for c in cols
+        ]
+        row = df.agg(*aggs).collect()[0]
         pred: Column | None = None
         for c in cols:
-            b = bounds.get(c)
-            if b is None:
+            q = row[c]
+            if q is None or q[0] is None:
                 continue
-            p = (F.col(c) < b[0]) | (F.col(c) > b[1])
+            p = (F.col(c) < float(q[0])) | (F.col(c) > float(q[1]))
             pred = p if pred is None else (pred | p)
         return F.coalesce(pred, F.lit(False)) if pred is not None else F.lit(False)
 
     spark = df.sparkSession
     n = df.count()
+
+    def make_scorer(model):
+        """Bind the broadcast model per column — a closure capturing the
+        loop variable would serialize at action time and score every
+        column with the LAST model."""
+        bc = spark.sparkContext.broadcast(model)
+
+        @F.pandas_udf("boolean")
+        def score(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            m = bc.value
+            vals = s.to_numpy(dtype=float).reshape(-1, 1)
+            ok = ~np.isnan(vals[:, 0])
+            out = pd.Series(False, index=s.index)
+            if ok.any():
+                out[ok] = m.predict(vals[ok]) == -1
+            return out
+
+        return score
+
     masks: Column | None = None
     for c in cols:
         col_df = df.select(c).where(F.col(c).isNotNull())
@@ -65,20 +91,6 @@ def isolation_forest_mask(
             col_pdf = col_df.toPandas()
         model = IsolationForest(contamination=contamination, random_state=random_state)
         model.fit(col_pdf[[c]].values)
-        bc = spark.sparkContext.broadcast(model)
-
-        @F.pandas_udf("boolean")
-        def score(s: pd.Series) -> pd.Series:  # noqa: B023 - bc/c captured per loop
-            m = bc.value
-            import numpy as np
-
-            vals = s.to_numpy(dtype=float).reshape(-1, 1)
-            ok = ~np.isnan(vals[:, 0])
-            out = pd.Series(False, index=s.index)
-            if ok.any():
-                out[ok] = m.predict(vals[ok]) == -1
-            return out
-
-        p = score(F.col(c).cast("double"))
+        p = make_scorer(model)(F.col(c).cast("double"))
         masks = p if masks is None else (masks | p)
     return masks if masks is not None else F.lit(False)

@@ -57,22 +57,31 @@ def modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
     """
     if not cols:
         return {}
-    # Melt: one row per (column, stringified value); remember original value
-    # per column by re-casting on the way out.
+    # Melt: one row per (column, stringified value); a parallel numeric cast
+    # carries the tie-break key so numeric ties break NUMERICALLY smallest
+    # (pandas Series.mode() sorts in the value's own type — '10' < '9' as
+    # strings would pick the wrong one).
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    numeric = {c for c in cols if isinstance(dtypes[c], NUMERIC_TYPES)}
     pairs = []
     for c in cols:
         pairs += [F.lit(c), F.col(c).cast("string")]
     melted = df.select(F.explode(F.create_map(*pairs)).alias("col", "val")).where(
         F.col("val").isNotNull()
     )
-    w = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("val"))
+    num_key = F.when(
+        F.col("col").isin(sorted(numeric)), F.col("val").cast("double")
+    ).otherwise(F.lit(None))
+    w = Window.partitionBy("col").orderBy(
+        F.desc("cnt"), F.asc("num_key"), F.asc("val")
+    )
     top = (
         melted.groupBy("col", "val").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("num_key", num_key)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .collect()
     )
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
     out: dict[str, object] = {}
     for r in top:
         dt = dtypes[r["col"]]
@@ -184,6 +193,7 @@ def fix_missing_values(
         num = _numeric_cols(df, cols)
         cat = [c for c in cols if c not in num]
         fills: dict[str, object] = {}
+        out = df
         if num:
             if strategy == "fill_mean":
                 aggs = [F.avg(F.col(c)).alias(c) for c in num]
@@ -191,14 +201,21 @@ def fix_missing_values(
                 # exact linear-interpolated percentile, matching pandas median
                 aggs = [F.expr(f"percentile({c}, 0.5)").alias(c) for c in num]
             stats = df.agg(*aggs).collect()[0]
+            # pandas upcasts int columns holding NaN to float before filling
+            # a fractional mean/median; na.fill on an int column would
+            # silently truncate (2.5 → 2), so cast int targets to double.
+            int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            dtypes = {f.name: f.dataType for f in df.schema.fields}
             for c in num:
                 v = stats[c]
                 fills[c] = float(v) if v is not None else 0.0
+                if isinstance(dtypes[c], int_types) and fills[c] != int(fills[c]):
+                    out = out.withColumn(c, F.col(c).cast("double"))
         if cat:
             cat_modes = modes(df, cat)
             for c in cat:
                 fills[c] = cat_modes.get(c, "Unknown")
-        return df.na.fill(fills) if fills else df
+        return out.na.fill(fills) if fills else out
 
     if strategy == "fill_mode":
         m = modes(df, cols)

@@ -118,7 +118,9 @@ def handle_outliers(
         mask = isolation_forest_mask(df, cols)  # Column: True where outlier
         if action == "remove":
             return df.where(~mask)
-        raise ValueError("isolation_forest supports only action='remove'")
+        # Reference silently no-ops for isolation_forest + cap (cap bounds
+        # only exist for the closed-form methods, methods/outliers.py:133-146).
+        return df
 
     bounds = outlier_bounds(df, cols, method, threshold)
 

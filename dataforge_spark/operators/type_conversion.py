@@ -74,12 +74,15 @@ def convert_data_types(
             )
         else:
             casted = src.try_cast(spark_type)
-        if errors == "ignore":
-            casted = F.coalesce(casted.cast("string"), src.cast("string")) if spark_type == "string" else casted
-        elif errors == "raise":
+        if errors in ("ignore", "raise"):
+            # pandas astype(errors='ignore') leaves the column UNCHANGED when
+            # any value fails (never a silent partial null-out); 'raise'
+            # errors out. Both need the failure count first.
             n_bad = out.where(src.isNotNull() & casted.isNull()).count()
             if n_bad:
-                raise ValueError(f"{n_bad} values of {col!r} fail cast to {target}")
+                if errors == "raise":
+                    raise ValueError(f"{n_bad} values of {col!r} fail cast to {target}")
+                continue  # ignore: skip this column entirely
         out = out.withColumn(col, casted)
 
     if not auto_detect:

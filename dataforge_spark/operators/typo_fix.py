@@ -28,17 +28,20 @@ from pyspark.sql import types as T
 
 from ..io import ROW_ID
 
-# Builtin dictionary, verbatim surface of the reference's
-# (/root/reference/methods/spellingFix.py:22-50) common-typo concept.
+# Builtin dictionary — the reference's exact 26 entries
+# (/root/reference/methods/spellingFix.py:22-50); behavioral constants must
+# match for oracle parity.
 COMMON_TYPOS = {
-    "teh": "the", "adn": "and", "nad": "and", "hte": "the", "taht": "that",
-    "recieve": "receive", "seperate": "separate", "definately": "definitely",
-    "occured": "occurred", "untill": "until", "wich": "which",
-    "thier": "their", "freind": "friend", "beleive": "believe",
-    "acheive": "achieve", "begining": "beginning", "calender": "calendar",
-    "cemetary": "cemetery", "changable": "changeable", "collegue": "colleague",
-    "comming": "coming", "commitee": "committee", "completly": "completely",
-    "concious": "conscious", "curiousity": "curiosity", "dissapoint": "disappoint",
+    "teh": "the", "adn": "and", "thier": "their", "recieve": "receive",
+    "seperate": "separate", "definately": "definitely", "occured": "occurred",
+    "begining": "beginning", "untill": "until", "mispelled": "misspelled",
+    "accomodate": "accommodate", "embarass": "embarrass",
+    "goverment": "government", "liesure": "leisure",
+    "maintainance": "maintenance", "necesary": "necessary",
+    "occassion": "occasion", "posession": "possession",
+    "priviledge": "privilege", "recomend": "recommend",
+    "unitd": "united", "managment": "management", "deparment": "department",
+    "devlopment": "development", "busness": "business", "finace": "finance",
 }
 
 
@@ -85,6 +88,8 @@ def fix_typos(
     method: str = "common_typos",
     similarity_threshold: float = 0.8,
     custom_dict: dict[str, str] | None = None,
+    max_distinct: int = 5000,
+    max_vocab: int = 50000,
 ) -> DataFrame:
     cols = _text_cols(df, columns)
     out = df
@@ -97,13 +102,15 @@ def fix_typos(
 
     if method == "fuzzy_match":
         for c in cols:
-            counts = [
-                (r["v"], r["n"])
-                for r in df.groupBy(F.col(c).alias("v"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("v").isNotNull())
-                .collect()
-            ]
+            domain = df.groupBy(F.col(c).alias("v")).agg(
+                F.count(F.lit(1)).alias("n")
+            ).where(F.col("v").isNotNull())
+            # Cardinality gate BEFORE collecting: the O(u²) driver-side
+            # matcher is only sane on dictionary-sized domains. A near-unique
+            # string column (user ids) would otherwise OOM the driver.
+            if domain.limit(max_distinct + 1).count() > max_distinct:
+                continue
+            counts = [(r["v"], r["n"]) for r in domain.collect()]
             mapping = _fuzzy_map(counts, similarity_threshold)
             if not mapping:
                 continue
@@ -121,16 +128,32 @@ def fix_typos(
                 .groupBy("w")
                 .agg(F.count(F.lit(1)).alias("n"))
             )
-            rows = words.collect()
-            freq = {r["w"]: r["n"] for r in rows}
-            dictionary = [w for w, n in freq.items() if n > 1]
-            if not dictionary:
-                dictionary = [w for w, _ in sorted(freq.items(), key=lambda x: -x[1])[:50]]
+            # Spark-side cutoffs — never collect the full corpus vocabulary:
+            # the dictionary is the top-K frequent repeated words, the
+            # correction candidates are the K rarest singletons. At 100 TB
+            # both stay bounded; at reference scale both are exhaustive.
+            dict_rows = (
+                words.where(F.col("n") > 1)
+                .orderBy(F.desc("n"), F.asc("w"))
+                .limit(max_vocab)
+                .collect()
+            )
+            if not dict_rows:
+                dict_rows = words.orderBy(F.desc("n"), F.asc("w")).limit(50).collect()
+            dictionary = {r["w"] for r in dict_rows}
+            rare_rows = (
+                words.where((F.col("n") == 1) & (F.length("w") > 2))
+                .orderBy(F.asc("w"))
+                .limit(max_vocab)
+                .collect()
+            )
+            dict_list = sorted(dictionary)
             corrections: dict[str, str] = {}
-            for w, n in freq.items():
-                if len(w) <= 2 or w in dictionary:
+            for r in rare_rows:
+                w = r["w"]
+                if w in dictionary:
                     continue
-                best = difflib.get_close_matches(w, dictionary, n=1, cutoff=similarity_threshold)
+                best = difflib.get_close_matches(w, dict_list, n=1, cutoff=similarity_threshold)
                 if best and abs(len(best[0]) - len(w)) <= 2:
                     corrections[w] = best[0]
             if corrections:
