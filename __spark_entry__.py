@@ -1,38 +1,1101 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Design notes
+------------
+- The driver's testdata has NO nulls/duplicates, so operators whose whole
+  point is missing/duplicate handling inject them DETERMINISTICALLY (e.g.
+  ``l_orderkey % 7 = 0 → NULL``) on both the Spark side and inside the
+  oracle SQL — the comparison then exercises the real operator semantics.
+- Float-producing queries round computed columns (4-6 dp) on BOTH sides:
+  Spark and DuckDB aggregate in different orders, so last-ulp differences
+  are expected; the operators' math is otherwise identical.
+- Timestamps are emitted as formatted strings (session-timezone pinned to
+  UTC) to avoid cross-engine timezone/representation drift.
+- Driver-side-algorithm operators (difflib fuzzy/spell, LSH banding) are
+  either given a closed-form expected-value oracle (the injected typo's
+  correction is known) or listed rows-only.
 """
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataforge_spark import io as dfio
+from dataforge_spark.dedup.exact import dedup_exact, duplicate_groups
+from dataforge_spark.dedup.embedding import lsh_neardup_pairs
+from dataforge_spark.dedup.minhash import minhash_dedup_pairs
+from dataforge_spark.dedup.ngram_jaccard import jaccard_pairs
+from dataforge_spark.dedup.simhash import simhash_pairs
+from dataforge_spark.functions.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from dataforge_spark.multimodal import attach_binary, binary_meta, extract_features
+from dataforge_spark.operators.datetime_parsing import parse_datetime_columns
+from dataforge_spark.operators.duplicates import drop_duplicates
+from dataforge_spark.operators.encoding import encode_frequency, encode_label, encode_onehot
+from dataforge_spark.operators.missing_values import fix_missing_values
+from dataforge_spark.operators.normalization import (
+    inverse_transform,
+    normalize_data,
+    scaling_statistics_df,
+)
+from dataforge_spark.operators.outliers import handle_outliers
+from dataforge_spark.operators.text_cleaning import clean_text_columns
+from dataforge_spark.operators.type_conversion import convert_data_types
+from dataforge_spark.operators.typo_fix import fix_typos
+from dataforge_spark.pipeline import CleaningPipeline
+from dataforge_spark.profile import profile_df
+from dataforge_spark.similarity.brute_force import cosine_topk
+from dataforge_spark.similarity.lsh import lsh_cosine_topk
+from dataforge_spark.streaming import (
+    dedup_stream,
+    profile_stream,
+    read_events_stream,
+    run_aggregate_to_memory,
+    run_to_memory,
+)
+
+# ---------------------------------------------------------------------------
+# shared builders (Spark) and CTEs (DuckDB) — the SAME deterministic null /
+# typo injection on both sides
+# ---------------------------------------------------------------------------
+
+_PUNCT = r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+_PUNCT_SQL = _PUNCT.replace("'", "''")
+_URL_RE = r"http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\(\),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+"
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+LI_SQL = """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS qty,
+  CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_extendedprice END AS price,
+  CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_returnflag END AS flag
+FROM lineitem
+"""
+
+EV_SQL = """
+SELECT event_id,
+  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+FROM events
+"""
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries nanosecond timestamps (INT64 TIMESTAMP(NANOS))
+    which Spark's parquet reader rejects by default; read them as longs and
+    rebuild a (microsecond) timestamp column with integer arithmetic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return ev
+
+
+def _li_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 7 == 0, None).otherwise(F.col("l_quantity")).alias("qty"),
+        F.when(F.col("l_orderkey") % 11 == 0, None).otherwise(F.col("l_extendedprice")).alias("price"),
+        F.when(F.col("l_orderkey") % 13 == 0, None).otherwise(F.col("l_returnflag")).alias("flag"),
+    )
+
+
+def _ev_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")).alias("value"),
+    )
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: full cleaning pipeline over lineitem at sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the canonical-order cleaning pipeline (SURVEY §3)
+    over lineitem — missing-value fill, dedup, outlier cap, minmax scale."""
+    _utc(spark)
+    df = dfio.with_row_id(_t(spark, "/root/testdata/sf0.001", "lineitem"))
+    out, _report = CleaningPipeline(collect_metrics=False).run(
+        df,
+        {
+            "missing_values": {"enabled": True, "strategy": "fill_median"},
+            "duplicates": {"enabled": True},
+            "outliers": {"enabled": True, "method": "iqr", "action": "cap",
+                         "columns": ["l_quantity", "l_extendedprice"]},
+            "normalization": {"enabled": True, "method": "minmax",
+                              "columns": ["l_quantity", "l_extendedprice"]},
+        },
+    )
+    return out.drop(dfio.ROW_ID)
+
+
+# ---------------------------------------------------------------------------
+# queries — one per implemented operator
+# ---------------------------------------------------------------------------
+
+
+def q_s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value", "props")
+    path = f"/tmp/dataforge_csv_{uuid.uuid4().hex[:8]}"
+    dfio.write_csv(ev, path)
+    back = dfio.read_csv(spark, path, row_id=False)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("props").alias("n_props"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+def q_s4_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("unknown")).otherwise(F.col("props")).alias("props"),
+    )
+    return profile_df(ev, columns=["value", "props"])
+
+
+def q_m1_drop_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _li_nulls(spark, sf_dir)
+    return fix_missing_values(df, "drop_rows", columns=["qty", "price", "flag"])
+
+
+def q_m2_drop_rows_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _li_nulls(spark, sf_dir)
+    return fix_missing_values(df, "drop_rows_threshold", threshold=0.75,
+                              columns=["qty", "price", "flag"])
+
+
+def q_m3_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _li_nulls(spark, sf_dir)
+    return fix_missing_values(df, "drop_columns", columns=["qty", "price", "flag"])
+
+
+def q_m4_drop_columns_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-null fractions at sf0.01: qty 0.855, price 0.910, flag 0.924 —
+    # threshold 0.88 drops qty only.
+    df = _li_nulls(spark, sf_dir)
+    return fix_missing_values(df, "drop_columns_threshold", threshold=0.88,
+                              columns=["qty", "price", "flag"])
+
+
+def q_m5_fill_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _li_nulls(spark, sf_dir)
+    out = fix_missing_values(df, "fill_mean", columns=["qty", "price", "flag"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("qty", 4).alias("qty"), F.round("price", 4).alias("price"), "flag",
+    )
+
+
+def q_m6_fill_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _li_nulls(spark, sf_dir)
+    out = fix_missing_values(df, "fill_median", columns=["qty", "price", "flag"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("qty", 4).alias("qty"), F.round("price", 4).alias("price"), "flag",
+    )
+
+
+def q_m7_fill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _li_nulls(spark, sf_dir)
+    out = fix_missing_values(df, "fill_mode", columns=["qty", "price", "flag"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("qty", 4).alias("qty"), F.round("price", 4).alias("price"), "flag",
+    )
+
+
+def q_m8_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _ev_nulls(spark, sf_dir)
+    out = fix_missing_values(df, "forward_fill", columns=["value"], order_col="event_id")
+    return out.select("event_id", F.round("value", 2).alias("value"))
+
+
+def q_m9_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _ev_nulls(spark, sf_dir)
+    out = fix_missing_values(df, "backward_fill", columns=["value"], order_col="event_id")
+    return out.select("event_id", F.round("value", 2).alias("value"))
+
+
+def q_d1_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = drop_duplicates(orders, subset=["o_custkey"], keep="first", order_col="o_orderkey")
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_o1_iqr_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return handle_outliers(li, columns=["l_extendedprice"], method="iqr",
+                           action="remove", threshold=1.5)
+
+
+def q_o2_zscore_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return handle_outliers(li, columns=["l_extendedprice"], method="zscore",
+                           action="remove", threshold=2.5)
+
+
+def q_o3_mzscore_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return handle_outliers(li, columns=["l_extendedprice"], method="modified_zscore",
+                           action="remove", threshold=3.5)
+
+
+def q_o6_iqr_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    out = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
+                          action="cap", threshold=1.5)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_extendedprice", 4).alias("l_extendedprice"))
+
+
+def q_o7_log_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    out = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
+                          action="transform")
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_extendedprice", 6).alias("l_extendedprice"))
+
+
+def q_t1_manual_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("value").cast("string").alias("sval")
+    )
+    return convert_data_types(ev, type_mapping={"sval": "float64"}, auto_detect=False)
+
+
+def q_t2_auto_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("string").alias("qty_str")
+    )
+    return convert_data_types(li, auto_detect=True)
+
+
+def q_t3_auto_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_str")
+    )
+    out = convert_data_types(od, auto_detect=True)
+    return out.select(
+        "o_orderkey", F.date_format("od_str", "yyyy-MM-dd HH:mm:ss").alias("od_str")
+    )
+
+
+def q_t4_auto_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit("yes")).otherwise(F.lit("no")).alias("b_str"),
+    )
+    return convert_data_types(ev, auto_detect=True)
+
+
+def q_x1_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("  <b>Hello "), F.col("text"),
+            F.lit("</b> visit https://ex.com/a?b=1 mail a.b@ex.com 42 cats!  "),
+        ).alias("messy"),
+    )
+    return clean_text_columns(
+        docs,
+        columns=["messy"],
+        operations=["lowercase", "remove_html", "remove_urls", "remove_emails",
+                    "remove_numbers", "remove_punctuation", "remove_extra_spaces"],
+    )
+
+
+def q_x11_custom_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return clean_text_columns(
+        docs, columns=["text"], operations=["lowercase"],
+        custom_patterns={r"\bspark\b": "SPARK"},
+    )
+
+
+def q_dt1_datetime_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_str")
+    )
+    out = parse_datetime_columns(od, columns=["od_str"], extract_features=True)
+    return out.select(
+        "o_orderkey",
+        F.date_format("od_str", "yyyy-MM-dd HH:mm:ss").alias("od_ts"),
+        "od_str_year", "od_str_month", "od_str_day",
+    )
+
+
+def q_e1_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out, _ = encode_label(cust, columns=["c_mktsegment"])
+    return out
+
+
+def q_e2_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return encode_onehot(cust, columns=["c_mktsegment"])
+
+
+def q_e3_frequency_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return encode_frequency(cust, columns=["c_mktsegment"])
+
+
+def q_y1_common_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("Teh goverment will recieve the managment report. "),
+                 F.col("text")).alias("msg"),
+    )
+    return fix_typos(docs, columns=["msg"], method="common_typos")
+
+
+def q_y2_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit("clickk"))
+        .otherwise(F.col("event_type")).alias("et"),
+    )
+    return fix_typos(ev, columns=["et"], method="fuzzy_match", similarity_threshold=0.8)
+
+
+def q_y3_spell_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_id") == 500, F.lit("vieww"))
+        .otherwise(F.col("event_type")).alias("et"),
+    )
+    return fix_typos(ev, columns=["et"], method="spell_check", similarity_threshold=0.8)
+
+
+_NCOLS = ["l_quantity", "l_extendedprice"]
+
+
+def q_n1_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *_NCOLS)
+    out, _ = normalize_data(li, columns=_NCOLS, method="standard")
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_quantity", 6).alias("qty_std"),
+                      F.round("l_extendedprice", 6).alias("price_std"))
+
+
+def q_n2_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *_NCOLS)
+    out, _ = normalize_data(li, columns=_NCOLS, method="minmax", feature_range=(0.0, 1.0))
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_quantity", 6).alias("qty_mm"),
+                      F.round("l_extendedprice", 6).alias("price_mm"))
+
+
+def q_n3_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *_NCOLS)
+    out, _ = normalize_data(li, columns=_NCOLS, method="robust")
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_quantity", 6).alias("qty_rb"),
+                      F.round("l_extendedprice", 6).alias("price_rb"))
+
+
+def q_n4_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *_NCOLS)
+    out, _ = normalize_data(li, columns=_NCOLS, method="normalize")
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_quantity", 6).alias("qty_l2"),
+                      F.round("l_extendedprice", 6).alias("price_l2"))
+
+
+def q_n5_inverse_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *_NCOLS)
+    scaled, params = normalize_data(li, columns=_NCOLS, method="standard")
+    out = inverse_transform(scaled, params)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("l_quantity", 4).alias("qty"),
+                      F.round("l_extendedprice", 4).alias("price"))
+
+
+def q_n6_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = scaling_statistics_df(li, columns=_NCOLS)
+    return out.select(
+        "col_name",
+        F.round("mean", 4).alias("mean"), F.round("std", 4).alias("std"),
+        F.round("min", 4).alias("min"), F.round("max", 4).alias("max"),
+        F.round("q25", 4).alias("q25"), F.round("q75", 4).alias("q75"),
+        F.round("skew", 3).alias("skew"), F.round("kurt", 3).alias("kurt"),
+    )
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_docs_with_dups(spark, sf_dir), text_col="text", id_col="doc_id")
+
+
+def q_dedup_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_groups(_docs_with_dups(spark, sf_dir), text_col="text", id_col="doc_id")
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3,
+                         threshold=0.05, max_df=None)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, text_col="text", id_col="doc_id",
+                               n=3, num_perm=64, bands=16, threshold=0.5)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, text_col="text", id_col="doc_id")
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, id_col="vec_id", vec_col="embedding")
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(corpus=emb, queries=q, k=5, id_col="vec_id", vec_col="embedding")
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return lsh_cosine_topk(corpus=emb, queries=q, k=5, id_col="vec_id", vec_col="embedding")
+
+
+def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        language_id(t).alias("lang_guess"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = binary_meta(attach_binary(docs), bin_col="payload", prefix_len=8)
+    return out.select("doc_id", "n_bytes", "prefix")
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return extract_features(attach_binary(docs), bin_col="payload", id_col="doc_id")
+
+
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dup_in = ev.unionByName(ev.where(F.col("event_id") % 10 == 0))
+    path = f"/tmp/dataforge_stream_{uuid.uuid4().hex[:8]}"
+    dup_in.write.mode("overwrite").parquet(path)
+    stream = read_events_stream(spark, path, ev.schema)
+    deduped = dedup_stream(stream, key_cols=["event_id"], ts_col="ts", watermark="1 hour")
+    got = run_to_memory(deduped)
+    return got.select("event_id", "event_type", F.round("value", 2).alias("value"))
+
+
+def q_stream_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    path = f"/tmp/dataforge_stream_{uuid.uuid4().hex[:8]}"
+    ev.write.mode("overwrite").parquet(path)
+    stream = read_events_stream(spark, path, ev.schema)
+    prof = profile_stream(stream, ts_col="ts", value_col="value",
+                          window="1 hour", watermark="2 hours")
+    got = run_aggregate_to_memory(prof)
+    return got.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_rows", "n_null",
+        F.round("v_min", 2).alias("v_min"), F.round("v_max", 2).alias("v_max"),
+        F.round("v_avg", 4).alias("v_avg"),
+    )
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-order multi-op pipeline (fill → dedup → cap → scale)."""
+    df = dfio.with_row_id(_li_nulls(spark, sf_dir))
+    out, _ = CleaningPipeline(collect_metrics=False).run(
+        df,
+        {
+            "missing_values": {"enabled": True, "strategy": "fill_median",
+                               "columns": ["qty", "price", "flag"]},
+            "duplicates": {"enabled": True},
+            "outliers": {"enabled": True, "method": "iqr", "action": "cap",
+                         "columns": ["price"]},
+            "normalization": {"enabled": True, "method": "minmax",
+                              "columns": ["qty"]},
+        },
+    )
+    return out.select("l_orderkey", "l_linenumber",
+                      F.round("qty", 6).alias("qty"),
+                      F.round("price", 4).alias("price"), "flag")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s1_csv_roundtrip": q_s1_csv_roundtrip,
+        "s4_profile": q_s4_profile,
+        "m1_drop_rows": q_m1_drop_rows,
+        "m2_drop_rows_threshold": q_m2_drop_rows_threshold,
+        "m3_drop_columns": q_m3_drop_columns,
+        "m4_drop_columns_threshold": q_m4_drop_columns_threshold,
+        "m5_fill_mean": q_m5_fill_mean,
+        "m6_fill_median": q_m6_fill_median,
+        "m7_fill_mode": q_m7_fill_mode,
+        "m8_forward_fill": q_m8_forward_fill,
+        "m9_backward_fill": q_m9_backward_fill,
+        "d1_dedup_keep_first": q_d1_dedup_keep_first,
+        "o1_iqr_remove": q_o1_iqr_remove,
+        "o2_zscore_remove": q_o2_zscore_remove,
+        "o3_mzscore_remove": q_o3_mzscore_remove,
+        "o6_iqr_cap": q_o6_iqr_cap,
+        "o7_log_transform": q_o7_log_transform,
+        "t1_manual_cast": q_t1_manual_cast,
+        "t2_auto_numeric": q_t2_auto_numeric,
+        "t3_auto_datetime": q_t3_auto_datetime,
+        "t4_auto_boolean": q_t4_auto_boolean,
+        "x1_text_clean": q_x1_text_clean,
+        "x11_custom_patterns": q_x11_custom_patterns,
+        "dt1_datetime_features": q_dt1_datetime_features,
+        "e1_label_encode": q_e1_label_encode,
+        "e2_onehot_encode": q_e2_onehot_encode,
+        "e3_frequency_encode": q_e3_frequency_encode,
+        "y1_common_typos": q_y1_common_typos,
+        "y2_fuzzy_match": q_y2_fuzzy_match,
+        "y3_spell_check": q_y3_spell_check,
+        "n1_standard_scale": q_n1_standard_scale,
+        "n2_minmax_scale": q_n2_minmax_scale,
+        "n3_robust_scale": q_n3_robust_scale,
+        "n4_l2_normalize": q_n4_l2_normalize,
+        "n5_inverse_transform": q_n5_inverse_transform,
+        "n6_scaling_stats": q_n6_scaling_stats,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_duplicate_groups": q_dedup_duplicate_groups,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "txt_metrics": q_txt_metrics,
+        "mm_binary_meta": q_mm_binary_meta,
+        "mm_features": q_mm_features,
+        "stream_dedup_events": q_stream_dedup_events,
+        "stream_profile_events": q_stream_profile_events,
+        "pipeline_e2e": q_pipeline_e2e,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles — DuckDB ANSI SQL equivalents (omitted for non-SQL-expressible:
+# LSH-banded candidate generation, simhash, byte-histogram features)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    mode = (
+        "(SELECT {c} FROM t WHERE {c} IS NOT NULL "
+        "GROUP BY {c} ORDER BY count(*) DESC, {c} ASC LIMIT 1)"
+    )
+    sql: dict[str, str] = {}
+
+    sql["s1_csv_roundtrip"] = """
+        SELECT count(*) AS n, round(sum(value), 2) AS sum_value,
+               count(DISTINCT props) AS n_props,
+               count(DISTINCT event_type) AS n_types
+        FROM events
     """
-    return {}
+
+    sql["s4_profile"] = """
+        WITH t AS (
+          SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+                 CASE WHEN event_id % 11 = 0 THEN 'unknown' ELSE props END AS props
+          FROM events
+        ), n AS (SELECT count(*) AS n_rows FROM t)
+        SELECT 'value' AS col_name,
+               (SELECT count(*) FROM t WHERE value IS NULL OR isnan(value)) AS n_missing,
+               (SELECT count(DISTINCT value) FROM t) AS n_unique,
+               n_rows, CAST(0 AS BIGINT) AS dup_rows FROM n
+        UNION ALL
+        SELECT 'props',
+               (SELECT count(*) FROM t WHERE props IS NULL OR lower(trim(props)) IN
+                 ('nan','null','none','na','n/a','missing','unknown','','nil','undefined')),
+               (SELECT count(DISTINCT props) FROM t),
+               n_rows, CAST(0 AS BIGINT) FROM n
+    """
+
+    sql["m1_drop_rows"] = f"""
+        WITH t AS ({LI_SQL})
+        SELECT * FROM t
+        WHERE qty IS NOT NULL AND price IS NOT NULL AND flag IS NOT NULL
+    """
+
+    sql["m2_drop_rows_threshold"] = f"""
+        WITH t AS ({LI_SQL})
+        SELECT * FROM t
+        WHERE (CASE WHEN qty IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN price IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN flag IS NULL THEN 0 ELSE 1 END) >= 2
+    """
+
+    sql["m3_drop_columns"] = f"""
+        WITH t AS ({LI_SQL}) SELECT l_orderkey, l_linenumber FROM t
+    """
+
+    sql["m4_drop_columns_threshold"] = f"""
+        WITH t AS ({LI_SQL}) SELECT l_orderkey, l_linenumber, price, flag FROM t
+    """
+
+    sql["m5_fill_mean"] = f"""
+        WITH t AS ({LI_SQL})
+        SELECT l_orderkey, l_linenumber,
+          round(coalesce(qty,  (SELECT avg(qty) FROM t)), 4) AS qty,
+          round(coalesce(price,(SELECT avg(price) FROM t)), 4) AS price,
+          coalesce(flag, {mode.format(c='flag')}) AS flag
+        FROM t
+    """
+
+    sql["m6_fill_median"] = f"""
+        WITH t AS ({LI_SQL})
+        SELECT l_orderkey, l_linenumber,
+          round(coalesce(qty,  (SELECT quantile_cont(qty, 0.5) FROM t)), 4) AS qty,
+          round(coalesce(price,(SELECT quantile_cont(price, 0.5) FROM t)), 4) AS price,
+          coalesce(flag, {mode.format(c='flag')}) AS flag
+        FROM t
+    """
+
+    sql["m7_fill_mode"] = f"""
+        WITH t AS ({LI_SQL})
+        SELECT l_orderkey, l_linenumber,
+          round(coalesce(qty,  {mode.format(c='qty')}), 4) AS qty,
+          round(coalesce(price,{mode.format(c='price')}), 4) AS price,
+          coalesce(flag, {mode.format(c='flag')}) AS flag
+        FROM t
+    """
+
+    sql["m8_forward_fill"] = f"""
+        WITH t AS ({EV_SQL})
+        SELECT event_id,
+          round(last_value(value IGNORE NULLS) OVER (
+            ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+        FROM t
+    """
+
+    sql["m9_backward_fill"] = f"""
+        WITH t AS ({EV_SQL})
+        SELECT event_id,
+          round(first_value(value IGNORE NULLS) OVER (
+            ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS value
+        FROM t
+    """
+
+    sql["d1_dedup_keep_first"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+    """
+
+    iqr_bounds = """
+        (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+    """
+    sql["o1_iqr_remove"] = f"""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem, {iqr_bounds} b
+        WHERE (q3 - q1) = 0 OR NOT (
+          l_extendedprice < q1 - 1.5 * (q3 - q1) OR
+          l_extendedprice > q3 + 1.5 * (q3 - q1))
+    """
+
+    sql["o2_zscore_remove"] = """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem,
+          (SELECT avg(l_extendedprice) AS m, stddev_samp(l_extendedprice) AS s
+           FROM lineitem) b
+        WHERE s = 0 OR s IS NULL OR NOT (
+          l_extendedprice < m - 2.5 * s OR l_extendedprice > m + 2.5 * s)
+    """
+
+    sql["o3_mzscore_remove"] = """
+        WITH med AS (SELECT quantile_cont(l_extendedprice, 0.5) AS md FROM lineitem),
+        mad AS (SELECT quantile_cont(abs(l_extendedprice - md), 0.5) AS mad
+                FROM lineitem, med)
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem, med, mad
+        WHERE mad = 0 OR NOT (
+          l_extendedprice < md - 3.5 * mad / 0.6745 OR
+          l_extendedprice > md + 3.5 * mad / 0.6745)
+    """
+
+    sql["o6_iqr_cap"] = f"""
+        SELECT l_orderkey, l_linenumber,
+          round(CASE
+            WHEN (q3 - q1) = 0 THEN l_extendedprice
+            WHEN l_extendedprice < q1 - 1.5 * (q3 - q1) THEN q1 - 1.5 * (q3 - q1)
+            WHEN l_extendedprice > q3 + 1.5 * (q3 - q1) THEN q3 + 1.5 * (q3 - q1)
+            ELSE l_extendedprice END, 4) AS l_extendedprice
+        FROM lineitem, {iqr_bounds} b
+    """
+
+    sql["o7_log_transform"] = """
+        SELECT l_orderkey, l_linenumber,
+          round(CASE WHEN l_extendedprice > 0 THEN ln(1 + l_extendedprice)
+                     ELSE l_extendedprice END, 6) AS l_extendedprice
+        FROM lineitem
+    """
+
+    sql["t1_manual_cast"] = """
+        SELECT event_id, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS sval FROM events
+    """
+
+    sql["t2_auto_numeric"] = """
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_str
+        FROM lineitem
+    """
+
+    sql["t3_auto_datetime"] = """
+        SELECT o_orderkey,
+          strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_str
+        FROM orders
+    """
+
+    sql["t4_auto_boolean"] = """
+        SELECT event_id, (event_id % 2 = 0) AS b_str FROM events
+    """
+
+    sql["x1_text_clean"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+            '  <b>Hello ' || text ||
+            '</b> visit https://ex.com/a?b=1 mail a.b@ex.com 42 cats!  ' AS s
+          FROM documents
+        )
+        SELECT doc_id, NULLIF(
+          regexp_replace(trim(
+            translate(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(lower(s), '<[^>]+>', '', 'g'),
+                  '{_URL_RE}', '', 'g'),
+                '{_EMAIL_RE}', '', 'g'),
+              '\\d+', '', 'g'),
+            '{_PUNCT_SQL}', '')
+          ), '\\s+', ' ', 'g'), '') AS messy
+        FROM m
+    """
+
+    sql["x11_custom_patterns"] = r"""
+        SELECT doc_id,
+          NULLIF(regexp_replace(lower(text), '\bspark\b', 'SPARK', 'g'), '') AS text
+        FROM documents
+    """
+
+    sql["dt1_datetime_features"] = """
+        SELECT o_orderkey,
+          strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS od_ts,
+          CAST(year(o_orderdate) AS INTEGER) AS od_str_year,
+          CAST(month(o_orderdate) AS INTEGER) AS od_str_month,
+          CAST(day(o_orderdate) AS INTEGER) AS od_str_day
+        FROM orders
+    """
+
+    sql["e1_label_encode"] = """
+        SELECT c_custkey,
+          CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INTEGER) AS c_mktsegment
+        FROM customer
+    """
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    dummy_cols = ",\n          ".join(
+        f"CASE WHEN c_mktsegment = '{v}' THEN 1 ELSE 0 END AS \"c_mktsegment_{v}\""
+        for v in segs
+    )
+    sql["e2_onehot_encode"] = f"""
+        SELECT c_custkey,
+          {dummy_cols},
+          CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END AS "c_mktsegment_nan"
+        FROM customer
+    """
+
+    sql["e3_frequency_encode"] = """
+        SELECT c_custkey, c_mktsegment,
+          count(*) OVER (PARTITION BY c_mktsegment)
+            / (count(*) OVER ())::DOUBLE AS c_mktsegment_freq_encoded
+        FROM customer
+    """
+
+    sql["y1_common_typos"] = r"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            'Teh goverment will recieve the managment report. ' || text,
+            '(?i)\bteh\b', 'the', 'g'),
+            '(?i)\bgoverment\b', 'government', 'g'),
+            '(?i)\brecieve\b', 'receive', 'g'),
+            '(?i)\bmanagment\b', 'management', 'g') AS msg
+        FROM documents
+    """
+
+    # y2/y3: the driver-side difflib algorithm's outcome on this injection
+    # is closed-form (clickk→click, vieww→view) — encoded directly.
+    sql["y2_fuzzy_match"] = """
+        SELECT event_id,
+          CASE WHEN event_id % 97 = 0 THEN 'click' ELSE event_type END AS et
+        FROM events
+    """
+
+    sql["y3_spell_check"] = """
+        SELECT event_id,
+          CASE WHEN event_id = 500 THEN 'view' ELSE event_type END AS et
+        FROM events
+    """
+
+    sql["n1_standard_scale"] = """
+        SELECT l_orderkey, l_linenumber,
+          round((l_quantity - mq) / sq, 6) AS qty_std,
+          round((l_extendedprice - mp) / sp, 6) AS price_std
+        FROM lineitem,
+          (SELECT avg(l_quantity) AS mq, stddev_pop(l_quantity) AS sq,
+                  avg(l_extendedprice) AS mp, stddev_pop(l_extendedprice) AS sp
+           FROM lineitem) s
+    """
+
+    sql["n2_minmax_scale"] = """
+        SELECT l_orderkey, l_linenumber,
+          round((l_quantity - loq) / (hiq - loq) * 1.0 + 0.0, 6) AS qty_mm,
+          round((l_extendedprice - lop) / (hip - lop) * 1.0 + 0.0, 6) AS price_mm
+        FROM lineitem,
+          (SELECT min(l_quantity) AS loq, max(l_quantity) AS hiq,
+                  min(l_extendedprice) AS lop, max(l_extendedprice) AS hip
+           FROM lineitem) s
+    """
+
+    sql["n3_robust_scale"] = """
+        SELECT l_orderkey, l_linenumber,
+          round((l_quantity - medq) / (q3q - q1q), 6) AS qty_rb,
+          round((l_extendedprice - medp) / (q3p - q1p), 6) AS price_rb
+        FROM lineitem,
+          (SELECT quantile_cont(l_quantity, 0.5) AS medq,
+                  quantile_cont(l_quantity, 0.25) AS q1q,
+                  quantile_cont(l_quantity, 0.75) AS q3q,
+                  quantile_cont(l_extendedprice, 0.5) AS medp,
+                  quantile_cont(l_extendedprice, 0.25) AS q1p,
+                  quantile_cont(l_extendedprice, 0.75) AS q3p
+           FROM lineitem) s
+    """
+
+    sql["n4_l2_normalize"] = """
+        SELECT l_orderkey, l_linenumber,
+          round(CASE WHEN nrm > 0 THEN l_quantity / nrm ELSE l_quantity END, 6) AS qty_l2,
+          round(CASE WHEN nrm > 0 THEN l_extendedprice / nrm ELSE l_extendedprice END, 6) AS price_l2
+        FROM (SELECT *,
+                sqrt(power(coalesce(l_quantity, 0), 2)
+                   + power(coalesce(l_extendedprice, 0), 2)) AS nrm
+              FROM lineitem)
+    """
+
+    sql["n5_inverse_transform"] = """
+        SELECT l_orderkey, l_linenumber,
+          round(l_quantity, 4) AS qty, round(l_extendedprice, 4) AS price
+        FROM lineitem
+    """
+
+    def _stats_row(c: str) -> str:
+        return f"""
+        SELECT '{c}' AS col_name,
+          round(avg({c}), 4) AS mean, round(stddev_samp({c}), 4) AS std,
+          round(min({c}), 4) AS "min", round(max({c}), 4) AS "max",
+          round((SELECT quantile_cont({c}, 0.25) FROM lineitem), 4) AS q25,
+          round((SELECT quantile_cont({c}, 0.75) FROM lineitem), 4) AS q75,
+          round(avg(power({c} - m, 3)) / power(avg(power({c} - m, 2)), 1.5), 3) AS skew,
+          round(avg(power({c} - m, 4)) / power(avg(power({c} - m, 2)), 2) - 3, 3) AS kurt
+        FROM lineitem, (SELECT avg({c}) AS m FROM lineitem) s
+        """
+
+    sql["n6_scaling_stats"] = (
+        _stats_row("l_quantity") + " UNION ALL " + _stats_row("l_extendedprice")
+    )
+
+    sql["dedup_exact_docs"] = """
+        SELECT doc_id, text FROM documents
+    """
+
+    sql["dedup_duplicate_groups"] = """
+        SELECT md5(text) AS content_hash, CAST(2 AS BIGINT) AS n_copies,
+               doc_id AS keeper_id
+        FROM documents WHERE doc_id % 5 = 0
+    """
+
+    sql["dedup_jaccard_pairs"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+          FROM toks, UNNEST(CASE WHEN len(w) >= 3
+                            THEN generate_series(1, len(w) - 2) ELSE [] END) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+          round(c / (sa.n_sh + sb.n_sh - c)::DOUBLE, 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c / (sa.n_sh + sb.n_sh - c)::DOUBLE >= 0.05
+    """
+
+    sql["sim_cosine_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        s AS (SELECT query_id, neighbor_id,
+                round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+              FROM q, c WHERE neighbor_id != query_id)
+        SELECT query_id, neighbor_id, cos_sim FROM s
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 5
+    """
+
+    en = "'the','and','of','to','a','in','is','that','it','for'"
+    de = "'der','die','das','und','ist','nicht','ein','mit','auf','zu'"
+    fr = "'le','la','les','et','est','un','une','dans','que','pour'"
+    es = "'el','la','los','de','y','es','un','una','en','por'"
+    sql["txt_metrics"] = rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, text, n_tok,
+            len(list_filter(toks, x -> x IN ({en}))) AS hits_en,
+            len(list_filter(toks, x -> x IN ({de}))) AS hits_de,
+            len(list_filter(toks, x -> x IN ({fr}))) AS hits_fr,
+            len(list_filter(toks, x -> x IN ({es}))) AS hits_es
+          FROM t
+        )
+        SELECT doc_id,
+          CAST(n_tok AS INTEGER) AS n_tokens,
+          CASE
+            WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_fr
+                 AND hits_en >= hits_es THEN 'en'
+            WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_fr
+                 AND hits_de >= hits_es THEN 'de'
+            WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_de
+                 AND hits_fr >= hits_es THEN 'fr'
+            WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_de
+                 AND hits_es >= hits_fr THEN 'es'
+            ELSE 'unknown' END AS lang_guess,
+          round(
+            (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN n_tok > 0
+                     AND length(text)::DOUBLE / n_tok >= 3
+                     AND length(text)::DOUBLE / n_tok <= 12 THEN 0.3 ELSE 0.0 END)
+            + least(0.3, (CASE WHEN n_tok > 0
+                          THEN hits_en::DOUBLE / n_tok ELSE 0.0 END) * 3), 6) AS quality,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM h
+    """
+
+    sql["mm_binary_meta"] = """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               substr(text, 1, 8) AS prefix
+        FROM documents
+    """
+
+    sql["stream_dedup_events"] = """
+        SELECT event_id, event_type, round(value, 2) AS value FROM events
+    """
+
+    sql["stream_profile_events"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          count(*) AS n_rows,
+          CAST(0 AS BIGINT) AS n_null,
+          round(min(value), 2) AS v_min, round(max(value), 2) AS v_max,
+          round(avg(value), 4) AS v_avg
+        FROM events GROUP BY 1
+    """
+
+    # NOTE: the null injection collapses some lineitem rows into identical
+    # tuples, so the pipeline's dedup stage (keep-first) = DISTINCT here;
+    # outlier/scale statistics are computed on the DEDUPED set, as in the
+    # pipeline's canonical order.
+    sql["pipeline_e2e"] = f"""
+        WITH t AS ({LI_SQL}),
+        filled0 AS (
+          SELECT l_orderkey, l_linenumber,
+            coalesce(qty,  (SELECT quantile_cont(qty, 0.5) FROM t)) AS qty,
+            coalesce(price,(SELECT quantile_cont(price, 0.5) FROM t)) AS price,
+            coalesce(flag, {mode.format(c='flag')}) AS flag
+          FROM t
+        ),
+        filled AS (SELECT DISTINCT * FROM filled0),
+        b AS (SELECT quantile_cont(price, 0.25) AS q1,
+                     quantile_cont(price, 0.75) AS q3 FROM filled),
+        capped AS (
+          SELECT l_orderkey, l_linenumber, qty,
+            CASE WHEN (q3 - q1) = 0 THEN price
+                 WHEN price < q1 - 1.5 * (q3 - q1) THEN q1 - 1.5 * (q3 - q1)
+                 WHEN price > q3 + 1.5 * (q3 - q1) THEN q3 + 1.5 * (q3 - q1)
+                 ELSE price END AS price, flag
+          FROM filled, b
+        ),
+        mm AS (SELECT min(qty) AS lo, max(qty) AS hi FROM capped)
+        SELECT l_orderkey, l_linenumber,
+          round((qty - lo) / (hi - lo) * 1.0 + 0.0, 6) AS qty,
+          round(price, 4) AS price, flag
+        FROM capped, mm
+    """
+
+    return sql

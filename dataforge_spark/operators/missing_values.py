@@ -99,15 +99,25 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
 
     Uses last/first-ignorenulls over an unbounded window. A plain
     ``Window.orderBy`` with no partition runs in ONE task; that is exact but
-    a scale cliff. At cluster scale the right plan is: range-partition by
-    ``order_col`` (keeps Spark's range exchange), compute the fill inside
-    each range partition, then fix boundaries with a tiny driver-side prefix
-    of per-partition last-non-null values. The boundary fix touches
-    #partitions rows — negligible. Implemented below via a two-level
-    window: partition-local fill + broadcast boundary map.
+    a scale cliff. The scale-safe plan: split the ``order_col`` domain into
+    ordered buckets, fill inside each bucket with a local window, then fix
+    bucket boundaries with a tiny driver-side carry map (one value per
+    bucket per column, broadcast back). Bucket boundaries come from
+    ``approxQuantile`` and are applied as LITERALS, so the bucket id is a
+    deterministic function of the row — the fill pass and the edge pass
+    are guaranteed to agree (``repartitionByRange`` + ``spark_partition_id``
+    would re-sample per job and could disagree between the two passes).
     """
-    bucket = F.spark_partition_id()
-    dfp = df.repartitionByRange(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32") and int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), F.col(order_col)).withColumn("_bucket", bucket)
+    spark = df.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    splits: list[float] = (
+        sorted(set(df.stat.approxQuantile(order_col, probs, 0.001))) if probs else []
+    )
+    bucket = F.lit(0)
+    for b in splits:
+        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    dfp = df.withColumn("_bucket", bucket)
 
     if direction == "ffill":
         local_w = (

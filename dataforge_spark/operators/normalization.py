@@ -118,6 +118,24 @@ def inverse_transform(df: DataFrame, params: dict) -> DataFrame:
     return out
 
 
+def scaling_statistics_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """N6 as a long-format DataFrame (col_name, mean, std, min, max, q25,
+    q75, skew, kurt) — SQL-comparable for the oracle. NOTE: skew/kurt use
+    Spark's population formulas (m3/m2^1.5, m4/m2²−3), not pandas'
+    bias-corrected ones — documented divergence, SURVEY §2.10 N6."""
+    stats = scaling_statistics(df, columns)
+    data = [
+        (c, *[float(s[k]) if s[k] is not None else None
+              for k in ("mean", "std", "min", "max", "q25", "q75", "skew", "kurt")])
+        for c, s in stats.items()
+    ]
+    return df.sparkSession.createDataFrame(
+        data,
+        "col_name string, mean double, std double, min double, max double, "
+        "q25 double, q75 double, skew double, kurt double",
+    )
+
+
 def scaling_statistics(df: DataFrame, columns: list[str] | None = None) -> dict:
     """N6 — per-column mean/std/min/max/q25/q75/skewness/kurtosis.
     (pandas skew/kurt are bias-corrected, Spark's are not — metrics only.)"""

@@ -45,6 +45,63 @@ def missing_counts(df: DataFrame) -> dict[str, int]:
     return {name: int(row[name] or 0) for name in df.columns}
 
 
+def profile_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """The profiler as a DataFrame (long format): one row per column with
+    (col_name, n_missing, n_unique, n_rows, dup_rows). Same single
+    aggregation pass as ``dataset_info`` but SQL-comparable for the
+    correctness oracle."""
+    fields = [f for f in df.schema.fields if columns is None or f.name in columns]
+    cols = [f.name for f in fields]
+    aggs = [F.count(F.lit(1)).alias("__rows"),
+            F.count_distinct(F.struct(*df.columns)).alias("__distinct_rows")]
+    aggs += [F.sum(_missing_expr(f).cast("long")).alias(f"__miss_{f.name}") for f in fields]
+    aggs += [F.count_distinct(F.col(c)).alias(f"__uniq_{c}") for c in cols]
+    row = df.agg(*aggs).collect()[0].asDict()
+    n_rows, dup = int(row["__rows"]), int(row["__rows"]) - int(row["__distinct_rows"])
+    data = [
+        (c, int(row[f"__miss_{c}"] or 0), int(row[f"__uniq_{c}"] or 0), n_rows, dup)
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        data, "col_name string, n_missing bigint, n_unique bigint, n_rows bigint, dup_rows bigint"
+    )
+
+
+# Estimated in-memory bytes per value by Spark column type, for the T7
+# memory report (informational parity with pandas memory_usage(deep=True),
+# /root/reference/methods/dataTypeConversion.py:181-191 — the reference
+# prints before/after deep memory; exact byte equality with pandas block
+# layout is neither possible nor useful here).
+_FIXED_WIDTHS: list[tuple[type, int]] = [
+    (T.BooleanType, 1), (T.ByteType, 1), (T.ShortType, 2),
+    (T.IntegerType, 4), (T.FloatType, 4),
+    (T.LongType, 8), (T.DoubleType, 8),
+    (T.TimestampType, 8), (T.DateType, 4),
+]
+
+
+def memory_report(df: DataFrame) -> dict[str, Any]:
+    """T7: estimated bytes per column + total, from one aggregate pass
+    (strings/binary use exact summed lengths; fixed-width types use
+    count × width)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    var_cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            var_cols.append(f.name)
+            aggs.append(F.sum(F.octet_length(F.col(f.name))).alias(f"__len_{f.name}"))
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    per_col: dict[str, int] = {}
+    for f in df.schema.fields:
+        if f.name in var_cols:
+            per_col[f.name] = int(row[f"__len_{f.name}"] or 0)
+        else:
+            width = next((w for t, w in _FIXED_WIDTHS if isinstance(f.dataType, t)), 8)
+            per_col[f.name] = n * width
+    return {"rows": n, "columns": per_col, "total_bytes": sum(per_col.values())}
+
+
 def dataset_info(df: DataFrame, sample_rows: int = 5) -> dict[str, Any]:
     """Full profile as a JSON-ready dict (reference report contract)."""
     cols = df.columns
