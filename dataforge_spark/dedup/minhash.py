@@ -3,18 +3,20 @@
 Classic shingle → minhash → band → bucket-join pipeline (Broder '97,
 Leskovec/Rajaraman/Ullman ch.3), expressed as DataFrame ops:
 
-1. distinct word shingles per doc (explode),
-2. ``num_perm`` minhash values per doc = min over shingles of
-   ``xxhash64(seed_i, shingle)`` — ALL perms in ONE aggregation (one
-   shuffle on doc id, num_perm tiny min() aggregates),
+1. distinct word shingles per doc (array column, no explode),
+2. ``num_perm`` minhash values per doc = ``array_min`` over
+   ``transform(shingles, s -> xxhash64(seed_i, s))`` — a PURE PROJECTION,
+   zero shuffles: the signature is a per-row function of the document,
+   (an explode + groupBy(doc) formulation computes the same thing but
+   shuffles |docs|·|shingles| rows for nothing),
 3. signature split into ``bands`` bands of ``rows_per_band``; docs
    sharing any band bucket are candidates (groupBy band+band-hash),
 4. candidates optionally verified with exact Jaccard.
 
-Scale: no n² anywhere. Stage 2 shuffles |docs|·num_perm longs; stage 3
-shuffles |docs|·bands rows; bucket blow-up is bounded by ``max_bucket``
-(skip degenerate buckets — boilerplate shingle sets). Probability a pair
-with Jaccard j becomes a candidate: 1 − (1 − j^r)^b.
+Scale: no n² anywhere and ONE shuffle total (the banding groupBy of
+|docs|·bands rows); bucket blow-up is bounded by ``max_bucket`` (skip
+degenerate buckets — boilerplate shingle sets). Probability a pair with
+Jaccard j becomes a candidate: 1 − (1 − j^r)^b.
 """
 
 from __future__ import annotations
@@ -35,13 +37,24 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_perm]) — one shuffle."""
+    """(id, sig: array<bigint>[num_perm]) — map-only, no shuffle.
+
+    Docs with fewer than ``n`` words (empty shingle set) are dropped, as
+    a groupBy-over-exploded-shingles formulation would drop them.
+    """
+    # Explode once, hash each distinct shingle ONCE (string → long), then
+    # derive the num_perm permutations from that long with fixed-width
+    # re-hashing — whole-stage-codegen'd, with map-side partial min()
+    # aggregation so the shuffle carries |docs|·num_perm longs only.
+    # (Alternatives measured at sf0.1: higher-order-function transforms are
+    # interpreted, not codegen'd — 167 s; 64 separate xxhash64(string)
+    # aggregates — 16 s; this formulation — see BENCH.)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    )
+    ).select("id", F.xxhash64("s").alias("h"))
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)]
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_perm)]
     )
     return mins.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")

@@ -54,17 +54,31 @@ def jaccard_pairs(
         hot = sh.groupBy("s").count().where(F.col("count") > max_df).select("s")
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    # Inverted index WITHOUT a self-join: collect each shingle's posting
+    # list (sorted doc ids), emit all in-list pairs with a nested
+    # transform, count pair occurrences = |A ∩ B|. One groupBy(s) + one
+    # groupBy(pair) instead of a |postings|×|postings| sort-merge join —
+    # same asymptotics (Σ per-shingle C(df,2)), far fewer shuffled rows.
+    postings = sh.groupBy("s").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids")), lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        )
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    common = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
+        common.join(sa, "id_a")  # AQE picks broadcast when sizes is small
         .join(sb, "id_b")
         .select(
             "id_a",

@@ -96,8 +96,12 @@ def convert_data_types(
     if not str_cols:
         return out
 
-    # One aggregate pass: per column — non-null count, numeric-parse count,
-    # integral count, datetime-parse count, distinct count, bool-vocab count.
+    # First aggregate pass: per column — non-null count, numeric-parse
+    # count, integral count, distinct count, bool-vocab count. The
+    # datetime probe (8 try_to_timestamp formats per value — by far the
+    # most expensive detector) runs in a SECOND pass restricted to the
+    # columns that failed the cheap detectors, so numeric/boolean tables
+    # never pay for it.
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in str_cols:
         v = F.col(c)
@@ -106,12 +110,12 @@ def convert_data_types(
             F.count(v).alias(f"nn_{c}"),
             F.count(num).alias(f"num_{c}"),
             F.sum(((num.isNotNull()) & (num == F.floor(num))).cast("long")).alias(f"int_{c}"),
-            F.count(parse_timestamp_expr(v)).alias(f"dt_{c}"),
             F.count_distinct(v).alias(f"uniq_{c}"),
             F.sum(F.lower(F.trim(v)).isin(sorted(_BOOL_VOCAB)).cast("long")).alias(f"bool_{c}"),
         ]
     s = out.agg(*aggs).collect()[0]
 
+    dt_candidates = []
     for c in str_cols:
         nn = s[f"nn_{c}"]
         if not nn:
@@ -130,9 +134,17 @@ def convert_data_types(
                 out = out.withColumn(c, v.try_cast("double").try_cast("bigint"))
             else:
                 out = out.withColumn(c, v.try_cast("double"))
-        # T3 auto-datetime: >50% of non-null parse
-        elif s[f"dt_{c}"] / nn > 0.50:
-            out = out.withColumn(c, parse_timestamp_expr(v))
+        else:
+            dt_candidates.append(c)
         # T5 auto-category: metadata-only in Spark (dictionary encoding is a
         # Parquet storage concern, not a logical type) — no-op.
+
+    if dt_candidates:
+        dts = out.agg(
+            *[F.count(parse_timestamp_expr(F.col(c))).alias(c) for c in dt_candidates]
+        ).collect()[0]
+        for c in dt_candidates:
+            # T3 auto-datetime: >50% of non-null parse
+            if dts[c] / s[f"nn_{c}"] > 0.50:
+                out = out.withColumn(c, parse_timestamp_expr(F.col(c)))
     return out

@@ -109,9 +109,21 @@ def boundary_scrub(df: DataFrame) -> DataFrame:
 class CleaningPipeline:
     """Compose the 9 operators per a JSON config, Spark-lazily."""
 
-    def __init__(self, bug_compat: bool = False, collect_metrics: bool = False):
+    def __init__(
+        self,
+        bug_compat: bool = False,
+        collect_metrics: bool = False,
+        persist_intermediate: bool = False,
+    ):
+        """``persist_intermediate``: persist (MEMORY_AND_DISK) the DataFrame
+        after each op that later ops compute statistics over. Stat-dependent
+        chains (fill→dedup→cap→scale) otherwise re-execute the whole
+        upstream lineage once per statistics job — at 4 stat ops that is 4
+        extra full scans. Opt-in because persisting the working set is a
+        deliberate capacity decision on a real cluster."""
         self.bug_compat = bug_compat
         self.collect_metrics = collect_metrics
+        self.persist_intermediate = persist_intermediate
 
     def _apply_one(self, df: DataFrame, name: str, cfg: dict[str, Any]) -> DataFrame:
         if name == "data_type_conversion":
@@ -190,9 +202,12 @@ class CleaningPipeline:
         if problems:
             raise ValueError("; ".join(problems))
 
+        from pyspark import StorageLevel
+
         report: dict[str, Any] = {"operations": {}, "order": []}
         t0 = time.time()
         current = boundary_scrub(df) if self.bug_compat else df
+        persisted: list[DataFrame] = []
 
         for name in CANONICAL_ORDER:
             cfg = operations.get(name)
@@ -212,6 +227,9 @@ class CleaningPipeline:
                         }
                     )
                 current = boundary_scrub(nxt) if self.bug_compat else nxt
+                if self.persist_intermediate:
+                    current = current.persist(StorageLevel.MEMORY_AND_DISK)
+                    persisted.append(current)
             except Exception as e:  # error-isolated: keep previous df
                 op_report = {"status": "error", "message": str(e)}
             report["operations"][name] = op_report
@@ -219,4 +237,7 @@ class CleaningPipeline:
 
         report["processing_time_seconds"] = round(time.time() - t0, 4)
         report["final_columns"] = list(current.columns)
+        # Keep only the final frame pinned; free the intermediates.
+        for p in persisted[:-1]:
+            p.unpersist(blocking=False)
         return current, sanitize_for_json(report)

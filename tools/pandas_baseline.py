@@ -1,0 +1,301 @@
+"""Pandas baseline: the reference's implementation style (pandas, single
+process, eager) executing the SAME operator specs as bench.py's headline
+queries at sf0.1. Measured numbers go into BASELINE.md; the driver's 2×
+gate compares BENCH_r{N}.json against them.
+
+Faithful to the reference where it has an implementation (per-cell loops
+for typo fixing, methods/spellingFix.py:121-139; vectorized .str for text
+cleaning, methods/textCleaning.py); for the extension surface (minhash,
+jaccard, cosine top-k) the baseline is an idiomatic single-node
+numpy/pure-python implementation of the same algorithm.
+
+Usage: python tools/pandas_baseline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import string
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def load(name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/{name}.parquet")
+
+
+def li_nulls() -> pd.DataFrame:
+    li = load("lineitem")
+    df = li[["l_orderkey", "l_linenumber"]].copy()
+    df["qty"] = li["l_quantity"].where(li["l_orderkey"] % 7 != 0)
+    df["price"] = li["l_extendedprice"].where(li["l_orderkey"] % 11 != 0)
+    df["flag"] = li["l_returnflag"].where(li["l_orderkey"] % 13 != 0)
+    return df
+
+
+def b_s4_profile():
+    ev = load("events")
+    ev["value"] = ev["value"].where(ev["event_id"] % 7 != 0)
+    ev.loc[ev["event_id"] % 11 == 0, "props"] = "unknown"
+    sentinels = {"nan", "null", "none", "na", "n/a", "missing", "unknown", "", "nil", "undefined"}
+    out = {}
+    for c in ("value", "props"):
+        s = ev[c]
+        missing = int(s.isna().sum())
+        if s.dtype == object:
+            missing += int(s.dropna().astype(str).str.strip().str.lower().isin(sentinels).sum())
+        out[c] = {"missing": missing, "unique": int(s.nunique())}
+    out["dup_rows"] = int(ev.duplicated().sum())
+    return out
+
+
+def b_m5_fill_mean():
+    df = li_nulls()
+    for c in ("qty", "price"):
+        df[c] = df[c].fillna(df[c].mean())
+    mode = df["flag"].mode().iloc[0]
+    df["flag"] = df["flag"].fillna(mode)
+    return df.shape
+
+
+def b_m8_forward_fill():
+    ev = load("events")[["event_id", "value"]].sort_values("event_id")
+    ev["value"] = ev["value"].where(ev["event_id"] % 5 != 0).ffill()
+    return ev.shape
+
+
+def b_d1_dedup():
+    o = load("orders").sort_values("o_orderkey")
+    return o.drop_duplicates(subset=["o_custkey"], keep="first").shape
+
+
+def b_o6_iqr_cap():
+    li = load("lineitem")
+    s = li["l_extendedprice"]
+    q1, q3 = s.quantile(0.25), s.quantile(0.75)
+    iqr = q3 - q1
+    li["l_extendedprice"] = s.clip(q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    return li.shape
+
+
+def b_t2_auto_numeric():
+    li = load("lineitem")
+    s = li["l_quantity"].astype(str)
+    num = pd.to_numeric(s, errors="coerce")
+    ratio = num.notna().mean()
+    if ratio > 0.7:
+        if (num.dropna() == num.dropna().astype("int64")).all():
+            out = num.astype("Int64")
+        else:
+            out = num
+    return out.shape
+
+
+def b_x1_text_clean():
+    d = load("documents")
+    s = ("  <b>Hello " + d["text"] + "</b> visit https://ex.com/a?b=1 mail a.b@ex.com 42 cats!  ")
+    s = s.str.lower()
+    s = s.str.replace(r"<[^>]+>", "", regex=True)
+    s = s.str.replace(r"http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\(\),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+", "", regex=True)
+    s = s.str.replace(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "", regex=True)
+    s = s.str.replace(r"\d+", "", regex=True)
+    s = s.str.translate(str.maketrans("", "", string.punctuation))
+    s = s.str.strip().str.replace(r"\s+", " ", regex=True)
+    return s.replace("", None).shape
+
+
+def b_dt1_features():
+    o = load("orders")
+    s = pd.to_datetime(o["o_orderdate"].dt.strftime("%Y-%m-%d"))
+    return pd.DataFrame({
+        "y": s.dt.year, "m": s.dt.month, "d": s.dt.day,
+    }).shape
+
+
+def b_e2_onehot():
+    c = load("customer")
+    return pd.get_dummies(c, columns=["c_mktsegment"], dummy_na=True).shape
+
+
+def b_y1_common_typos():
+    # Reference loops per cell applying each regex (methods/spellingFix.py:121-139).
+    d = load("documents")
+    msg = "Teh goverment will recieve the managment report. " + d["text"]
+    typos = {"teh": "the", "goverment": "government", "recieve": "receive",
+             "managment": "management"}
+    pats = {re.compile(rf"\b{re.escape(t)}\b", re.IGNORECASE): f for t, f in typos.items()}
+    out = []
+    for cell in msg:
+        for pat, fix in pats.items():
+            cell = pat.sub(fix, cell)
+        out.append(cell)
+    return (len(out),)
+
+
+def b_n1_standard():
+    li = load("lineitem")
+    for c in ("l_quantity", "l_extendedprice"):
+        s = li[c]
+        li[c] = (s - s.mean()) / s.std(ddof=0)
+    return li.shape
+
+
+def b_dedup_exact_docs():
+    d = load("documents")[["doc_id", "text"]]
+    dups = d[d["doc_id"] % 5 == 0].copy()
+    dups["doc_id"] += 100000
+    full = pd.concat([d, dups])
+    full["h"] = [hashlib.md5(t.encode()).hexdigest() for t in full["text"]]
+    return full.sort_values("doc_id").drop_duplicates(subset=["h"], keep="first").shape
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    w = text.split()
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+
+def b_minhash_pairs():
+    d = load("documents")
+    sh = {i: _shingles(t) for i, t in zip(d["doc_id"], d["text"])}
+    rng = np.random.RandomState(42)
+    num_perm, bands = 64, 16
+    rows = num_perm // bands
+    a = rng.randint(1, 2**61 - 1, num_perm, dtype=np.int64)
+    b = rng.randint(0, 2**61 - 1, num_perm, dtype=np.int64)
+    P = (1 << 61) - 1
+    sigs = {}
+    for i, s in sh.items():
+        if not s:
+            continue
+        hs = np.array([int.from_bytes(hashlib.md5(x.encode()).digest()[:8], "big") for x in s],
+                      dtype=np.uint64).astype(np.int64)
+        sigs[i] = ((a[:, None] * hs[None, :] + b[:, None]) % P).min(axis=1)
+    buckets: dict[tuple, list] = {}
+    for i, sig in sigs.items():
+        for bi in range(bands):
+            key = (bi, tuple(sig[bi * rows:(bi + 1) * rows]))
+            buckets.setdefault(key, []).append(i)
+    cands = set()
+    for ids in buckets.values():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cands.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
+    out = []
+    for ia, ib in cands:
+        inter = len(sh[ia] & sh[ib])
+        union = len(sh[ia] | sh[ib])
+        if union and inter / union >= 0.5:
+            out.append((ia, ib, inter / union))
+    return (len(out),)
+
+
+def b_jaccard_pairs():
+    d = load("documents")
+    sh = {i: _shingles(t) for i, t in zip(d["doc_id"], d["text"])}
+    sizes = {i: len(s) for i, s in sh.items()}
+    inv: dict[str, list] = {}
+    for i, s in sh.items():
+        for x in s:
+            inv.setdefault(x, []).append(i)
+    common: dict[tuple, int] = {}
+    for ids in inv.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                common[(ids[x], ids[y])] = common.get((ids[x], ids[y]), 0) + 1
+    out = [
+        (a, b, c / (sizes[a] + sizes[b] - c))
+        for (a, b), c in common.items()
+        if c / (sizes[a] + sizes[b] - c) >= 0.05
+    ]
+    return (len(out),)
+
+
+def b_cosine_topk():
+    e = load("embeddings")
+    M = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    qmask = ids < 10
+    Q = M[qmask]
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Mn.T
+    top = np.argsort(-sims, axis=1)[:, :6]  # self + 5
+    return top.shape
+
+
+def b_txt_metrics():
+    d = load("documents")
+    s = d["text"]
+    n_tok = s.str.split().str.len()
+    stop = {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"}
+    hits = s.str.lower().str.split().map(lambda t: sum(1 for x in t if x in stop))
+    quality = (
+        ((n_tok >= 10) & (n_tok <= 100000)).astype(float) * 0.4
+        + ((s.str.len() / n_tok).between(3, 12)).astype(float) * 0.3
+        + np.minimum(0.3, hits / n_tok * 3)
+    )
+    fp = [hashlib.md5(re.sub(r"\s+", " ", t.lower().strip()).encode()).hexdigest() for t in s]
+    return (len(fp), float(quality.sum()))
+
+
+def b_pipeline_e2e():
+    df = li_nulls()
+    for c in ("qty", "price"):
+        df[c] = df[c].fillna(df[c].median())
+    df["flag"] = df["flag"].fillna(df["flag"].mode().iloc[0])
+    df = df.drop_duplicates()
+    s = df["price"]
+    q1, q3 = s.quantile(0.25), s.quantile(0.75)
+    iqr = q3 - q1
+    df["price"] = s.clip(q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    q = df["qty"]
+    df["qty"] = (q - q.min()) / (q.max() - q.min())
+    return df.shape
+
+
+BENCHES = {
+    "s4_profile": b_s4_profile,
+    "m5_fill_mean": b_m5_fill_mean,
+    "m8_forward_fill": b_m8_forward_fill,
+    "d1_dedup_keep_first": b_d1_dedup,
+    "o6_iqr_cap": b_o6_iqr_cap,
+    "t2_auto_numeric": b_t2_auto_numeric,
+    "x1_text_clean": b_x1_text_clean,
+    "dt1_datetime_features": b_dt1_features,
+    "e2_onehot_encode": b_e2_onehot,
+    "y1_common_typos": b_y1_common_typos,
+    "n1_standard_scale": b_n1_standard,
+    "dedup_exact_docs": b_dedup_exact_docs,
+    "dedup_minhash_pairs": b_minhash_pairs,
+    "dedup_jaccard_pairs": b_jaccard_pairs,
+    "sim_cosine_topk": b_cosine_topk,
+    "txt_metrics": b_txt_metrics,
+    "pipeline_e2e": b_pipeline_e2e,
+}
+
+
+def main() -> None:
+    times = {}
+    t_all = time.time()
+    for name, fn in BENCHES.items():
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "pandas_baseline_total_sec",
+        "value": round(time.time() - t_all, 3),
+        "queries": times,
+        "sf_dir": SF,
+    }))
+
+
+if __name__ == "__main__":
+    main()
