@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .io import ROW_ID
 from .session import MISSING_SENTINELS
+
+
+def _user_fields(df: DataFrame) -> list[T.StructField]:
+    """Profile the USER's columns — the internal ``_row_id`` order key is
+    engine plumbing (it would make every row distinct and break the
+    duplicate count)."""
+    return [f for f in df.schema.fields if f.name != ROW_ID]
 
 
 def _missing_expr(field: T.StructField):
@@ -38,11 +46,10 @@ def _missing_expr(field: T.StructField):
 
 def missing_counts(df: DataFrame) -> dict[str, int]:
     """Per-column missing counts in one aggregate pass."""
-    aggs = [
-        F.sum(_missing_expr(f).cast("long")).alias(f.name) for f in df.schema.fields
-    ]
+    fields = _user_fields(df)
+    aggs = [F.sum(_missing_expr(f).cast("long")).alias(f.name) for f in fields]
     row = df.agg(*aggs).collect()[0]
-    return {name: int(row[name] or 0) for name in df.columns}
+    return {f.name: int(row[f.name] or 0) for f in fields}
 
 
 def profile_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -50,10 +57,11 @@ def profile_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     (col_name, n_missing, n_unique, n_rows, dup_rows). Same single
     aggregation pass as ``dataset_info`` but SQL-comparable for the
     correctness oracle."""
-    fields = [f for f in df.schema.fields if columns is None or f.name in columns]
+    fields = [f for f in _user_fields(df) if columns is None or f.name in columns]
     cols = [f.name for f in fields]
+    all_cols = [f.name for f in _user_fields(df)]
     aggs = [F.count(F.lit(1)).alias("__rows"),
-            F.count_distinct(F.struct(*df.columns)).alias("__distinct_rows")]
+            F.count_distinct(F.struct(*all_cols)).alias("__distinct_rows")]
     aggs += [F.sum(_missing_expr(f).cast("long")).alias(f"__miss_{f.name}") for f in fields]
     aggs += [F.count_distinct(F.col(c)).alias(f"__uniq_{c}") for c in cols]
     row = df.agg(*aggs).collect()[0].asDict()
@@ -104,21 +112,22 @@ def memory_report(df: DataFrame) -> dict[str, Any]:
 
 def dataset_info(df: DataFrame, sample_rows: int = 5) -> dict[str, Any]:
     """Full profile as a JSON-ready dict (reference report contract)."""
-    cols = df.columns
+    fields = _user_fields(df)
+    cols = [f.name for f in fields]
     aggs = [F.count(F.lit(1)).alias("__rows"),
             F.count_distinct(F.struct(*cols)).alias("__distinct_rows")]
     aggs += [F.sum(_missing_expr(f).cast("long")).alias(f"__miss_{f.name}")
-             for f in df.schema.fields]
+             for f in fields]
     aggs += [F.count_distinct(F.col(c)).alias(f"__uniq_{c}") for c in cols]
     row = df.agg(*aggs).collect()[0].asDict()
 
     n_rows = int(row["__rows"])
     missing = {c: int(row[f"__miss_{c}"] or 0) for c in cols}
-    sample = [r.asDict() for r in df.limit(sample_rows).collect()]
+    sample = [r.asDict() for r in df.select(*cols).limit(sample_rows).collect()]
     return {
         "shape": {"rows": n_rows, "columns": len(cols)},
         "columns": cols,
-        "dtypes": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "dtypes": {f.name: f.dataType.simpleString() for f in fields},
         "missing_values": missing,
         "total_missing": sum(missing.values()),
         "unique_counts": {c: int(row[f"__uniq_{c}"] or 0) for c in cols},

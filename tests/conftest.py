@@ -38,7 +38,14 @@ def documents(spark, sf_dir):
 
 @pytest.fixture(scope="session")
 def events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events.parquet carries nanosecond timestamps; see __spark_entry__._events
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return ev
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,220 @@
+"""Round-2 surface: service-layer contract tests (SURVEY §5.3), manifest
+parity with the reference (/root/reference/main.py:240-331), streaming +
+multimodal smoke tests, and regressions for the review-fix batch."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataforge_spark.dedup.ngram_jaccard import word_shingles
+from dataforge_spark.operators.missing_values import fix_missing_values, modes
+from dataforge_spark.operators.outliers import handle_outliers
+from dataforge_spark.operators.type_conversion import convert_data_types
+from dataforge_spark.operators.typo_fix import COMMON_TYPOS
+from dataforge_spark.profile import memory_report, profile_df
+from dataforge_spark.service import DataForgeService, ServiceError, pipeline_info
+
+# ---------------------------------------------------------------------------
+# service layer
+# ---------------------------------------------------------------------------
+
+REFERENCE_MANIFEST_OPS = {
+    "missing_values", "duplicates", "outliers", "data_type_conversion",
+    "text_cleaning", "datetime_parsing", "encoding", "typo_fix",
+    "normalization",
+}
+
+
+def test_manifest_parity_with_reference():
+    info = pipeline_info()
+    assert info["status"] == "success"
+    assert set(info["operations"]) == REFERENCE_MANIFEST_OPS
+    ops = info["operations"]
+    # strategy/method lists must cover the reference's advertised sets
+    assert set(ops["missing_values"]["strategies"]) == {
+        "drop_rows", "drop_rows_threshold", "drop_columns",
+        "drop_columns_threshold", "fill_mean", "fill_median", "fill_mode",
+        "forward_fill", "backward_fill",
+    }
+    assert set(ops["outliers"]["methods"]) == {
+        "iqr", "zscore", "modified_zscore", "isolation_forest"
+    }
+    assert set(ops["outliers"]["actions"]) == {"remove", "cap", "transform"}
+    assert set(ops["encoding"]["methods"]) == {"label", "onehot", "target"}
+    assert set(ops["typo_fix"]["methods"]) == {
+        "common_typos", "fuzzy_match", "spell_check"
+    }
+    assert set(ops["normalization"]["methods"]) == {
+        "standard", "minmax", "robust", "normalize"
+    }
+    # reference's text op list is a subset of ours (we implement all 10)
+    assert {
+        "lowercase", "uppercase", "remove_whitespace", "remove_punctuation",
+        "remove_numbers", "remove_special_chars",
+    } <= set(ops["text_cleaning"]["operations"])
+
+
+def test_service_upload_clean_download_delete(spark, tmp_path):
+    svc = DataForgeService(spark, upload_dir=str(tmp_path / "uploads"))
+    src = tmp_path / "mini.csv"
+    src.write_text("a,b\n1,x\n2,\n2,\n,y\n")
+
+    up = svc.upload("mini.csv", str(src))
+    assert up["status"] == "success"
+    assert up["dataset_info"]["shape"]["rows"] == 4
+    assert up["dataset_info"]["duplicate_rows"] == 1
+
+    res = svc.clean_data(
+        up["file_path"],
+        '{"missing_values": {"enabled": true, "strategy": "drop_rows"},'
+        ' "duplicates": {"enabled": true}}',
+    )
+    assert res["status"] == "success"
+    assert res["download_url"].startswith("/download/")
+    assert res["result"]["operations"]["missing_values"]["status"] == "success"
+
+    part = svc.download_path("mini_cleaned.csv")
+    assert os.path.exists(part)
+    with open(part) as f:
+        lines = [ln for ln in f.read().strip().splitlines() if ln]
+    assert lines[0] == "a,b"
+    assert len(lines) == 2  # header + the single clean distinct row
+
+    listed = svc.list_files()
+    names = {f["filename"] for f in listed["files"]}
+    assert "mini.csv" in names and "mini_cleaned.csv" in names
+
+    assert svc.delete_file("mini.csv")["status"] == "success"
+    with pytest.raises(ServiceError) as e:
+        svc.download_path("mini.csv")
+    assert e.value.status_code == 404
+
+
+def test_service_rejects_bad_input(spark, tmp_path):
+    svc = DataForgeService(spark, upload_dir=str(tmp_path / "uploads"))
+    with pytest.raises(ServiceError) as e:
+        svc.upload("data.txt", "/nonexistent")
+    assert e.value.status_code == 400
+    with pytest.raises(ServiceError) as e:
+        svc.clean_data("/nonexistent.csv", '{"missing_values": {"strategy": "bogus"}}')
+    assert e.value.status_code == 400
+    with pytest.raises(ServiceError) as e:
+        svc.clean_data("/nonexistent.csv", "not json")
+    assert e.value.status_code == 400
+
+
+# ---------------------------------------------------------------------------
+# regressions for the review-fix batch
+# ---------------------------------------------------------------------------
+
+
+def test_common_typos_match_reference_exactly():
+    # /root/reference/methods/spellingFix.py:22-50 — 26 behavioral constants
+    assert len(COMMON_TYPOS) == 26
+    assert COMMON_TYPOS["mispelled"] == "misspelled"
+    assert COMMON_TYPOS["finace"] == "finance"
+    assert "hte" not in COMMON_TYPOS  # round-1 invented entries removed
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",), ("", )], "t: string")
+    rows = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert rows[0]["s"] == [] and rows[2]["s"] == []
+    assert rows[1]["s"] == ["a b c", "b c d"]
+
+
+def test_modes_numeric_tie_breaks_numerically(spark):
+    # ties between 9 and 10: string order picks '10', numeric order picks 9
+    df = spark.createDataFrame([(9.0,), (9.0,), (10.0,), (10.0,)], "x: double")
+    assert modes(df, ["x"])["x"] == 9.0
+
+
+def test_fill_mean_upcasts_int_columns(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x: int")
+    out = fix_missing_values(df, "fill_mean", columns=["x"])
+    assert dict(out.dtypes)["x"] == "double"
+    vals = sorted(r["x"] for r in out.collect())
+    assert vals == [1.0, 1.5, 2.0]
+
+
+def test_type_conversion_ignore_leaves_column_unchanged(spark):
+    df = spark.createDataFrame([("1",), ("oops",)], "x: string")
+    out = convert_data_types(df, {"x": "int64"}, auto_detect=False, errors="ignore")
+    assert dict(out.dtypes)["x"] == "string"
+    assert {r["x"] for r in out.collect()} == {"1", "oops"}
+
+
+def test_isolation_forest_cap_noops(spark, lineitem):
+    df = lineitem.select("l_quantity").limit(100)
+    out = handle_outliers(df, columns=["l_quantity"], method="isolation_forest",
+                          action="cap")
+    assert out.count() == df.count()
+
+
+def test_isolation_forest_fallback_honors_contamination(spark):
+    from dataforge_spark.operators.isolation_forest import HAVE_SKLEARN, isolation_forest_mask
+    if HAVE_SKLEARN:
+        pytest.skip("fallback path only")
+    df = spark.range(1000).select((F.col("id") + 1).cast("double").alias("x"))
+    n_flagged = df.where(isolation_forest_mask(df, ["x"], contamination=0.1)).count()
+    assert 60 <= n_flagged <= 140  # ~10% tail, quantile-banded
+
+
+# ---------------------------------------------------------------------------
+# profile helpers (T7 + DataFrame profile)
+# ---------------------------------------------------------------------------
+
+
+def test_profile_df_long_format(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None), (2, "unknown")], "i: int, s: string")
+    rows = {r["col_name"]: r for r in profile_df(df).collect()}
+    assert rows["s"]["n_missing"] == 2  # null + sentinel
+    assert rows["i"]["n_rows"] == 3 and rows["i"]["dup_rows"] == 0
+
+
+def test_memory_report(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "de")], "i: int, s: string")
+    rep = memory_report(df)
+    assert rep["rows"] == 2
+    assert rep["columns"]["i"] == 8  # 2 rows × 4 bytes
+    assert rep["columns"]["s"] == 5  # exact summed lengths
+    assert rep["total_bytes"] == 13
+
+
+# ---------------------------------------------------------------------------
+# streaming + multimodal smoke (batch-equivalent checks live in the oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_smoke(spark, tmp_path, events):
+    from dataforge_spark.streaming import dedup_stream, read_events_stream, run_to_memory
+
+    path = str(tmp_path / "stream_in")
+    dup = events.unionByName(events.limit(50))
+    dup.write.mode("overwrite").parquet(path)
+    stream = read_events_stream(spark, path, events.schema)
+    got = run_to_memory(dedup_stream(stream, key_cols=["event_id"]))
+    assert got.count() == events.count()
+
+
+def test_multimodal_features_shape(spark, documents):
+    from dataforge_spark.multimodal import attach_binary, extract_features
+
+    docs = documents.select("doc_id", "text").limit(20)
+    out = extract_features(attach_binary(docs), feature_dim=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["features"]) == 8
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_real_decode_raises(spark, documents):
+    from dataforge_spark.multimodal import attach_binary, extract_features
+
+    docs = documents.select("doc_id", "text").limit(2)
+    out = extract_features(attach_binary(docs), fake_decode=False)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        out.collect()
