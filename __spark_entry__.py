@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from dataforge_spark import io as dfio
 from dataforge_spark.dedup.exact import dedup_exact, duplicate_groups
-from dataforge_spark.dedup.embedding import lsh_neardup_pairs
+from dataforge_spark.dedup.embedding import cosine_neardup_pairs, lsh_neardup_pairs
 from dataforge_spark.dedup.minhash import minhash_dedup_pairs
 from dataforge_spark.dedup.ngram_jaccard import jaccard_pairs
 from dataforge_spark.dedup.simhash import simhash_pairs
@@ -486,9 +486,31 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, text_col="text", id_col="doc_id")
 
 
+def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return cosine_neardup_pairs(emb, id_col="vec_id", vec_col="embedding",
+                                threshold=0.45)
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, id_col="vec_id", vec_col="embedding")
+    # The testdata embeddings have no natural near-dups (max pairwise
+    # cosine ≈ 0.51), so plant them: a deterministically-perturbed copy of
+    # every 10th vector (cos ≈ 0.999 to its original). The LSH path must
+    # recover (most of) those pairs via bucket collisions only.
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    perturbed = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + 0.02 * F.sin((F.col("vec_id") + i).cast("double")),
+        ).alias("embedding"),
+    )
+    return lsh_neardup_pairs(emb.unionByName(perturbed), id_col="vec_id",
+                             vec_col="embedding", threshold=0.98)
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_duplicate_groups": q_dedup_duplicate_groups,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -991,6 +1014,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c / (sa.n_sh + sb.n_sh - c)::DOUBLE >= 0.05
+    """
+
+    sql["dedup_embedding_exact"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
     """
 
     sql["sim_cosine_topk"] = """
