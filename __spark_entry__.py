@@ -405,6 +405,37 @@ def q_y3_spell_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_typos(ev, columns=["et"], method="spell_check", similarity_threshold=0.8)
 
 
+def q_y4_typo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_spark.operators.typo_fix import typo_statistics
+
+    docs = _t(spark, sf_dir, "documents")
+    out = typo_statistics(docs, columns=["text", "lang", "source"])
+    return out.select(
+        "col_name", "unique_values", "total_values",
+        F.round("uniqueness_ratio", 6).alias("uniqueness_ratio"),
+        F.round("avg_length", 4).alias("avg_length"),
+        F.round("length_variance", 4).alias("length_variance"),
+    )
+
+
+def q_e1_label_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_spark.operators.encoding import decode_label
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    encoded, mappings = encode_label(cust, columns=["c_mktsegment"])
+    return decode_label(encoded, mappings)
+
+
+def q_x2_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("  a-1 "), F.col("text"), F.lit(" z*9  ")).alias("t")
+    )
+    return clean_text_columns(
+        docs, columns=["t"],
+        operations=["uppercase", "remove_special_chars", "remove_whitespace"],
+    )
+
+
 _NCOLS = ["l_quantity", "l_extendedprice"]
 
 
@@ -578,6 +609,25 @@ def q_stream_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)."""
+    from dataforge_spark.streaming import sessionize_stream
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    path = f"/tmp/dataforge_stream_{uuid.uuid4().hex[:8]}"
+    ev.write.mode("overwrite").parquet(path)
+    stream = read_events_stream(spark, path, ev.schema)
+    sessions = sessionize_stream(stream, user_col="user_id", ts_col="ts",
+                                 gap_minutes=30)
+    got = run_to_memory(sessions)
+    return got.select(
+        "user_id", "session_id", "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-order multi-op pipeline (fill → dedup → cap → scale)."""
     df = dfio.with_row_id(_li_nulls(spark, sf_dir))
@@ -630,6 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "y1_common_typos": q_y1_common_typos,
         "y2_fuzzy_match": q_y2_fuzzy_match,
         "y3_spell_check": q_y3_spell_check,
+        "y4_typo_stats": q_y4_typo_stats,
+        "e1_label_roundtrip": q_e1_label_roundtrip,
+        "x2_text_ops": q_x2_text_ops,
         "n1_standard_scale": q_n1_standard_scale,
         "n2_minmax_scale": q_n2_minmax_scale,
         "n3_robust_scale": q_n3_robust_scale,
@@ -650,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "stream_dedup_events": q_stream_dedup_events,
         "stream_profile_events": q_stream_profile_events,
+        "stream_sessionize": q_stream_sessionize,
         "pipeline_e2e": q_pipeline_e2e,
     }
 
@@ -917,6 +971,38 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
 
+    sql["y4_typo_stats"] = """
+        SELECT 'text' AS col_name, count(DISTINCT text) AS unique_values,
+          count(text) AS total_values,
+          round(count(DISTINCT text) / count(text)::DOUBLE, 6) AS uniqueness_ratio,
+          round(avg(length(text)), 4) AS avg_length,
+          round(var_samp(length(text)::DOUBLE), 4) AS length_variance
+        FROM documents
+        UNION ALL
+        SELECT 'lang', count(DISTINCT lang), count(lang),
+          round(count(DISTINCT lang) / count(lang)::DOUBLE, 6),
+          round(avg(length(lang)), 4), round(var_samp(length(lang)::DOUBLE), 4)
+        FROM documents
+        UNION ALL
+        SELECT 'source', count(DISTINCT source), count(source),
+          round(count(DISTINCT source) / count(source)::DOUBLE, 6),
+          round(avg(length(source)), 4), round(var_samp(length(source)::DOUBLE), 4)
+        FROM documents
+    """
+
+    sql["e1_label_roundtrip"] = """
+        SELECT c_custkey, c_mktsegment FROM customer
+    """
+
+    sql["x2_text_ops"] = r"""
+        SELECT doc_id, NULLIF(
+          regexp_replace(trim(
+            regexp_replace(upper('  a-1 ' || text || ' z*9  '),
+                           '[^a-zA-Z0-9\s]', '', 'g')
+          ), '\s+', ' ', 'g'), '') AS t
+        FROM documents
+    """
+
     sql["n1_standard_scale"] = """
         SELECT l_orderkey, l_linenumber,
           round((l_quantity - mq) / sq, 6) AS qty_std,
@@ -1102,6 +1188,31 @@ def oracle_sql() -> dict[str, str]:
     # tuples, so the pipeline's dedup stage (keep-first) = DISTINCT here;
     # outlier/scale statistics are computed on the DEDUPED set, as in the
     # pipeline's canonical order.
+    # gaps-and-islands oracle for the stateful sessionizer (30-min gap);
+    # timestamps truncated to micros on the Spark side, so compare at
+    # second precision via strftime
+    sql["stream_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT user_id, ts,
+            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+          FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end
+        FROM s GROUP BY user_id, session_id
+    """
+
     sql["pipeline_e2e"] = f"""
         WITH t AS ({LI_SQL}),
         filled0 AS (

@@ -161,3 +161,40 @@ def fix_typos(
         return out
 
     raise ValueError(f"unknown typo method {method!r}")
+
+
+def typo_statistics(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column typo indicators (reference ``get_typo_statistics``,
+    /root/reference/methods/spellingFix.py:307-330): unique/total counts,
+    uniqueness ratio, mean and variance of value length. One aggregate
+    pass for all columns; pandas ``var`` is ddof=1 → ``var_samp``."""
+    cols = _text_cols(df, columns)
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [], "col_name string, unique_values bigint, total_values bigint, "
+                "uniqueness_ratio double, avg_length double, length_variance double"
+        )
+    aggs = []
+    for c in cols:
+        v = F.col(c)
+        ln = F.length(v.cast("string"))
+        aggs += [
+            F.count_distinct(v).alias(f"u_{c}"),
+            F.count(v).alias(f"n_{c}"),
+            F.avg(ln).alias(f"al_{c}"),
+            F.var_samp(ln.cast("double")).alias(f"lv_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    data = []
+    for c in cols:
+        n = int(row[f"n_{c}"] or 0)
+        data.append((
+            c, int(row[f"u_{c}"] or 0), n,
+            (int(row[f"u_{c}"] or 0) / n) if n else 0.0,
+            float(row[f"al_{c}"]) if row[f"al_{c}"] is not None else 0.0,
+            float(row[f"lv_{c}"]) if row[f"lv_{c}"] is not None else 0.0,
+        ))
+    return df.sparkSession.createDataFrame(
+        data, "col_name string, unique_values bigint, total_values bigint, "
+              "uniqueness_ratio double, avg_length double, length_variance double"
+    )

@@ -66,6 +66,83 @@ def profile_stream(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_id bigint, n_events bigint, "
+    "session_start timestamp, session_end timestamp"
+)
+# state carried between micro-batches: last event time (epoch micros) and
+# the running session ordinal for the user
+SESSION_STATE_SCHEMA = "last_us bigint, session_id bigint"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: assign
+    session ids per user (a new session starts after a ``gap_minutes``
+    quiet period) and emit one row per session seen in the batch.
+
+    This is the ``applyInPandasWithState`` pattern for semantics Spark's
+    built-in streaming operators can't express: arbitrary per-key state
+    (last event time + session ordinal) carried across micro-batches,
+    Arrow-batched per group. State is a 2-tuple per user — bounded memory
+    on unbounded input.
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        last_us, sid = state.get if state.exists else (None, 0)
+        (uid,) = key
+        events_us: list[int] = []
+        for pdf in pdfs:
+            # normalize to epoch MICROseconds regardless of the incoming
+            # pandas datetime resolution (ns under arrow, us under pandas 2)
+            ts = pd.to_datetime(pdf[ts_col]).astype("datetime64[us]").astype("int64")
+            events_us.extend(int(v) for v in ts)
+        events_us.sort()
+        out: list[tuple] = []
+        cur: list[int] = []
+
+        def close(cur_sid, us_list):
+            out.append(
+                (
+                    int(uid), int(cur_sid), len(us_list),
+                    pd.Timestamp(us_list[0] * 1000),
+                    pd.Timestamp(us_list[-1] * 1000),
+                )
+            )
+
+        for us in events_us:
+            if last_us is None or us - last_us > gap_us:
+                if cur:
+                    close(sid, cur)
+                sid += 1
+                cur = [us]
+            else:
+                cur.append(us)
+            last_us = us
+        if cur:
+            close(sid, cur)
+        state.update((last_us, sid))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str | None = None) -> DataFrame:
     """Drain a (bounded) stream with availableNow into a memory sink and
     return the materialized result as a batch DataFrame — the test/driver
