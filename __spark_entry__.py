@@ -628,6 +628,19 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boundary_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bug-compat stage-boundary scrub (reference pipeline.py:72-100):
+    numeric NULL→column median (fallback 0), string NULL→''."""
+    from dataforge_spark.pipeline import boundary_scrub
+
+    df = _li_nulls(spark, sf_dir)
+    out = boundary_scrub(df)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("qty", 4).alias("qty"), F.round("price", 4).alias("price"), "flag",
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-order multi-op pipeline (fill → dedup → cap → scale)."""
     df = dfio.with_row_id(_li_nulls(spark, sf_dir))
@@ -705,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_profile_events": q_stream_profile_events,
         "stream_sessionize": q_stream_sessionize,
         "pipeline_e2e": q_pipeline_e2e,
+        "boundary_scrub": q_boundary_scrub,
     }
 
 
@@ -892,7 +906,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, NULLIF(
-          regexp_replace(trim(
+          trim(regexp_replace(
             translate(
               regexp_replace(
                 regexp_replace(
@@ -902,7 +916,7 @@ def oracle_sql() -> dict[str, str]:
                 '{_EMAIL_RE}', '', 'g'),
               '\\d+', '', 'g'),
             '{_PUNCT_SQL}', '')
-          ), '\\s+', ' ', 'g'), '') AS messy
+          , '\\s+', ' ', 'g')), '') AS messy
         FROM m
     """
 
@@ -996,10 +1010,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["x2_text_ops"] = r"""
         SELECT doc_id, NULLIF(
-          regexp_replace(trim(
+          trim(regexp_replace(
             regexp_replace(upper('  a-1 ' || text || ' z*9  '),
                            '[^a-zA-Z0-9\s]', '', 'g')
-          ), '\s+', ' ', 'g'), '') AS t
+          , '\s+', ' ', 'g')), '') AS t
         FROM documents
     """
 
@@ -1182,6 +1196,15 @@ def oracle_sql() -> dict[str, str]:
           round(min(value), 2) AS v_min, round(max(value), 2) AS v_max,
           round(avg(value), 4) AS v_avg
         FROM events GROUP BY 1
+    """
+
+    sql["boundary_scrub"] = f"""
+        WITH t AS ({LI_SQL})
+        SELECT l_orderkey, l_linenumber,
+          round(coalesce(qty,  (SELECT quantile_cont(qty, 0.5) FROM t)), 4) AS qty,
+          round(coalesce(price,(SELECT quantile_cont(price, 0.5) FROM t)), 4) AS price,
+          coalesce(flag, '') AS flag
+        FROM t
     """
 
     # NOTE: the null injection collapses some lineitem rows into identical

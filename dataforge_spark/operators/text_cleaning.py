@@ -39,7 +39,11 @@ def _apply_op(c: Column, op: str) -> Column:
     if op == "uppercase":
         return F.upper(c)
     if op in ("remove_whitespace", "remove_extra_spaces"):
-        return F.regexp_replace(F.trim(c), r"\s+", " ")
+        # collapse FIRST, then trim: F.trim strips spaces only (0x20),
+        # while pandas str.strip() strips all whitespace — collapsing \s+
+        # to a single space first makes the trailing trim equivalent
+        # (found by the idempotence property test on '\t').
+        return F.trim(F.regexp_replace(c, r"\s+", " "))
     if op == "remove_punctuation":
         return F.translate(c, string.punctuation, "")
     if op == "remove_numbers":

@@ -1,0 +1,78 @@
+"""Property-based tests (SURVEY §5.4): idempotence and shape invariants.
+
+hypothesis generates small tables; examples kept low because each example
+round-trips through a Spark job.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dataforge_spark.operators.duplicates import drop_duplicates
+from dataforge_spark.operators.missing_values import fix_missing_values
+from dataforge_spark.operators.text_cleaning import clean_text_columns
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        st.one_of(st.none(), st.sampled_from(["a", "b", " x ", ""])),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k: int, v: double, s: string")
+    once = drop_duplicates(df, keep="any")
+    twice = drop_duplicates(once, keep="any")
+    assert once.count() == twice.count()
+    key = lambda r: tuple(repr(v) for v in r)  # noqa: E731 — None-safe sort
+    assert sorted(map(tuple, once.collect()), key=key) == sorted(
+        map(tuple, twice.collect()), key=key
+    )
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_fill_preserves_shape_and_clears_nulls(spark, rows):
+    df = spark.createDataFrame(rows, "k: int, v: double, s: string")
+    out = fix_missing_values(df, "fill_mean", columns=["v"])
+    assert out.count() == df.count()
+    assert set(out.columns) == set(df.columns)
+    if df.where(F.col("v").isNotNull()).count() > 0:
+        assert out.where(F.col("v").isNull()).count() == 0
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_drop_rows_never_increases(spark, rows):
+    df = spark.createDataFrame(rows, "k: int, v: double, s: string")
+    out = fix_missing_values(df, "drop_rows", columns=["v", "s"])
+    assert out.count() <= df.count()
+    assert out.where(F.col("v").isNull() | F.col("s").isNull()).count() == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=" aB.!3\t", min_size=0, max_size=12), min_size=1, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_text_clean_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t: string")
+    ops = ["lowercase", "remove_extra_spaces"]
+    once = clean_text_columns(df, columns=["t"], operations=ops)
+    twice = clean_text_columns(once, columns=["t"], operations=ops)
+    assert sorted((r["t"] or "") for r in once.collect()) == sorted(
+        (r["t"] or "") for r in twice.collect()
+    )
