@@ -558,6 +558,31 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(corpus=emb, queries=q, k=5, id_col="vec_id", vec_col="embedding")
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with full probe (nprobe = n_centroids) — must equal the exact
+    brute-force top-k, so it shares that oracle; the approximate small-
+    nprobe path is covered by the recall pytest."""
+    from dataforge_spark.similarity.ivf import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 10)
+    return ivf_cosine_topk(corpus=emb, queries=q, k=5, id_col="vec_id",
+                           vec_col="embedding", n_centroids=16, nprobe=16)
+
+
+def q_t6_stringify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    out = convert_data_types(ev, type_mapping={"user_id": "str"}, auto_detect=False)
+    return out
+
+
+def q_e2_onehot_dropfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return encode_onehot(cust, columns=["c_mktsegment"], drop_first=True)
+
+
 def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -711,6 +736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "t6_stringify": q_t6_stringify,
+        "e2_onehot_dropfirst": q_e2_onehot_dropfirst,
         "txt_metrics": q_txt_metrics,
         "mm_binary_meta": q_mm_binary_meta,
         "mm_features": q_mm_features,
@@ -1134,6 +1162,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cos_sim FROM s
         QUALIFY row_number() OVER (
           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 5
+    """
+
+    # full-probe IVF must reproduce the exact top-k
+    sql["sim_ivf_topk"] = sql["sim_cosine_topk"]
+
+    sql["t6_stringify"] = """
+        SELECT event_id, CAST(user_id AS VARCHAR) AS user_id FROM events
+    """
+
+    dummy_cols_df = ",\n          ".join(
+        f"CASE WHEN c_mktsegment = '{v}' THEN 1 ELSE 0 END AS \"c_mktsegment_{v}\""
+        for v in segs[1:]
+    )
+    sql["e2_onehot_dropfirst"] = f"""
+        SELECT c_custkey,
+          {dummy_cols_df},
+          CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END AS "c_mktsegment_nan"
+        FROM customer
     """
 
     en = "'the','and','of','to','a','in','is','that','it','for'"

@@ -1,0 +1,129 @@
+"""IVF (inverted-file) approximate nearest-neighbor search (extension).
+
+Classic IVF-Flat (Sivic/Zisserman '03 video-google posting lists; the
+FAISS coarse quantizer pattern): k-means centroids partition the corpus
+into buckets; a query probes only the ``nprobe`` nearest buckets and
+scores those vectors exactly.
+
+Spark mapping:
+- **fit**: Lloyd k-means on a bounded driver-side sample (numpy, fixed
+  seed) — the centroid matrix is tiny (k × dim) and broadcast.
+- **assign**: one Arrow-vectorized pandas UDF computing
+  ``argmax(centroids · v)`` per batch (a matmul per Arrow batch — the
+  legitimate Python-UDF case: dense linear algebra batched via numpy).
+- **search**: corpus filtered to probed buckets via a broadcast
+  (query_id, bucket) table, exact cosine on the survivors, per-query
+  top-k window. With ``nprobe == n_centroids`` the result equals the
+  brute-force scan (used as a correctness oracle); with small ``nprobe``
+  only ~nprobe/k of the corpus is scored.
+
+At 100 TB: the assign stage is a single map over the corpus (done once,
+persisted alongside the data); the search touches only probed buckets —
+with bucket-partitioned storage that is a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def fit_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd k-means on a driver-side sample; rows normalized so the
+    assignment metric (max dot) is cosine. Deterministic via fixed seed."""
+    n = df.count()
+    s = df.select(vec_col)
+    if n > sample_rows:
+        s = s.sample(fraction=sample_rows / n, seed=seed)
+    X = np.array([r[0] for r in s.collect()], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def with_ivf_bucket(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+    out_col: str = "_ivf_bucket",
+) -> DataFrame:
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.array(v.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Same output contract as brute_force.cosine_topk
+    (query_id, neighbor_id, cos_sim rounded 6dp, deterministic
+    tie-break); approximate unless ``nprobe >= n_centroids``."""
+    if centroids is None:
+        centroids = fit_centroids(corpus, vec_col, k=n_centroids)
+    nprobe = min(nprobe, len(centroids))
+
+    c = with_ivf_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        centroids, "_cvec",
+    )
+
+    # Probed buckets per query: tiny driver-side matmul (queries are the
+    # small side by construction), broadcast back as (query_id, bucket).
+    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        [(int(r[0]), int(b)) for r, row in zip(q_rows, order) for b in row],
+        "query_id bigint, _ivf_bucket int",
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+
+    joined = (
+        c.join(F.broadcast(probes), "_ivf_bucket")
+        .join(F.broadcast(qv), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
