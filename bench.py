@@ -37,7 +37,9 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_jaccard_pairs",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "txt_metrics",
+    "stream_sessionize",
     "pipeline_e2e",
 ]
 
@@ -52,10 +54,15 @@ def main() -> None:
     qs = entry.queries()
 
     # Warm-up: first job pays JVM/codegen/parquet-footer costs (~8 s);
-    # keep it out of the per-query numbers.
+    # keep it out of the per-query numbers. Touch both the lineitem and
+    # the (nanos-timestamped) events read paths.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    ev = entry._events(spark, sf_dir)
+    ev.write.format("noop").mode("overwrite").save()
+    # also compile the hash-aggregate/exchange codegen paths once
+    ev.groupBy("event_type").count().write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     t_all = time.time()

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text_analysis import fingerprint, normalize_for_fingerprint
+from ..functions.text_analysis import fingerprint
 
 
 def dedup_exact(

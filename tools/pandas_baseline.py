@@ -246,6 +246,41 @@ def b_txt_metrics():
     return (len(fp), float(quality.sum()))
 
 
+def b_ivf_topk():
+    e = load("embeddings")
+    M = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    rng = np.random.RandomState(42)
+    C = Mn[rng.choice(len(Mn), 16, replace=False)]
+    for _ in range(10):
+        assign = np.argmax(Mn @ C.T, axis=1)
+        for j in range(16):
+            m = Mn[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+    assign = np.argmax(Mn @ C.T, axis=1)
+    ids = e["vec_id"].to_numpy()
+    qm = ids < 10
+    out = 0
+    for qi in np.where(qm)[0]:
+        probes = np.argsort(-(Mn[qi] @ C.T))[:4]
+        cand = np.isin(assign, probes)
+        sims = Mn[cand] @ Mn[qi]
+        out += len(np.argsort(-sims)[:6])
+    return (out,)
+
+
+def b_sessionize():
+    ev = load("events")[["user_id", "ts"]].sort_values(["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+    brk = (ev.groupby("user_id")["ts"].diff() > gap) | ev.groupby("user_id")["ts"].diff().isna()
+    ev["session_id"] = brk.groupby(ev["user_id"]).cumsum()
+    return ev.groupby(["user_id", "session_id"]).agg(
+        n=("ts", "size"), start=("ts", "min"), end=("ts", "max")
+    ).shape
+
+
 def b_pipeline_e2e():
     df = li_nulls()
     for c in ("qty", "price"):
@@ -277,7 +312,9 @@ BENCHES = {
     "dedup_minhash_pairs": b_minhash_pairs,
     "dedup_jaccard_pairs": b_jaccard_pairs,
     "sim_cosine_topk": b_cosine_topk,
+    "sim_ivf_topk": b_ivf_topk,
     "txt_metrics": b_txt_metrics,
+    "stream_sessionize": b_sessionize,
     "pipeline_e2e": b_pipeline_e2e,
 }
 
