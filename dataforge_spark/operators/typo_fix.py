@@ -22,6 +22,7 @@ from __future__ import annotations
 import difflib
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,12 +56,40 @@ def _text_cols(df: DataFrame, columns: list[str] | None) -> list[str]:
     ]
 
 
+_MAX_REGEX_CHAIN = 50
+
+
 def replace_words_expr(col: Column, mapping: dict[str, str]) -> Column:
-    """Case-insensitive whole-word replacement chain."""
-    c = col
-    for typo, fix in mapping.items():
-        c = F.regexp_replace(c, f"(?i)\\b{re.escape(typo)}\\b", fix)
-    return c
+    """Case-insensitive whole-word replacement.
+
+    Small maps → a chain of JVM ``regexp_replace`` (codegen'd). Large
+    maps → ONE Arrow-batched pandas UDF with a single compiled
+    alternation regex + dict lookup: a chain of N nested expressions
+    overflows the JVM analyzer stack around N≈300 and costs N regex
+    passes per row, while the alternation does one pass total.
+    """
+    if len(mapping) <= _MAX_REGEX_CHAIN:
+        c = col
+        for typo, fix in mapping.items():
+            c = F.regexp_replace(c, f"(?i)\\b{re.escape(typo)}\\b", fix)
+        return c
+
+    lowered = {k.lower(): v for k, v in mapping.items()}
+    pattern = re.compile(
+        r"\b(" + "|".join(re.escape(k) for k in sorted(lowered, key=len, reverse=True)) + r")\b",
+        re.IGNORECASE,
+    )
+
+    @F.pandas_udf("string")
+    def apply_map(s: pd.Series) -> pd.Series:
+        def fix_cell(t):
+            if t is None:
+                return None
+            return pattern.sub(lambda m: lowered[m.group(0).lower()], t)
+
+        return s.map(fix_cell)
+
+    return apply_map(col)
 
 
 def _fuzzy_map(values_with_counts: list[tuple[str, int]], threshold: float) -> dict[str, str]:
