@@ -39,6 +39,8 @@ from dataforge_spark.functions.text_analysis import (
     fingerprint,
     language_id,
     quality_score,
+    regex_token_count,
+    rolling_fingerprint,
     token_count,
 )
 from dataforge_spark.multimodal import attach_binary, binary_meta, extract_features
@@ -589,9 +591,11 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
+        regex_token_count(t).alias("n_regex_tokens"),
         language_id(t).alias("lang_guess"),
         F.round(quality_score(t), 6).alias("quality"),
         fingerprint(t).alias("fp"),
+        rolling_fingerprint(t).alias("rfp"),
     )
 
 
@@ -604,6 +608,16 @@ def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return extract_features(attach_binary(docs), bin_col="payload", id_col="doc_id")
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_spark.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = sample_frames(attach_binary(docs), frame_bytes=16, every=4)
+    return frames.select(
+        F.col("id").alias("doc_id"), "frame_idx", F.hex("frame").alias("frame_hex")
+    )
 
 
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_metrics": q_txt_metrics,
         "mm_binary_meta": q_mm_binary_meta,
         "mm_features": q_mm_features,
+        "mm_frame_sample": q_mm_frame_sample,
         "stream_dedup_events": q_stream_dedup_events,
         "stream_profile_events": q_stream_profile_events,
         "stream_sessionize": q_stream_sessionize,
@@ -1204,6 +1219,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
           CAST(n_tok AS INTEGER) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS INTEGER)
+            AS n_regex_tokens,
           CASE
             WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_fr
                  AND hits_en >= hits_es THEN 'en'
@@ -1221,7 +1238,12 @@ def oracle_sql() -> dict[str, str]:
                      AND length(text)::DOUBLE / n_tok <= 12 THEN 0.3 ELSE 0.0 END)
             + least(0.3, (CASE WHEN n_tok > 0
                           THEN hits_en::DOUBLE / n_tok ELSE 0.0 END) * 3), 6) AS quality,
-          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+          list_reduce(
+            list_transform(
+              regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '\s+'),
+              s -> CAST(7 * length(s) + ascii(substr(s, 1, 1)) AS BIGINT)),
+            (acc, v) -> (acc * 31 + v) % 1000000007) AS rfp
         FROM h
     """
 
@@ -1229,6 +1251,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                substr(text, 1, 8) AS prefix
         FROM documents
+    """
+
+    sql["mm_frame_sample"] = """
+        WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        f AS (
+          SELECT doc_id, hex(payload) AS ph,
+                 CAST(floor((octet_length(payload) + 15) / 16) AS BIGINT) AS n_frames
+          FROM b
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               substr(ph, CAST(1 + i * 32 AS BIGINT), 32) AS frame_hex
+        FROM f, UNNEST(generate_series(0, n_frames - 1, 4)) AS u(i)
     """
 
     sql["stream_dedup_events"] = """

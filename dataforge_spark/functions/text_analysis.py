@@ -83,3 +83,18 @@ def normalize_for_fingerprint(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic content fingerprint (md5 of normalized text)."""
     return F.md5(normalize_for_fingerprint(col))
+
+
+def rolling_fingerprint(col: Column, modulus: int = 1_000_000_007) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens
+    (Karp-Rabin style): h = (h*31 + 7*len(tok) + ascii(tok[0])) mod M.
+    Pure fold expression — JVM-side, and reproducible in ANSI SQL
+    (list_reduce) for the oracle. Intermediate stays < 31*M + small, so
+    no 64-bit overflow under ANSI mode."""
+    toks = tokens(normalize_for_fingerprint(col))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda h, t: (h * 31 + F.length(t) * 7 + F.ascii(F.substring(t, 1, 1)))
+        % F.lit(modulus),
+    )

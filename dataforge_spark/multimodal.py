@@ -44,6 +44,46 @@ def binary_meta(df: DataFrame, bin_col: str = "payload", prefix_len: int = 8) ->
     )
 
 
+def sample_frames(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 16,
+    every: int = 4,
+) -> DataFrame:
+    """Frame sampling over a binary payload — the video-pipeline pattern
+    with a byte-chunk stand-in for codec frame extraction: split the
+    payload into fixed ``frame_bytes`` chunks, keep every ``every``-th,
+    emit one row per sampled frame. Arrow-batched ``mapInPandas``; at
+    scale this is a map-only explosion whose output is partitioned by the
+    source row, exactly like real frame extraction."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                buf = bytes(payload)
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every):
+                    rows.append(
+                        {
+                            "id": int(rid),
+                            "frame_idx": fi,
+                            "frame": buf[fi * frame_bytes:(fi + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame"])
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=out_schema)
+
+
 def extract_features(
     df: DataFrame,
     bin_col: str = "payload",

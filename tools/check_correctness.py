@@ -58,8 +58,17 @@ def canon(pdf):
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
-    spark = get_spark("check_correctness")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    only = {a for a in args if not a.startswith("--")}
+    if vanilla:
+        # Simulate the driver: a bare session with stock confs (ansi on,
+        # 200 shuffle partitions, no AQE tweaks, default timezone).
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("vanilla").getOrCreate()
+    else:
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
