@@ -278,6 +278,15 @@ def q_o3_mzscore_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
                            action="remove", threshold=3.5)
 
 
+def q_o8_detect_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_spark.operators.outliers import detect_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = detect_outliers(li, columns=["l_quantity", "l_extendedprice"],
+                          method="zscore", threshold=1.5)
+    return out.select("col_name", F.round("value", 4).alias("value"))
+
+
 def q_o6_iqr_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
     out = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
@@ -680,6 +689,23 @@ def q_boundary_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment (beyond reference surface — SURVEY §2.11):
+    fact table broadcast-joined to two dimension tables, then a grouped
+    rollup. The plan must show BroadcastHashJoin on both dims — at 100 TB
+    the fact side never shuffles for the join."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return enriched.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-order multi-op pipeline (fill → dedup → cap → scale)."""
     df = dfio.with_row_id(_li_nulls(spark, sf_dir))
@@ -718,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_zscore_remove": q_o2_zscore_remove,
         "o3_mzscore_remove": q_o3_mzscore_remove,
         "o6_iqr_cap": q_o6_iqr_cap,
+        "o8_detect_outliers": q_o8_detect_outliers,
         "o7_log_transform": q_o7_log_transform,
         "t1_manual_cast": q_t1_manual_cast,
         "t2_auto_numeric": q_t2_auto_numeric,
@@ -762,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "pipeline_e2e": q_pipeline_e2e,
         "boundary_scrub": q_boundary_scrub,
+        "join_enrich": q_join_enrich,
     }
 
 
@@ -903,6 +931,21 @@ def oracle_sql() -> dict[str, str]:
         WHERE mad = 0 OR NOT (
           l_extendedprice < md - 3.5 * mad / 0.6745 OR
           l_extendedprice > md + 3.5 * mad / 0.6745)
+    """
+
+    sql["o8_detect_outliers"] = """
+        WITH s AS (
+          SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
+                 avg(l_extendedprice) AS mp, stddev_samp(l_extendedprice) AS sp
+          FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_name, round(l_quantity, 4) AS value
+        FROM lineitem, s
+        WHERE l_quantity < mq - 1.5 * sq OR l_quantity > mq + 1.5 * sq
+        UNION ALL
+        SELECT 'l_extendedprice', round(l_extendedprice, 4)
+        FROM lineitem, s
+        WHERE l_extendedprice < mp - 1.5 * sp OR l_extendedprice > mp + 1.5 * sp
     """
 
     sql["o6_iqr_cap"] = f"""
@@ -1276,6 +1319,15 @@ def oracle_sql() -> dict[str, str]:
           round(min(value), 2) AS v_min, round(max(value), 2) AS v_max,
           round(avg(value), 4) AS v_avg
         FROM events GROUP BY 1
+    """
+
+    sql["join_enrich"] = """
+        SELECT r_name, count(*) AS n_customers,
+               round(avg(c_acctbal), 4) AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """
 
     sql["boundary_scrub"] = f"""

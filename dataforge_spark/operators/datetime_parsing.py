@@ -33,7 +33,14 @@ def parse_datetime_columns(
     auto_detect: bool = True,
     extract_features: bool = False,
     min_parse_ratio: float = 0.5,
+    errors: str = "coerce",
 ) -> DataFrame:
+    """``errors``: 'coerce' nulls unparseable values (pandas default in
+    the reference, methods/dateTimeParsing.py:21); 'raise' errors when an
+    adopted column still has unparseable non-null values; 'ignore' leaves
+    such columns entirely unchanged (pandas astype semantics)."""
+    if errors not in ("coerce", "raise", "ignore"):
+        raise ValueError(f"errors must be coerce|raise|ignore, got {errors!r}")
     fmts = [date_format] if date_format else DATETIME_FORMATS
     if columns is None:
         columns = [
@@ -61,6 +68,22 @@ def parse_datetime_columns(
         adopt = [c for c in str_candidates if row[c] / n > min_parse_ratio]
     elif str_candidates:
         adopt = str_candidates
+
+    if adopt and errors in ("raise", "ignore"):
+        bad = df.agg(
+            *[
+                F.sum(
+                    (F.col(c).isNotNull() & parse_timestamp_expr(F.col(c), fmts).isNull())
+                    .cast("long")
+                ).alias(c)
+                for c in adopt
+            ]
+        ).collect()[0]
+        failing = [c for c in adopt if bad[c]]
+        if failing and errors == "raise":
+            raise ValueError(f"unparseable datetime values in columns {failing}")
+        if failing:  # ignore: leave those columns untouched
+            adopt = [c for c in adopt if c not in failing]
 
     out = df
     for c in adopt:

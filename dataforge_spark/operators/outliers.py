@@ -87,6 +87,39 @@ def outlier_bounds(
     raise ValueError(f"no closed-form bounds for method {method!r}")
 
 
+def detect_outliers(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    method: str = "iqr",
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Long-format outlier listing (col_name, value) — the reference's
+    second, report-only detector (``Normalisation.detect_outliers``,
+    /root/reference/methods/normalisation.py:266-312) which returns the
+    outlier VALUES per column. One stats job + one melt scan."""
+    from .missing_values import _data_cols, _numeric_cols
+
+    cols = _numeric_cols(df, _data_cols(df, columns))
+    bounds = outlier_bounds(df, cols, method, threshold)
+    pairs = []
+    for c in cols:
+        b = bounds.get(c)
+        if b is None:
+            continue
+        pairs.append(
+            F.when(
+                (F.col(c) < b[0]) | (F.col(c) > b[1]),
+                F.struct(F.lit(c).alias("col_name"), F.col(c).cast("double").alias("value")),
+            )
+        )
+    if not pairs:
+        return df.sparkSession.createDataFrame([], "col_name string, value double")
+    exploded = df.select(
+        F.explode(F.filter(F.array(*pairs), lambda x: x.isNotNull())).alias("o")
+    )
+    return exploded.select("o.col_name", "o.value")
+
+
 def handle_outliers(
     df: DataFrame,
     columns: list[str] | None = None,
