@@ -1,0 +1,115 @@
+"""Partitioning / shuffle toolkit for cluster-scale runs (extension).
+
+The operators in this engine are shuffle-minimal by construction; this
+module holds the remaining levers a 100 TB deployment needs explicitly:
+
+- **salted joins**: a skewed key (one user with 10% of all rows) turns a
+  shuffle join into one straggler task. Salting replicates the SMALL side
+  ``salt`` times and scatters the big side's hot keys across salt
+  buckets, so the hot key's rows land on ``salt`` tasks. AQE's skew-join
+  handles sort-merge joins it can see; salting also covers aggregations
+  and deliberate repartitions.
+- **two-phase (salted) aggregation**: partial aggregate on (key, salt),
+  final aggregate on key — the map-side-combine trick made explicit for
+  aggregates whose partials are algebraic (count/sum/min/max).
+- **bucketed writes**: pre-shuffling both sides of a recurring join into
+  the same bucketing (sorted, hash-distributed files) makes later joins
+  shuffle-free (`spark.read.table` of two tables bucketed by the same
+  key + ``spark.sql.sources.bucketing.enabled``). File-based bucketing
+  requires a metastore table; ``write_bucketed`` wraps saveAsTable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt: int, col_name: str = "_salt") -> DataFrame:
+    """Deterministic per-row salt in [0, salt): hash of the whole row —
+    no RNG, so retries/recomputes agree."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skew-keyed big side against a small side by scattering each
+    big-side key across ``salt`` partitions and replicating the small
+    side once per salt value. Output equals ``big.join(small, on, how)``
+    for inner/left joins."""
+    big_s = with_salt(big, salt)
+    salts = big.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+    small_r = small.crossJoin(F.broadcast(salts))
+    joined = big_s.join(small_r, on=[on, "_salt"], how=how)
+    return joined.drop("_salt")
+
+
+def salted_aggregate_counts(
+    df: DataFrame, key: str, salt: int = 16, value: str | None = None
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: count (and optionally sum of
+    ``value``) per key, partials computed on (key, salt) so one hot key
+    spreads over ``salt`` reducers before the tiny final combine."""
+    aggs1 = [F.count(F.lit(1)).alias("_n")]
+    aggs2 = [F.sum("_n").alias("n")]
+    if value is not None:
+        aggs1.append(F.sum(value).alias("_s"))
+        aggs2.append(F.sum("_s").alias(f"sum_{value}"))
+    partial = with_salt(df, salt).groupBy(key, "_salt").agg(*aggs1)
+    return partial.groupBy(key).agg(*aggs2)
+
+
+def skew_metrics(df: DataFrame, key: str, top: int = 5) -> dict:
+    """Quick skew diagnosis: total rows, distinct keys, and the heaviest
+    keys' share — drive the decision to salt."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    row = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("distinct")
+    ).collect()[0]
+    heavy = counts.orderBy(F.desc("n")).limit(top).collect()
+    total = int(row["total"] or 0)
+    return {
+        "total_rows": total,
+        "distinct_keys": int(row["distinct"] or 0),
+        "top_keys": [
+            {"key": r[key], "rows": int(r["n"]), "share": (int(r["n"]) / total) if total else 0.0}
+            for r in heavy
+        ],
+    }
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 64,
+    sort_by: str | None = None,
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) — recurring joins or
+    aggs on ``key`` against tables bucketed the same way become
+    shuffle-free exchanges."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
+def partition_stats(df: DataFrame) -> dict:
+    """Rows per partition — spot empty/oversized partitions after a
+    repartition decision (diagnostic; one cheap job)."""
+    sizes = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = sorted(int(r["n"]) for r in sizes)
+    return {
+        "partitions": len(counts),
+        "min": counts[0] if counts else 0,
+        "max": counts[-1] if counts else 0,
+        "rows": sum(counts),
+    }
