@@ -633,7 +633,7 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     dup_in = ev.unionByName(ev.where(F.col("event_id") % 10 == 0))
     path = f"/tmp/dataforge_stream_{uuid.uuid4().hex[:8]}"
-    dup_in.write.mode("overwrite").parquet(path)
+    dup_in.coalesce(8).write.mode("overwrite").parquet(path)
     stream = read_events_stream(spark, path, ev.schema)
     deduped = dedup_stream(stream, key_cols=["event_id"], ts_col="ts", watermark="1 hour")
     got = run_to_memory(deduped)
@@ -644,7 +644,7 @@ def q_stream_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _events(spark, sf_dir)
     path = f"/tmp/dataforge_stream_{uuid.uuid4().hex[:8]}"
-    ev.write.mode("overwrite").parquet(path)
+    ev.coalesce(8).write.mode("overwrite").parquet(path)
     stream = read_events_stream(spark, path, ev.schema)
     prof = profile_stream(stream, ts_col="ts", value_col="value",
                           window="1 hour", watermark="2 hours")
@@ -664,7 +664,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _events(spark, sf_dir)
     path = f"/tmp/dataforge_stream_{uuid.uuid4().hex[:8]}"
-    ev.write.mode("overwrite").parquet(path)
+    ev.coalesce(8).write.mode("overwrite").parquet(path)
     stream = read_events_stream(spark, path, ev.schema)
     sessions = sessionize_stream(stream, user_col="user_id", ts_col="ts",
                                  gap_minutes=30)
