@@ -608,6 +608,31 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over documents: quality gate →
+    language gate → exact dedup (near-dups planted) → per-source token
+    accounting. The composition the extension surface exists for."""
+    docs = _docs_with_dups(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id", "left"
+    )
+    # planted dups carry doc_id+100000 → source null; treat as 'dup'
+    docs = docs.withColumn("source", F.coalesce("source", F.lit("dup")))
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", "source", "text",
+        F.round(quality_score(t), 6).alias("q"),
+        language_id(t).alias("lang"),
+        token_count(t).alias("n_tok"),
+    )
+    kept = scored.where((F.col("q") >= 0.5) & (F.col("lang") == "en"))
+    deduped = dedup_exact(kept, text_col="text", id_col="doc_id")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = binary_meta(attach_binary(docs), bin_col="payload", prefix_len=8)
@@ -781,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_stringify": q_t6_stringify,
         "e2_onehot_dropfirst": q_e2_onehot_dropfirst,
         "txt_metrics": q_txt_metrics,
+        "llm_prep_pipeline": q_llm_prep_pipeline,
         "mm_binary_meta": q_mm_binary_meta,
         "mm_features": q_mm_features,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1288,6 +1314,53 @@ def oracle_sql() -> dict[str, str]:
               s -> CAST(7 * length(s) + ascii(substr(s, 1, 1)) AS BIGINT)),
             (acc, v) -> (acc * 31 + v) % 1000000007) AS rfp
         FROM h
+    """
+
+    # llm_prep: planted dups have higher ids → dedup keeps the originals,
+    # and a dup's original passes the same gates (same text), so the
+    # result is documents filtered on quality+language, grouped by source.
+    sql["llm_prep_pipeline"] = rf"""
+        WITH t AS (
+          SELECT doc_id, source, text,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+            CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id, source, n_tok,
+            len(list_filter(toks, x -> x IN ({en}))) AS hits_en,
+            len(list_filter(toks, x -> x IN ({de}))) AS hits_de,
+            len(list_filter(toks, x -> x IN ({fr}))) AS hits_fr,
+            len(list_filter(toks, x -> x IN ({es}))) AS hits_es,
+            length(text) AS n_chars
+          FROM t
+        ),
+        scored AS (
+          SELECT doc_id, source, n_tok,
+            round(
+              (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END)
+              + (CASE WHEN n_tok > 0 AND n_chars::DOUBLE / n_tok >= 3
+                       AND n_chars::DOUBLE / n_tok <= 12 THEN 0.3 ELSE 0.0 END)
+              + least(0.3, (CASE WHEN n_tok > 0
+                            THEN hits_en::DOUBLE / n_tok ELSE 0.0 END) * 3), 6) AS q,
+            CASE
+              WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_fr
+                   AND hits_en >= hits_es THEN 'en'
+              WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_fr
+                   AND hits_de >= hits_es THEN 'de'
+              WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_de
+                   AND hits_fr >= hits_es THEN 'fr'
+              WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_de
+                   AND hits_es >= hits_fr THEN 'es'
+              ELSE 'unknown' END AS lang
+          FROM h
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(avg(q), 6) AS avg_quality
+        FROM scored WHERE q >= 0.5 AND lang = 'en'
+        GROUP BY source
     """
 
     sql["mm_binary_meta"] = """

@@ -30,11 +30,20 @@ def dedup_stream(
     key_cols: list[str],
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    within_watermark: bool = False,
 ) -> DataFrame:
-    """Watermarked exact dedup: keeps the first arrival per key; state for
-    keys older than the watermark is evicted (bounded memory on unbounded
-    input)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    """Watermarked exact dedup: keeps the first arrival per key.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+): state per key is evicted once the watermark passes its
+    first-seen event time, so memory stays bounded even when the dedup
+    key does NOT include the event-time column — the right choice for
+    unbounded key domains (e.g. event ids forever). Plain
+    ``dropDuplicates`` keeps such state forever."""
+    wm = events.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return wm.dropDuplicates(key_cols)
 
 
 def profile_stream(
@@ -157,6 +166,26 @@ def run_to_memory(stream_df: DataFrame, name: str | None = None) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    name: str | None = None,
+):
+    """Production sink: append-mode parquet with a checkpoint location
+    (exactly-once via the file-sink commit log + state checkpointing).
+    Returns the started StreamingQuery; caller owns the lifecycle."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .queryName(name or f"pq_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def run_aggregate_to_memory(stream_df: DataFrame, name: str | None = None) -> DataFrame:

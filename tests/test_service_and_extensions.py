@@ -198,6 +198,28 @@ def test_streaming_dedup_smoke(spark, tmp_path, events):
     assert got.count() == events.count()
 
 
+def test_streaming_parquet_sink_and_within_watermark(spark, tmp_path, events):
+    from dataforge_spark.streaming import dedup_stream, read_events_stream, run_to_parquet
+
+    src = str(tmp_path / "in")
+    events.unionByName(events.limit(30)).coalesce(4).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, events.schema)
+    deduped = dedup_stream(stream, key_cols=["event_id"], within_watermark=True)
+    q = run_to_parquet(deduped, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == events.count()
+    # checkpoint makes the run resumable/exactly-once; rerunning with the
+    # same checkpoint must not duplicate output
+    q2 = run_to_parquet(
+        dedup_stream(read_events_stream(spark, src, events.schema),
+                     key_cols=["event_id"], within_watermark=True),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == events.count()
+
+
 def test_multimodal_features_shape(spark, documents):
     from dataforge_spark.multimodal import attach_binary, extract_features
 
