@@ -39,6 +39,20 @@ def get_spark(app_name: str = "dataforge_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Spill-awareness: input split size bounds per-task memory at the
+        # scan; at 100 TB with wide rows, shrink so a partition's working
+        # set fits the executor (default 128 MiB).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)),
+        )
+        # AQE target size for post-shuffle coalescing — the lever that
+        # keeps reducer partitions spill-free regardless of the static
+        # shuffle.partitions setting.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(64 * 1024 * 1024)),
+        )
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]")
