@@ -523,6 +523,16 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n=3, num_perm=64, bands=16, threshold=0.5)
 
 
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH at threshold 0.9: the banding collision probability for
+    j ≥ 0.9 is 1 − (1−j⁴)¹⁶ ≥ 1 − 4e-8 and the hashes are deterministic,
+    so candidate recall is exactly complete on this corpus — the output
+    must EQUAL the exact-Jaccard ≥ 0.9 pair set (SQL oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, text_col="text", id_col="doc_id",
+                               n=3, num_perm=64, bands=16, threshold=0.9)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, text_col="text", id_col="doc_id")
@@ -798,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1226,6 +1237,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c / (sa.n_sh + sb.n_sh - c)::DOUBLE >= 0.05
+    """
+
+    sql["dedup_minhash_verified"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+          FROM toks, UNNEST(CASE WHEN len(w) >= 3
+                            THEN generate_series(1, len(w) - 2) ELSE [] END) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+          round(c / (sa.n_sh + sb.n_sh - c)::DOUBLE, 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c / (sa.n_sh + sb.n_sh - c)::DOUBLE >= 0.9
     """
 
     sql["dedup_embedding_exact"] = """
