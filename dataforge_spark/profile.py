@@ -52,18 +52,27 @@ def missing_counts(df: DataFrame) -> dict[str, int]:
     return {f.name: int(row[f.name] or 0) for f in fields}
 
 
-def profile_df(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_df(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
     """The profiler as a DataFrame (long format): one row per column with
     (col_name, n_missing, n_unique, n_rows, dup_rows). Same single
     aggregation pass as ``dataset_info`` but SQL-comparable for the
-    correctness oracle."""
+    correctness oracle.
+
+    ``approx=True`` swaps the exact distinct counts for HyperLogLog++
+    (``approx_count_distinct``, default 5% rsd): at 100 TB each exact
+    count_distinct multiplies the aggregate's shuffled state by the
+    column's cardinality, while the sketch is a fixed few KB per column —
+    profiling dashboards should always run approx."""
+    cd = F.approx_count_distinct if approx else F.count_distinct
     fields = [f for f in _user_fields(df) if columns is None or f.name in columns]
     cols = [f.name for f in fields]
     all_cols = [f.name for f in _user_fields(df)]
     aggs = [F.count(F.lit(1)).alias("__rows"),
-            F.count_distinct(F.struct(*all_cols)).alias("__distinct_rows")]
+            cd(F.struct(*all_cols)).alias("__distinct_rows")]
     aggs += [F.sum(_missing_expr(f).cast("long")).alias(f"__miss_{f.name}") for f in fields]
-    aggs += [F.count_distinct(F.col(c)).alias(f"__uniq_{c}") for c in cols]
+    aggs += [cd(F.col(c)).alias(f"__uniq_{c}") for c in cols]
     row = df.agg(*aggs).collect()[0].asDict()
     n_rows, dup = int(row["__rows"]), int(row["__rows"]) - int(row["__distinct_rows"])
     data = [
