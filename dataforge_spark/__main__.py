@@ -1,0 +1,74 @@
+"""CLI for the engine: ``python -m dataforge_spark <command>``.
+
+Commands mirror the service surface without HTTP:
+
+    clean   --input data.csv --ops '{"duplicates": {"enabled": true}}'
+            --output cleaned.csv [--single-file] [--bug-compat]
+    profile --input data.csv            (JSON profile to stdout)
+    info                                (capability manifest to stdout)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import io as dfio
+from .pipeline import CleaningPipeline
+from .profile import dataset_info
+from .sanitize import sanitize_for_json
+from .service import pipeline_info
+from .session import get_spark
+
+
+def _read(spark, path: str):
+    if path.endswith(".parquet"):
+        return dfio.read_parquet(spark, path, row_id=True)
+    return dfio.read_csv(spark, path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dataforge_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("clean", help="run the cleaning pipeline")
+    c.add_argument("--input", required=True)
+    c.add_argument("--ops", required=True, help="JSON operations config")
+    c.add_argument("--output", required=True)
+    c.add_argument("--single-file", action="store_true")
+    c.add_argument("--bug-compat", action="store_true",
+                   help="reproduce the reference's stage-boundary scrub")
+
+    pr = sub.add_parser("profile", help="profile a dataset")
+    pr.add_argument("--input", required=True)
+
+    sub.add_parser("info", help="print the capability manifest")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "info":
+        print(json.dumps(pipeline_info(), indent=2))
+        return 0
+
+    spark = get_spark("dataforge_cli")
+    if args.cmd == "profile":
+        df = _read(spark, args.input)
+        print(json.dumps(sanitize_for_json(dataset_info(df)), indent=2, default=str))
+        return 0
+
+    ops = json.loads(args.ops)
+    df = _read(spark, args.input)
+    out, report = CleaningPipeline(
+        bug_compat=args.bug_compat, collect_metrics=True
+    ).run(df, ops)
+    if args.output.endswith(".parquet"):
+        dfio.write_parquet(out, args.output)
+    else:
+        dfio.write_csv(out, args.output, single_file=args.single_file)
+    print(json.dumps(sanitize_for_json(report), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
