@@ -10,13 +10,17 @@ Arrow-vectorized pandas UDF. Exact parity with the reference requires
 fitting on the FULL column (its fit is whole-column); we do that when the
 table is small enough, otherwise sample — flagged approximate.
 
-sklearn is import-gated: the container may not ship it. Without sklearn we
-fall back to a deterministic proxy (modified z-score at the contamination
-quantile), so the operator surface stays usable.
+sklearn is import-gated: the container may not ship it. Without sklearn
+the same fit/score flow runs on ``iforest_numpy.NumpyIsolationForest`` —
+a pure-numpy implementation of the actual isolation-forest algorithm
+(random isolation trees, 2^(−E[h]/c(n)) scores, contamination-quantile
+threshold), so O4 keeps its advertised semantics; only sklearn's exact
+RNG stream differs.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -37,28 +41,6 @@ def isolation_forest_mask(
     max_fit_rows: int = 1_000_000,
 ) -> Column:
     """Boolean Column, True where ANY target column flags the row."""
-    import pandas as pd
-
-    if not HAVE_SKLEARN:
-        # Deterministic fallback honoring `contamination`: flag the most
-        # extreme `contamination` fraction per column, ranked by modified
-        # z-score, i.e. rows outside the column's central
-        # [contamination/2, 1 - contamination/2] quantile band
-        # (approximate, clearly not sklearn-parity).
-        lo_q, hi_q = contamination / 2, 1 - contamination / 2
-        aggs = [
-            F.expr(f"percentile({c}, array({lo_q}, {hi_q}))").alias(c) for c in cols
-        ]
-        row = df.agg(*aggs).collect()[0]
-        pred: Column | None = None
-        for c in cols:
-            q = row[c]
-            if q is None or q[0] is None:
-                continue
-            p = (F.col(c) < float(q[0])) | (F.col(c) > float(q[1]))
-            pred = p if pred is None else (pred | p)
-        return F.coalesce(pred, F.lit(False)) if pred is not None else F.lit(False)
-
     spark = df.sparkSession
     n = df.count()
 
@@ -82,6 +64,21 @@ def isolation_forest_mask(
 
         return score
 
+    if HAVE_SKLEARN:
+        def fit_model(values):
+            m = IsolationForest(contamination=contamination, random_state=random_state)
+            m.fit(values)
+            return m
+    else:
+        # Pure-numpy isolation forest — same algorithm (Liu et al. '08),
+        # same fit/predict surface; not sklearn's RNG stream.
+        from .iforest_numpy import NumpyIsolationForest
+
+        def fit_model(values):
+            return NumpyIsolationForest(
+                contamination=contamination, random_state=random_state
+            ).fit(values)
+
     masks: Column | None = None
     for c in cols:
         col_df = df.select(c).where(F.col(c).isNotNull())
@@ -89,8 +86,7 @@ def isolation_forest_mask(
             col_pdf = col_df.sample(fraction=max_fit_rows / n, seed=random_state).toPandas()
         else:
             col_pdf = col_df.toPandas()
-        model = IsolationForest(contamination=contamination, random_state=random_state)
-        model.fit(col_pdf[[c]].values)
+        model = fit_model(col_pdf[[c]].values)
         p = make_scorer(model)(F.col(c).cast("double"))
         masks = p if masks is None else (masks | p)
     return masks if masks is not None else F.lit(False)

@@ -58,3 +58,20 @@ def test_encode_label_literal_and_broadcast_paths_agree(spark, customer):
     a = {(r["c_custkey"], r["c_mktsegment"]) for r in lit_out.collect()}
     b = {(r["c_custkey"], r["c_mktsegment"]) for r in bc_out.collect()}
     assert a == b
+
+
+def test_numpy_isolation_forest_algorithm():
+    import numpy as np
+
+    from dataforge_spark.operators.iforest_numpy import NumpyIsolationForest
+
+    rng = np.random.RandomState(0)
+    X = np.concatenate([rng.normal(0, 1, 950), rng.uniform(8, 12, 50)])
+    m = NumpyIsolationForest(contamination=0.05, random_state=42).fit(X)
+    pred = m.predict(X)
+    flagged = np.where(pred == -1)[0]
+    # ~5% flagged, and the planted far cluster dominates the flags
+    assert 25 <= len(flagged) <= 75
+    assert (flagged >= 950).sum() >= 40  # most of the 50 planted outliers
+    scores = m.score_samples(np.array([0.0, 10.0]))
+    assert scores[0] > scores[1]  # center scores as more normal
