@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import batch_cosine_udf
 
 
 def cosine_neardup_pairs(
@@ -22,6 +22,7 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cos_sim ≥ threshold), id_a < id_b, rounded 6dp.
     Exact O(n²/2) — use lsh_neardup_pairs for large n."""
+    cos = batch_cosine_udf()
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -29,7 +30,7 @@ def cosine_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(cos(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -54,12 +55,13 @@ def lsh_neardup_pairs(
     b = bucketed.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_bucket").alias("bb")
     )
+    cos = batch_cosine_udf()
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(cos(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

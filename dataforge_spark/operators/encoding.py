@@ -11,11 +11,12 @@ Reference: ``Encoding.encode_categorical_data``
 * E3 "target" is actually FREQUENCY encoding (no target variable exists,
   reference :167): relative frequency mapped to ``{col}_freq_encoded``.
 
-Scale: category domains are bounded (≤50 for onehot by contract; label
-domains assumed dictionary-sized) → collect distinct values to the driver
-once, broadcast the mapping back as a literal expression — no shuffle on
-the big table, no join. E3 avoids even the collect: a window-free
-broadcast join of the tiny frequency table.
+Scale: every distinct-domain decision is made from ONE melted scan of the
+input for ALL requested columns (explode → distinct → per-column sizes),
+and domains are only collected to the driver AFTER their size passed the
+cardinality gate — a near-unique string column (user ids at 100 TB) never
+ships its domain to the driver. High-cardinality label codes are assigned
+distributedly without a global-window scale cliff (see ``encode_label``).
 """
 
 from __future__ import annotations
@@ -39,6 +40,34 @@ def _categorical_cols(df: DataFrame, columns: list[str] | None) -> list[str]:
     ]
 
 
+def _domains(
+    df: DataFrame, cols: list[str], val_expr, limit: int
+) -> tuple[dict[str, int], dict[str, list[str]]]:
+    """One melted pass over ``df`` for ALL columns: returns per-column
+    distinct counts and, ONLY for columns whose domain is ≤ ``limit``,
+    the sorted collected domain. Two jobs total (sizes + bounded collect)
+    instead of 2 jobs per column; domains above the gate never reach the
+    driver."""
+    pairs = []
+    for c in cols:
+        pairs += [F.lit(c), val_expr(c)]
+    melted = (
+        df.select(F.explode(F.create_map(*pairs)).alias("col", "val"))
+        .where(F.col("val").isNotNull())
+        .distinct()
+    )
+    sizes = {
+        r["col"]: r["n"]
+        for r in melted.groupBy("col").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    small = [c for c in cols if sizes.get(c, 0) <= limit]
+    doms: dict[str, list[str]] = {c: [] for c in small}
+    if small:
+        for r in melted.where(F.col("col").isin(small)).collect():
+            doms[r["col"]].append(r["val"])
+    return sizes, {c: sorted(v) for c, v in doms.items()}
+
+
 def label_mapping(df: DataFrame, col: str) -> dict[str, int]:
     """Sorted-lexicographic code map (sklearn LabelEncoder parity)."""
     vals = [
@@ -52,6 +81,41 @@ def label_mapping(df: DataFrame, col: str) -> dict[str, int]:
     return {v: i for i, v in enumerate(sorted(vals))}
 
 
+def _distributed_codes(dv: DataFrame, prefix_len: int = 3) -> DataFrame:
+    """(__v, __code) with codes in sorted order of ``__v``, computed WITHOUT
+    a global ``Window.orderBy`` (which would pull every distinct value into
+    one task). Values are bucketed by a lexicographic PREFIX — a
+    deterministic function of the value, so no sampling and no cross-job
+    nondeterminism (unlike ``repartitionByRange``) — ranked inside each
+    bucket, and shifted by per-bucket offsets (cumulative counts over the
+    sorted bucket list, tiny, broadcast back). Prefix comparison is
+    order-consistent with full-string comparison, so the codes equal the
+    global sorted assignment.
+
+    Skew caveat: one bucket per distinct ``prefix_len``-char prefix; a
+    domain sharing a single long prefix degrades toward one task — raise
+    ``prefix_len`` for such domains."""
+    prefix = F.substring(F.col("__v"), 1, prefix_len)
+    bucket_counts = (
+        dv.groupBy(prefix.alias("__p")).agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    offsets: list[tuple[str, int]] = []
+    acc = 0
+    for r in sorted(bucket_counts, key=lambda r: r["__p"]):
+        offsets.append((r["__p"], acc))
+        acc += r["__n"]
+    off_df = dv.sparkSession.createDataFrame(offsets, "__p string, __off long")
+    w = Window.partitionBy("__p").orderBy("__v")
+    return (
+        dv.withColumn("__p", prefix)
+        .join(F.broadcast(off_df), "__p")
+        .select(
+            "__v",
+            (F.col("__off") + F.row_number().over(w) - 1).cast("long").alias("__code"),
+        )
+    )
+
+
 def encode_label(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -62,38 +126,32 @@ def encode_label(
 
     Dictionary-sized domains become a literal ``create_map`` (no join, no
     shuffle). Above ``max_literal_categories`` a literal map would explode
-    the plan/driver (think user-id columns at 100 TB), so the mapping is
-    computed distributedly (dense_rank over sorted distincts — same sorted
-    code assignment) and applied via broadcast join; the returned mapping
-    dict is then empty for that column (too large to hold on the driver).
+    the plan/driver (think user-id columns at 100 TB), so codes are
+    assigned distributedly via prefix-bucketed ranking
+    (``_distributed_codes`` — same sorted code assignment, no global
+    window) and applied via join; the returned mapping dict is then empty
+    for that column (too large to hold on the driver).
     """
     cols = _categorical_cols(df, columns)
     mappings: dict[str, dict[str, int]] = {}
+    if not cols:
+        return df, mappings
+    val = lambda c: F.coalesce(F.col(c).cast("string"), F.lit(MISSING_TOKEN))  # noqa: E731
+    _sizes, doms = _domains(df, cols, val, max_literal_categories)
     out = df
     for c in cols:
-        val = F.coalesce(F.col(c).cast("string"), F.lit(MISSING_TOKEN))
-        n_distinct = df.select(val.alias("v")).distinct().limit(
-            max_literal_categories + 1
-        ).count()
-        if n_distinct <= max_literal_categories:
-            m = label_mapping(df, c)
+        if c in doms:
+            m = {v: i for i, v in enumerate(doms[c])}
             mappings[c] = m
             mapping_expr = F.create_map(
                 *[x for kv in m.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
             )
-            out = out.withColumn(c, mapping_expr[val])
+            out = out.withColumn(c, mapping_expr[val(c)].cast("int"))
         else:
-            codes = (
-                df.select(val.alias("__v"))
-                .distinct()
-                .select(
-                    "__v",
-                    (F.dense_rank().over(Window.orderBy("__v")) - 1).alias("__code"),
-                )
-            )
+            codes = _distributed_codes(df.select(val(c).alias("__v")).distinct())
             mappings[c] = {}
             out = (
-                out.withColumn("__v", val)
+                out.withColumn("__v", val(c))
                 .join(codes, "__v", "left")
                 .withColumn(c, F.col("__code"))
                 .drop("__v", "__code")
@@ -116,16 +174,22 @@ def encode_onehot(
     max_categories: int = 50,
 ) -> DataFrame:
     """E2, get_dummies parity: sorted category order, ``_nan`` indicator,
-    original column dropped; columns with >max_categories skipped."""
+    original column dropped; columns with >max_categories skipped.
+
+    The cardinality gate is applied BEFORE any domain reaches the driver
+    (one melted size pass for all columns) — a high-cardinality column is
+    skipped without collecting its domain."""
     cols = _categorical_cols(df, columns)
+    if not cols:
+        return df
+    _sizes, doms = _domains(
+        df, cols, lambda c: F.col(c).cast("string"), max_categories
+    )
     out = df
     for c in cols:
-        cats = sorted(
-            r[0]
-            for r in df.select(F.col(c).cast("string")).where(F.col(c).isNotNull()).distinct().collect()
-        )
-        if len(cats) > max_categories:
+        if c not in doms:
             continue
+        cats = doms[c]
         keep = cats[1:] if drop_first else cats
         dummies = [
             F.when(F.col(c).cast("string") == v, 1).otherwise(0).alias(f"{c}_{v}")
@@ -140,11 +204,13 @@ def encode_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFra
     ``{col}_freq_encoded``; original kept; unmapped→0 can't occur in a
     same-table fit/transform.
 
-    ONE scan computes total row count AND every column's value counts
-    (melt → single groupBy), instead of the naive count() + one groupBy per
-    column (×N scans of the big table). The tiny per-column frequency
-    tables are broadcast-joined back.
-    """
+    ONE scan computes every column's value counts (melt → single groupBy),
+    instead of one count + one groupBy per column. The counts table is
+    ``localCheckpoint``-ed (materialized once, lineage truncated) so the
+    per-column broadcast joins don't re-scan the input — and unlike
+    ``cache()`` the blocks are released by the ContextCleaner when the
+    result DataFrame is garbage-collected, instead of pinning executor
+    memory for the rest of the session."""
     cols = _categorical_cols(df, columns)
     if not cols:
         return df
@@ -155,7 +221,7 @@ def encode_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFra
         df.select(F.explode(F.create_map(*pairs)).alias("col", "val"))
         .groupBy("col", "val")
         .agg(F.count(F.lit(1)).alias("n"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     n_total = counts.where(F.col("col") == cols[0]).agg(F.sum("n")).collect()[0][0]
     out = df

@@ -94,6 +94,22 @@ def modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
     return out
 
 
+def _order_key(df: DataFrame, order_col: str):
+    """(key expression, is_numeric_surrogate) for bucket-boundary math.
+    Numeric columns are their own key; timestamps/dates map to a MONOTONE
+    numeric surrogate (so ``approxQuantile`` — numeric-only — still works);
+    strings (or anything else orderable) return ``None`` → sampled literal
+    boundaries in the column's own comparison domain."""
+    dt = df.schema[order_col].dataType
+    if isinstance(dt, NUMERIC_TYPES):
+        return F.col(order_col).cast("double")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(order_col)).cast("double")
+    if isinstance(dt, (T.DateType,)):
+        return F.unix_date(F.col(order_col)).cast("double")
+    return None
+
+
 def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str) -> DataFrame:
     """ffill (M8) / bfill (M9) in ``order_col`` order.
 
@@ -102,21 +118,49 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     a scale cliff. The scale-safe plan: split the ``order_col`` domain into
     ordered buckets, fill inside each bucket with a local window, then fix
     bucket boundaries with a tiny driver-side carry map (one value per
-    bucket per column, broadcast back). Bucket boundaries come from
-    ``approxQuantile`` and are applied as LITERALS, so the bucket id is a
-    deterministic function of the row — the fill pass and the edge pass
-    are guaranteed to agree (``repartitionByRange`` + ``spark_partition_id``
-    would re-sample per job and could disagree between the two passes).
+    bucket per column, broadcast back). Bucket boundaries are applied as
+    LITERALS, so the bucket id is a deterministic function of the row —
+    the fill pass and the edge pass are guaranteed to agree
+    (``repartitionByRange`` + ``spark_partition_id`` would re-sample per
+    job and could disagree between the two passes). Boundaries come from
+    ``approxQuantile`` on a monotone numeric key (numeric/timestamp/date
+    order columns) or from a seeded deterministic sample (string order
+    columns, where no numeric surrogate exists).
+
+    Rows whose order key is NULL have no position in the fill order; they
+    are left UNTOUCHED (not filled, never contributing carry values) —
+    defined semantics instead of silently joining a broken bucket.
     """
     spark = df.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    splits: list[float] = (
-        sorted(set(df.stat.approxQuantile(order_col, probs, 0.001))) if probs else []
-    )
+    key = _order_key(df, order_col)
+    if key is not None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        dfk = df.withColumn("_ord_key", key)
+        splits = (
+            sorted(set(dfk.stat.approxQuantile("_ord_key", probs, 0.001)))
+            if probs
+            else []
+        )
+        key_col = key
+    else:
+        # String (or other non-numeric orderable) order column: pick
+        # boundary literals from a deterministic seeded sample — same
+        # literal-application guarantee, comparison in the column's own
+        # domain.
+        non_null = df.select(order_col).where(F.col(order_col).isNotNull())
+        n = non_null.count()
+        frac = min(1.0, 50_000 / n) if n else 1.0
+        sampled = sorted(
+            r[0] for r in non_null.sample(fraction=frac, seed=42).collect()
+        )
+        step = max(1, len(sampled) // n_buckets)
+        splits = sorted(set(sampled[step::step]))
+        key_col = F.col(order_col)
     bucket = F.lit(0)
     for b in splits:
-        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+        bucket = bucket + (key_col > F.lit(b)).cast("int")
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(bucket)
     dfp = df.withColumn("_bucket", bucket)
 
     if direction == "ffill":
@@ -139,8 +183,9 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     filled = dfp.select(
         "*", *[pick(c).alias(f"_f_{c}") for c in cols]
     )
-    # Per-bucket edge values (last non-null for ffill / first for bfill).
-    edges = dfp.groupBy("_bucket").agg(
+    # Per-bucket edge values (last non-null for ffill / first for bfill);
+    # NULL-order rows (_bucket = -1) never contribute carry values.
+    edges = dfp.where(F.col("_bucket") >= 0).groupBy("_bucket").agg(
         *[edge_agg(c).alias(c) for c in cols]
     )
     # Tiny (#buckets rows): resolve, for each bucket, the carry-in value per
@@ -165,7 +210,12 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     )
     out = filled.join(F.broadcast(carry_df), "_bucket", "left")
     for c in cols:
-        out = out.withColumn(c, F.coalesce(F.col(f"_f_{c}"), F.col(f"_c_{c}")))
+        out = out.withColumn(
+            c,
+            F.when(F.col("_bucket") == -1, F.col(c)).otherwise(
+                F.coalesce(F.col(f"_f_{c}"), F.col(f"_c_{c}"))
+            ),
+        )
     return out.drop("_bucket", *[f"_f_{c}" for c in cols], *[f"_c_{c}" for c in cols])
 
 

@@ -43,7 +43,16 @@ def salted_join(
     """Join a skew-keyed big side against a small side by scattering each
     big-side key across ``salt`` partitions and replicating the small
     side once per salt value. Output equals ``big.join(small, on, how)``
-    for inner/left joins."""
+    for inner/left-shaped joins ONLY — a right/full outer join would emit
+    each unmatched small-side row once per salt value, so those are
+    rejected instead of silently returning wrong results."""
+    safe = {"inner", "left", "leftouter", "left_outer", "left_semi",
+            "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in safe}:
+        raise ValueError(
+            f"salted_join is only correct for inner/left-shaped joins, got how={how!r}; "
+            "right/full outer would duplicate unmatched small-side rows per salt value"
+        )
     big_s = with_salt(big, salt)
     salts = big.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
     small_r = small.crossJoin(F.broadcast(salts))

@@ -74,9 +74,13 @@ def profile_df(
     aggs += [F.sum(_missing_expr(f).cast("long")).alias(f"__miss_{f.name}") for f in fields]
     aggs += [cd(F.col(c)).alias(f"__uniq_{c}") for c in cols]
     row = df.agg(*aggs).collect()[0].asDict()
-    n_rows, dup = int(row["__rows"]), int(row["__rows"]) - int(row["__distinct_rows"])
+    n_rows = int(row["__rows"])
+    # HLL++ at 5% rsd can OVERestimate distincts; clamp so approx profiles
+    # never report negative duplicate counts or n_unique > n_rows.
+    dup = max(0, n_rows - int(row["__distinct_rows"]))
     data = [
-        (c, int(row[f"__miss_{c}"] or 0), int(row[f"__uniq_{c}"] or 0), n_rows, dup)
+        (c, int(row[f"__miss_{c}"] or 0), min(int(row[f"__uniq_{c}"] or 0), n_rows),
+         n_rows, dup)
         for c in cols
     ]
     return df.sparkSession.createDataFrame(

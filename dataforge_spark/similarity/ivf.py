@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import batch_cosine_udf
 
 
 def fit_centroids(
@@ -117,9 +117,12 @@ def ivf_cosine_topk(
         .join(F.broadcast(qv), "query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
+    # Arrow-batched pair cosine (vectorized numpy per batch) — the HOF
+    # Column formulation is interpreted per element and ~100× slower here.
+    cos = batch_cosine_udf()
     scored = joined.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
+        F.round(cos(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

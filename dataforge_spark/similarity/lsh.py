@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import batch_cosine_udf
 
 
 def _planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
@@ -105,10 +105,11 @@ def lsh_cosine_topk(
     scored = c.join(F.broadcast(q), ["_t", "_b"]).where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    cos = batch_cosine_udf()
     dedup = scored.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
+        F.round(cos(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
