@@ -6,6 +6,14 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Each query is forced through the noop sink (``format("noop")``) so the
 FULL projection executes — ``count()`` would let Catalyst prune away the
 computed columns and measure nothing.
+
+Besides the sf0.1 per-query timings, the line carries a ``crossover``
+section: the SAME operator (IQR cap + standard scale, exact percentiles)
+timed on generated data at $SPARK_GRAFT_XROWS rows (default 6M — the
+measured Spark/pandas crossover scale from BASELINE.md) for both engines.
+sf0.1 (~600 k rows) is far below a JVM engine's efficiency floor; the
+crossover section is where the scaling argument is made with numbers
+instead of prose. Disable with SPARK_GRAFT_XROWS=0.
 """
 
 from __future__ import annotations
@@ -24,17 +32,17 @@ from dataforge_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "s4_profile",
     "m5_fill_mean",
-    "m8_forward_fill",
+    "m8_m9_ordered_fill",
     "d1_dedup_keep_first",
     "o6_iqr_cap",
-    "t2_auto_numeric",
+    "t234_auto_convert",
     "x1_text_clean",
     "dt1_datetime_features",
     "e2_onehot_encode",
     "y1_common_typos",
-    "n1_standard_scale",
+    "n1_n5_standard_roundtrip",
     "dedup_exact_docs",
-    "dedup_minhash_pairs",
+    "dedup_minhash_verified",
     "dedup_jaccard_pairs",
     "sim_cosine_topk",
     "sim_ivf_topk",
@@ -42,6 +50,52 @@ BENCH_QUERIES = [
     "stream_sessionize",
     "pipeline_e2e",
 ]
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def crossover_bench(spark, n_rows: int) -> dict:
+    """IQR cap + standard scale (exact percentiles, the o6/n1 operators)
+    on n_rows of generated data, Spark operators vs the pandas/numpy
+    equivalent — the apples-to-apples compute comparison at the scale
+    where engine design starts to matter."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.operators.outliers import handle_outliers
+    from dataforge_spark.operators.normalization import normalize_data
+
+    gen = spark.range(n_rows).select(
+        "id", (F.sin(F.col("id").cast("double")) * 1000 + 5000).alias("price")
+    )
+    t0 = time.time()
+    _noop(handle_outliers(gen, columns=["price"], method="iqr", action="cap"))
+    spark_cap = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(normalize_data(gen, columns=["price"], method="standard")[0])
+    spark_scale = round(time.time() - t0, 3)
+
+    ids = np.arange(n_rows, dtype=np.float64)
+    price = np.sin(ids) * 1000 + 5000
+    pdf = pd.DataFrame({"price": price})
+    t0 = time.time()
+    s = pdf["price"]
+    q1, q3 = s.quantile(0.25), s.quantile(0.75)
+    iqr = q3 - q1
+    _ = s.clip(q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    pandas_cap = round(time.time() - t0, 3)
+    t0 = time.time()
+    _ = (s - s.mean()) / s.std(ddof=0)
+    pandas_scale = round(time.time() - t0, 3)
+
+    return {
+        "rows": n_rows,
+        "spark_sec": {"iqr_cap": spark_cap, "standard_scale": spark_scale},
+        "pandas_sec": {"iqr_cap": pandas_cap, "standard_scale": pandas_scale},
+    }
 
 
 def main() -> None:
@@ -55,7 +109,9 @@ def main() -> None:
 
     # Warm-up: first job pays JVM/codegen/parquet-footer costs (~8 s);
     # keep it out of the per-query numbers. Touch both the lineitem and
-    # the (nanos-timestamped) events read paths.
+    # the (nanos-timestamped) events read paths, and materialize the
+    # streaming queries' file-source input copies (session-scoped, reused
+    # by the timed runs).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
@@ -63,23 +119,28 @@ def main() -> None:
     ev.write.format("noop").mode("overwrite").save()
     # also compile the hash-aggregate/exchange codegen paths once
     ev.groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    entry.prewarm_stream_inputs(spark, sf_dir)
 
     times: dict[str, float] = {}
     t_all = time.time()
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        _noop(df)
         times[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_all, 3)
 
-    print(json.dumps({
+    out = {
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }), flush=True)
+    }
+    xrows = int(os.environ.get("SPARK_GRAFT_XROWS", "6000000"))
+    if xrows > 0:
+        out["crossover"] = crossover_bench(spark, xrows)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

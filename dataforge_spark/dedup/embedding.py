@@ -42,22 +42,40 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 16,
+    num_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate: random-hyperplane bucket join then exact cosine on
-    same-bucket pairs only."""
-    from ..similarity.lsh import with_hyperplane_bucket
+    """Approximate: multi-table random-hyperplane bucket join (candidates =
+    pairs colliding in ANY table) then exact cosine on candidates only.
 
-    bucketed = with_hyperplane_bucket(df, vec_col, num_planes=num_planes, seed=seed)
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("_bucket").alias("ba")
+    Recall: a pair at cosine ``c`` collides in one table with probability
+    ``(1 - acos(c)/π)^num_planes``; ``num_tables`` independent tables OR'd
+    together drive the miss probability to ``(1-p)^T`` — at the defaults a
+    0.99-cosine pair is missed with probability < 1e-6, while far pairs
+    still almost never collide. Hashing is seeded/deterministic, so the
+    recovered pair set is stable across runs."""
+    from ..similarity.lsh import multi_bucket_udf, stacked_planes
+
+    dim = len(df.select(vec_col).first()[0])
+    assign_all = multi_bucket_udf(
+        df.sparkSession, stacked_planes(dim, num_planes, num_tables, seed)
     )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("_bucket").alias("bb")
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(assign_all(F.col(vec_col))).alias("_t", "_b"),
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "_t", "_b"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "_t", "_b"
     )
     cos = batch_cosine_udf()
     return (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, ["_t", "_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",

@@ -30,6 +30,33 @@ def _planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((num_planes, dim))
 
 
+def stacked_planes(
+    dim: int, num_planes: int, num_tables: int, seed: int
+) -> np.ndarray:
+    """(num_tables, num_planes, dim) independent hyperplane sets."""
+    return np.stack(
+        [_planes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
+    )
+
+
+def multi_bucket_udf(spark, planes: np.ndarray):
+    """Arrow-batched multi-table bucket assignment: ONE stacked matmul per
+    batch returns every table's bucket id (array<long>, one per table) —
+    one UDF pass instead of num_tables separate stages."""
+    bc = spark.sparkContext.broadcast(planes)
+    weights = 1 << np.arange(planes.shape[1], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def assign_all(v: pd.Series) -> pd.Series:
+        P = bc.value  # (T, P, dim)
+        X = np.array(v.tolist(), dtype=np.float64)  # (n, dim)
+        bits = np.einsum("nd,tpd->ntp", X, P) > 0  # (n, T, P)
+        ids = bits @ weights  # (n, T)
+        return pd.Series(list(ids.astype(np.int64)))
+
+    return assign_all
+
+
 def bucket_udf(spark, planes: np.ndarray):
     """Arrow-batched signed-projection bucket id: bit p set iff
     dot(v, plane_p) > 0."""
@@ -79,19 +106,9 @@ def lsh_cosine_topk(
     # ONE UDF pass computes every table's bucket (stacked plane matmul,
     # array<long> out); explode to (table, bucket) join keys. One scan of
     # each side and one join, instead of num_tables unions of UDF stages.
-    stacked = np.stack(
-        [_planes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
-    )  # (T, P, dim)
-    bc = spark.sparkContext.broadcast(stacked)
-    weights = 1 << np.arange(num_planes, dtype=np.int64)
-
-    @F.pandas_udf("array<long>")
-    def assign_all(v: pd.Series) -> pd.Series:
-        P = bc.value  # (T, P, dim)
-        X = np.array(v.tolist(), dtype=np.float64)  # (n, dim)
-        bits = np.einsum("nd,tpd->ntp", X, P) > 0  # (n, T, P)
-        ids = bits @ weights  # (n, T)
-        return pd.Series(list(ids.astype(np.int64)))
+    assign_all = multi_bucket_udf(
+        spark, stacked_planes(dim, num_planes, num_tables, seed)
+    )
 
     def keyed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         return df.select(

@@ -65,8 +65,9 @@ def b_m5_fill_mean():
     return df.shape
 
 
-def b_m8_forward_fill():
+def b_m8_m9_ordered_fill():
     ev = load("events")[["event_id", "value"]].sort_values("event_id")
+    ev["value_bf"] = ev["value"].where(ev["event_id"] % 7 != 0).bfill()
     ev["value"] = ev["value"].where(ev["event_id"] % 5 != 0).ffill()
     return ev.shape
 
@@ -85,17 +86,24 @@ def b_o6_iqr_cap():
     return li.shape
 
 
-def b_t2_auto_numeric():
-    li = load("lineitem")
-    s = li["l_quantity"].astype(str)
-    num = pd.to_numeric(s, errors="coerce")
-    ratio = num.notna().mean()
-    if ratio > 0.7:
-        if (num.dropna() == num.dropna().astype("int64")).all():
-            out = num.astype("Int64")
-        else:
-            out = num
-    return out.shape
+def b_t234_auto_convert():
+    ev = load("events")
+    out = {}
+    for c, src in (("num_str", ev["value"]), ("int_str", ev["user_id"])):
+        s = src.astype(str)
+        num = pd.to_numeric(s, errors="coerce")
+        if num.notna().mean() > 0.7:
+            if (num.dropna() == num.dropna().astype("int64")).all():
+                out[c] = num.astype("Int64")
+            else:
+                out[c] = num
+    dt = pd.to_datetime(ev["ts"].dt.strftime("%Y-%m-%d"), errors="coerce")
+    out["dt_str"] = dt
+    b = ev["event_id"] % 2 == 0
+    out["b_str"] = b.map({True: "yes", False: "no"}).map(
+        {"yes": True, "no": False}
+    )
+    return pd.DataFrame(out).shape
 
 
 def b_x1_text_clean():
@@ -121,7 +129,10 @@ def b_dt1_features():
 
 def b_e2_onehot():
     c = load("customer")
-    return pd.get_dummies(c, columns=["c_mktsegment"], dummy_na=True).shape
+    c["seg2"] = c["c_mktsegment"]
+    full = pd.get_dummies(c, columns=["c_mktsegment"], dummy_na=True)
+    return pd.get_dummies(full, columns=["seg2"], dummy_na=True,
+                          drop_first=True).shape
 
 
 def b_y1_common_typos():
@@ -139,11 +150,15 @@ def b_y1_common_typos():
     return (len(out),)
 
 
-def b_n1_standard():
+def b_n1_n5_roundtrip():
     li = load("lineitem")
+    params = {}
     for c in ("l_quantity", "l_extendedprice"):
         s = li[c]
-        li[c] = (s - s.mean()) / s.std(ddof=0)
+        params[c] = (s.mean(), s.std(ddof=0))
+        li[c] = (s - params[c][0]) / params[c][1]
+    for c, (m, sd) in params.items():
+        li[c + "_inv"] = li[c] * sd + m
     return li.shape
 
 
@@ -191,7 +206,7 @@ def b_minhash_pairs():
     for ia, ib in cands:
         inter = len(sh[ia] & sh[ib])
         union = len(sh[ia] | sh[ib])
-        if union and inter / union >= 0.5:
+        if union and inter / union >= 0.9:
             out.append((ia, ib, inter / union))
     return (len(out),)
 
@@ -299,17 +314,17 @@ def b_pipeline_e2e():
 BENCHES = {
     "s4_profile": b_s4_profile,
     "m5_fill_mean": b_m5_fill_mean,
-    "m8_forward_fill": b_m8_forward_fill,
+    "m8_m9_ordered_fill": b_m8_m9_ordered_fill,
     "d1_dedup_keep_first": b_d1_dedup,
     "o6_iqr_cap": b_o6_iqr_cap,
-    "t2_auto_numeric": b_t2_auto_numeric,
+    "t234_auto_convert": b_t234_auto_convert,
     "x1_text_clean": b_x1_text_clean,
     "dt1_datetime_features": b_dt1_features,
     "e2_onehot_encode": b_e2_onehot,
     "y1_common_typos": b_y1_common_typos,
-    "n1_standard_scale": b_n1_standard,
+    "n1_n5_standard_roundtrip": b_n1_n5_roundtrip,
     "dedup_exact_docs": b_dedup_exact_docs,
-    "dedup_minhash_pairs": b_minhash_pairs,
+    "dedup_minhash_verified": b_minhash_pairs,
     "dedup_jaccard_pairs": b_jaccard_pairs,
     "sim_cosine_topk": b_cosine_topk,
     "sim_ivf_topk": b_ivf_topk,
