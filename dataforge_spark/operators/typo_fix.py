@@ -111,6 +111,133 @@ def _fuzzy_map(values_with_counts: list[tuple[str, int]], threshold: float) -> d
     return mapping
 
 
+def _lsh_fuzzy_map(
+    domain: DataFrame,
+    threshold: float,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+    max_pairs: int = 50_000,
+) -> tuple[dict[str, str], dict]:
+    """Y2 scale path, for domains past the O(u²) driver gate: char-3-gram
+    MinHash LSH proposes candidate value pairs distributedly — the same
+    banding construction as ``dedup.minhash.candidate_pairs`` but over the
+    distinct VALUE domain with CHARACTER shingles (typos differ inside a
+    single word, so word shingles can't see them). Candidates pass the
+    exact path's 30% length-difference prefilter Spark-side, then are
+    verified on the driver with the SAME difflib ratio — so precision
+    equals the exact path's; recall is the LSH collision curve (a
+    threshold-similar typo pair shares most of its 3-grams). Only
+    candidate PAIRS ever reach the driver, bounded by ``max_pairs``.
+
+    Returns (mapping, info) where info records pair volume and truncation
+    for the caller's report."""
+    rows_per_band = num_perm // bands
+    grams = (
+        domain.where(F.length("v") > 0)
+        .select(
+            "v",
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(lower(v))-2, 1)),"
+                    " i -> substring(lower(v), i, 3))"
+                )
+            ).alias("g"),
+        )
+        .select("v", "n", F.xxhash64("g").alias("h"))
+    )
+    sigs = grams.groupBy("v", "n").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    )
+    banded = sigs.select(
+        "v",
+        "n",
+        F.length("v").alias("len"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("v", "n", "len", "bb.band", "bb.bucket")
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+    ok = banded.join(
+        F.broadcast(sizes.where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))),
+        ["band", "bucket"],
+    )
+    a = ok.select(
+        F.col("v").alias("va"), F.col("n").alias("na"),
+        F.col("len").alias("la"), "band", "bucket",
+    )
+    b = ok.select(
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+        F.col("len").alias("lb"), "band", "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("va") < F.col("vb"))
+        .where(
+            F.abs(F.col("la") - F.col("lb"))
+            / F.greatest(F.col("la"), F.col("lb"))
+            <= 0.3
+        )
+        .select("va", "vb", "na", "nb")
+        .distinct()
+    )
+    rows = pairs.limit(max_pairs + 1).collect()
+    truncated = len(rows) > max_pairs
+    mapping: dict[str, str] = {}
+    # Deterministic application order regardless of collect order.
+    for r in sorted(rows[:max_pairs], key=lambda r: (r["va"], r["vb"])):
+        va, vb = r["va"], r["vb"]
+        if difflib.SequenceMatcher(None, va.lower(), vb.lower()).ratio() >= threshold:
+            src, dst = (va, vb) if r["na"] < r["nb"] else (vb, va)
+            mapping[src] = dst
+    return mapping, {
+        "pairs_considered": min(len(rows), max_pairs),
+        "truncated": truncated,
+    }
+
+
+_MAX_LITERAL_MAP = 10_000
+
+
+def _apply_value_map(out: DataFrame, c: str, mapping: dict[str, str]) -> DataFrame:
+    """Replace whole-cell values of ``c`` per ``mapping``. Literal
+    ``create_map`` below _MAX_LITERAL_MAP entries (no join); broadcast
+    left join above it (a 100k-literal map would bloat the plan)."""
+    if len(mapping) <= _MAX_LITERAL_MAP:
+        map_expr = F.create_map(
+            *[x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )
+        return out.withColumn(c, F.coalesce(map_expr[F.col(c)], F.col(c)))
+    key, val = f"__typo_key_{c}", f"__typo_val_{c}"
+    m_df = F.broadcast(
+        out.sparkSession.createDataFrame(
+            list(mapping.items()), f"{key} string, {val} string"
+        )
+    )
+    return (
+        out.join(m_df, on=F.col(c) == F.col(key), how="left")
+        .withColumn(c, F.coalesce(F.col(val), F.col(c)))
+        .drop(key, val)
+    )
+
+
 def fix_typos(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -119,9 +246,15 @@ def fix_typos(
     custom_dict: dict[str, str] | None = None,
     max_distinct: int = 5000,
     max_vocab: int = 50000,
+    report: dict | None = None,
 ) -> DataFrame:
+    """``report`` (optional out-param): filled with one entry per processed
+    column — for fuzzy_match, which path ran (``exact`` | ``lsh_approx``),
+    pair volume, and correction count — so a high-cardinality column is
+    never a SILENT approximation or no-op."""
     cols = _text_cols(df, columns)
     out = df
+    rep = report if report is not None else {}
 
     if method == "common_typos":
         mapping = {**COMMON_TYPOS, **(custom_dict or {})}
@@ -135,18 +268,27 @@ def fix_typos(
                 F.count(F.lit(1)).alias("n")
             ).where(F.col("v").isNotNull())
             # Cardinality gate BEFORE collecting: the O(u²) driver-side
-            # matcher is only sane on dictionary-sized domains. A near-unique
-            # string column (user ids) would otherwise OOM the driver.
+            # matcher is only sane on dictionary-sized domains. Past the
+            # gate (user-id-like columns at 100 TB), switch to the LSH
+            # candidate path instead of silently skipping the column.
             if domain.limit(max_distinct + 1).count() > max_distinct:
-                continue
-            counts = [(r["v"], r["n"]) for r in domain.collect()]
-            mapping = _fuzzy_map(counts, similarity_threshold)
+                mapping, info = _lsh_fuzzy_map(domain, similarity_threshold)
+                rep[c] = {
+                    "method": "lsh_approx",
+                    "corrections": len(mapping),
+                    **info,
+                }
+            else:
+                counts = [(r["v"], r["n"]) for r in domain.collect()]
+                mapping = _fuzzy_map(counts, similarity_threshold)
+                rep[c] = {
+                    "method": "exact",
+                    "n_distinct": len(counts),
+                    "corrections": len(mapping),
+                }
             if not mapping:
                 continue
-            map_expr = F.create_map(
-                *[x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-            )
-            out = out.withColumn(c, F.coalesce(map_expr[F.col(c)], F.col(c)))
+            out = _apply_value_map(out, c, mapping)
         return out
 
     if method == "spell_check":

@@ -38,6 +38,7 @@ from .operators import (
     type_conversion,
     typo_fix,
 )
+from .io import ROW_ID
 from .operators.missing_values import _data_cols, _numeric_cols
 from .sanitize import sanitize_for_json
 
@@ -104,6 +105,42 @@ def boundary_scrub(df: DataFrame) -> DataFrame:
     if str_cols:
         out = out.na.fill({c: "" for c in str_cols})
     return out
+
+
+def cells_changed(before: DataFrame, after: DataFrame) -> dict[str, int]:
+    """Per-column count of cells whose value differs between ``before`` and
+    ``after``, aligned on ``_row_id`` (reference parity: every method
+    reports per-column "Made N changes" updates,
+    /root/reference/methods/textCleaning.py:76,147-148). ONE join + one
+    aggregate covers ALL shared columns — not a job per column. Values are
+    compared as strings (so a type-converting op counts every re-typed
+    cell) and null-safely (NULL→value and value→NULL both count). Columns
+    added or dropped by the op are not "changed cells"; they show up in
+    the columns_before/after metrics instead. Returns {} when either side
+    lacks ``_row_id`` — without a row key there is no alignment to count
+    against."""
+    shared = [c for c in before.columns if c in after.columns and c != ROW_ID]
+    if not shared or ROW_ID not in before.columns or ROW_ID not in after.columns:
+        return {}
+    b = before.select(
+        ROW_ID, *[F.col(c).cast("string").alias(f"__b_{c}") for c in shared]
+    )
+    a = after.select(
+        ROW_ID, *[F.col(c).cast("string").alias(f"__a_{c}") for c in shared]
+    )
+    row = (
+        a.join(b, ROW_ID)
+        .agg(
+            *[
+                F.sum(
+                    (~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))).cast("long")
+                ).alias(c)
+                for c in shared
+            ]
+        )
+        .collect()[0]
+    )
+    return {c: int(row[c] or 0) for c in shared}
 
 
 class CleaningPipeline:
@@ -226,6 +263,16 @@ class CleaningPipeline:
                             "columns_after": len(nxt.columns),
                         }
                     )
+                    changed = cells_changed(current, nxt)
+                    op_report["cells_changed"] = {
+                        c: n for c, n in changed.items() if n
+                    }
+                    op_report["updates"] = [
+                        f"Column '{c}': Made {n} changes"
+                        for c, n in changed.items() if n
+                    ]
+                    if name == "duplicates":
+                        op_report["duplicate_count"] = before - after
                 current = boundary_scrub(nxt) if self.bug_compat else nxt
                 if self.persist_intermediate:
                     current = current.persist(StorageLevel.MEMORY_AND_DISK)

@@ -8,17 +8,54 @@ from dataforge_spark.operators.encoding import encode_label
 from dataforge_spark.operators.typo_fix import fix_typos
 
 
-def test_fuzzy_match_skips_near_unique_column(spark):
-    # 5000 distinct values, gate at 100 → the O(u²) matcher must NOT run;
-    # the column comes back unchanged instead of OOMing the driver.
+def test_fuzzy_match_near_unique_column_takes_lsh_path(spark):
+    # 5000 distinct values, gate at 100 → the O(u²) driver matcher must
+    # NOT run. Instead of the old silent skip, the LSH candidate path
+    # runs, stays bounded (only candidate pairs reach the driver), and the
+    # report labels the column approximate.
     df = spark.range(5000).select(
-        F.concat(F.lit("user_"), F.col("id").cast("string")).alias("name")
+        F.md5(F.col("id").cast("string")).alias("name")
     )
-    out = fix_typos(df, columns=["name"], method="fuzzy_match", max_distinct=100)
-    assert out.where(F.col("name") != F.concat(F.lit("user_"), F.lit(""))).count() == 5000
-    assert sorted(r["name"] for r in out.collect()) == sorted(
-        r["name"] for r in df.collect()
+    rep: dict = {}
+    out = fix_typos(
+        df, columns=["name"], method="fuzzy_match", max_distinct=100, report=rep
     )
+    assert rep["name"]["method"] == "lsh_approx"
+    assert rep["name"]["truncated"] is False
+    assert out.count() == 5000
+    # random hex values are nowhere near 0.8 difflib-similar → no merges
+    assert rep["name"]["corrections"] == 0
+
+
+def test_fuzzy_match_lsh_path_recovers_planted_typo(spark):
+    # 300 random-hex distinct values push the domain past the gate; a
+    # planted frequent/rare spelling pair must still be unified by the
+    # approximate path, with the same difflib verification as the exact
+    # path.
+    base = spark.range(300).select(F.md5(F.col("id").cast("string")).alias("et"))
+    planted = spark.createDataFrame(
+        [("spark",)] * 50 + [("sparkk",)] * 3, "et: string"
+    )
+    df = base.unionByName(planted)
+    rep: dict = {}
+    out = fix_typos(
+        df, columns=["et"], method="fuzzy_match", max_distinct=100, report=rep
+    )
+    assert rep["et"]["method"] == "lsh_approx"
+    assert rep["et"]["corrections"] >= 1
+    assert out.where(F.col("et") == "sparkk").count() == 0
+    assert out.where(F.col("et") == "spark").count() == 53
+
+
+def test_fuzzy_match_exact_path_reports(spark):
+    rows = [("click",)] * 50 + [("clickk",)] * 3
+    df = spark.createDataFrame(rows, "et: string")
+    rep: dict = {}
+    fix_typos(df, columns=["et"], method="fuzzy_match", max_distinct=100,
+              report=rep)
+    assert rep["et"]["method"] == "exact"
+    assert rep["et"]["n_distinct"] == 2
+    assert rep["et"]["corrections"] == 1
 
 
 def test_fuzzy_match_still_runs_under_gate(spark):
