@@ -471,6 +471,32 @@ def q_y2_y3_difflib_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_typos(out, columns=["et_s"], method="spell_check", similarity_threshold=0.8)
 
 
+def q_y2_lsh_fuzzy_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y2 SCALE path: the synthetic domain (md5-prefix categories + a
+    trailing-'x' typo on every 13th customer) exceeds ``max_distinct``, so
+    fuzzy_match runs char-3-gram MinHash LSH candidate generation
+    (typo_fix._lsh_fuzzy_map) instead of the O(u²) driver loop. The
+    outcome is closed-form: every typo value unifies to its base (the base
+    is strictly more frequent; distinct md5 prefixes are nowhere near the
+    0.8 difflib threshold, so nothing else merges) — the oracle just
+    recomputes the base for every row."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = F.substring(F.md5((F.col("c_custkey") % 40).cast("string")), 1, 12)
+    df = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.concat(base, F.lit("x")))
+        .otherwise(base)
+        .alias("seg"),
+    )
+    rep: dict = {}
+    out = fix_typos(
+        df, columns=["seg"], method="fuzzy_match",
+        similarity_threshold=0.8, max_distinct=50, report=rep,
+    )
+    assert rep["seg"]["method"] == "lsh_approx", rep
+    return out
+
+
 def q_y4_typo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataforge_spark.operators.typo_fix import typo_statistics
 
@@ -868,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_lsh_topk": q_sim_lsh_topk,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "y2_lsh_fuzzy_scale": q_y2_lsh_fuzzy_scale,
         # --- driver-green in round 2 ---
         "s1_csv_roundtrip": q_s1_csv_roundtrip,
         "s4_profile": q_s4_profile,
@@ -1159,6 +1186,15 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN event_id % 97 = 0 THEN 'click' ELSE event_type END AS et_f,
           CASE WHEN event_id = 500 THEN 'view' ELSE event_type END AS et_s
         FROM events
+    """
+
+    # y2 scale path: LSH-candidate fuzzy matching on a constructed domain
+    # whose correct outcome is closed-form — every typo ('x'-suffixed md5
+    # prefix) returns to its base category.
+    sql["y2_lsh_fuzzy_scale"] = """
+        SELECT c_custkey,
+          substr(md5((c_custkey % 40)::VARCHAR), 1, 12) AS seg
+        FROM customer
     """
 
     sql["y4_typo_stats"] = """
