@@ -296,14 +296,27 @@ def q_m8_m9_ordered_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 forward-fill + M9 backward-fill in one row: two independently
     null-injected copies of the value column, ffilled and bfilled
     respectively in event_id order."""
-    ev = _events(spark, sf_dir).select(
-        "event_id",
-        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")).alias("value"),
-        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")).alias("value_bf"),
+    ev = _events(spark, sf_dir)
+    # The two fills touch INDEPENDENT columns, so run them as independent
+    # subplans joined on the key — chaining them would re-execute the
+    # first fill's window lineage inside the second's statistics job.
+    f = fix_missing_values(
+        ev.select(
+            "event_id",
+            F.when(F.col("event_id") % 5 == 0, None)
+            .otherwise(F.col("value")).alias("value"),
+        ),
+        "forward_fill", columns=["value"], order_col="event_id",
     )
-    out = fix_missing_values(ev, "forward_fill", columns=["value"], order_col="event_id")
-    out = fix_missing_values(out, "backward_fill", columns=["value_bf"], order_col="event_id")
-    return out.select(
+    b = fix_missing_values(
+        ev.select(
+            "event_id",
+            F.when(F.col("event_id") % 7 == 0, None)
+            .otherwise(F.col("value")).alias("value_bf"),
+        ),
+        "backward_fill", columns=["value_bf"], order_col="event_id",
+    )
+    return f.join(b, "event_id").select(
         "event_id",
         F.round("value", 2).alias("value"),
         F.round("value_bf", 2).alias("value_bf"),

