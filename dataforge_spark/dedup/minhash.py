@@ -49,7 +49,9 @@ def minhash_signatures(
     # (Alternatives measured at sf0.1: higher-order-function transforms are
     # interpreted, not codegen'd — 167 s; 64 separate xxhash64(string)
     # aggregates — 16 s; this formulation — see BENCH.)
-    sh = df.select(
+    from ..partitioning import ensure_parallelism
+
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     ).select("id", F.xxhash64("s").alias("h"))
@@ -120,7 +122,9 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
     cands = candidate_pairs(sigs, bands, rows_per_band)
 
-    sh = df.select(
+    from ..partitioning import ensure_parallelism
+
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("sh"),
     )

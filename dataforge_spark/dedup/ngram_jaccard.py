@@ -47,8 +47,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with Jaccard ≥ threshold
     (id_a < id_b), jaccard rounded to 6dp."""
+    from ..partitioning import ensure_parallelism
+
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
     )
     if max_df is not None:
         hot = sh.groupBy("s").count().where(F.col("count") > max_df).select("s")

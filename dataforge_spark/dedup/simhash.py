@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash: bigint)."""
-    toks = df.select(
+    from ..partitioning import ensure_parallelism
+
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

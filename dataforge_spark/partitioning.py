@@ -25,6 +25,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Rebalance an under-partitioned input to cluster parallelism before
+    CPU-bound per-row work (shingling, hashing, Arrow matmuls).
+
+    A single-row-group parquet file scans as ONE task no matter how
+    ``maxPartitionBytes`` is set — Spark can only split scans at row-group
+    boundaries — so a compute-heavy projection over such a file runs on
+    one core of the whole cluster. At production scale inputs arrive as
+    many files/row groups and this is a no-op (gated on the ACTUAL scan
+    partition count, so it never adds a shuffle to an already-parallel
+    plan)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_salt(df: DataFrame, salt: int, col_name: str = "_salt") -> DataFrame:
     """Deterministic per-row salt in [0, salt): hash of the whole row —
     no RNG, so retries/recomputes agree."""

@@ -65,7 +65,12 @@ def profile_df(
     count_distinct multiplies the aggregate's shuffled state by the
     column's cardinality, while the sketch is a fixed few KB per column —
     profiling dashboards should always run approx."""
+    from .partitioning import ensure_parallelism
+
     cd = F.approx_count_distinct if approx else F.count_distinct
+    # The exact-distinct partials are the expensive half of this job;
+    # rebalance single-row-group inputs so they don't run on one core.
+    df = ensure_parallelism(df)
     fields = [f for f in _user_fields(df) if columns is None or f.name in columns]
     cols = [f.name for f in fields]
     all_cols = [f.name for f in _user_fields(df)]
