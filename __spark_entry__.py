@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from dataforge_spark import io as dfio
 from dataforge_spark.dedup.exact import dedup_exact
 from dataforge_spark.dedup.embedding import cosine_neardup_pairs, lsh_neardup_pairs
+from dataforge_spark.dedup.components import connected_components
 from dataforge_spark.dedup.minhash import minhash_dedup_pairs
 from dataforge_spark.dedup.ngram_jaccard import jaccard_pairs
 from dataforge_spark.dedup.simhash import simhash_pairs
@@ -265,22 +266,17 @@ def q_m3_m4_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_m5_fill_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_m5_m6_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 mean-fill + M6 exact-median-fill as one tagged union (both
+    strategies attested in a single driver row)."""
     df = _li_nulls(spark, sf_dir)
-    out = fix_missing_values(df, "fill_mean", columns=["qty", "price", "flag"])
-    return out.select(
-        "l_orderkey", "l_linenumber",
+    a = fix_missing_values(df, "fill_mean", columns=["qty", "price", "flag"])
+    b = fix_missing_values(df, "fill_median", columns=["qty", "price", "flag"])
+    sel = lambda d, v: d.select(  # noqa: E731
+        F.lit(v).alias("variant"), "l_orderkey", "l_linenumber",
         F.round("qty", 4).alias("qty"), F.round("price", 4).alias("price"), "flag",
     )
-
-
-def q_m6_fill_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _li_nulls(spark, sf_dir)
-    out = fix_missing_values(df, "fill_median", columns=["qty", "price", "flag"])
-    return out.select(
-        "l_orderkey", "l_linenumber",
-        F.round("qty", 4).alias("qty"), F.round("price", 4).alias("price"), "flag",
-    )
+    return sel(a, "mean").unionByName(sel(b, "median"))
 
 
 def q_m7_fill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,6 +578,32 @@ def q_n6_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q25", 4).alias("q25"), F.round("q75", 4).alias("q75"),
         F.round("skew", 3).alias("skew"), F.round("kurt", 3).alias("kurt"),
     )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: two copy tiers (every 5th doc
+    at +100000, every 10th ALSO at +200000) make the %10 docs 3-node
+    components. MinHash@0.9 pairs (banding recall ≥ 1−4e-8 at this
+    threshold, deterministic hashes) feed distributed connected
+    components (dedup/components.py — min-label propagation with pointer
+    jumping); the oracle recomputes the pair graph with exact Jaccard and
+    resolves components with a recursive CTE. Output: (id, component) for
+    every doc appearing in at least one pair."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    pairs = minhash_dedup_pairs(d2, text_col="text", id_col="doc_id",
+                                n=3, num_perm=64, bands=16, threshold=0.9)
+    return connected_components(pairs, "id_a", "id_b")
 
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,8 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_profile": q_s4_profile,
         "m1_m2_drop_rows": q_m1_m2_drop_rows,
         "m3_m4_drop_columns": q_m3_m4_drop_columns,
-        "m5_fill_mean": q_m5_fill_mean,
-        "m6_fill_median": q_m6_fill_median,
+        "m5_m6_fill_stats": q_m5_m6_fill_stats,
+        "dedup_components": q_dedup_components,
         "m7_fill_mode": q_m7_fill_mode,
         "m8_m9_ordered_fill": q_m8_m9_ordered_fill,
         "d1_dedup_keep_first": q_d1_dedup_keep_first,
@@ -1000,18 +1022,15 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
     """
 
-    sql["m5_fill_mean"] = f"""
+    sql["m5_m6_fill_stats"] = f"""
         WITH t AS ({LI_SQL})
-        SELECT l_orderkey, l_linenumber,
+        SELECT 'mean' AS variant, l_orderkey, l_linenumber,
           round(coalesce(qty,  (SELECT avg(qty) FROM t)), 4) AS qty,
           round(coalesce(price,(SELECT avg(price) FROM t)), 4) AS price,
           coalesce(flag, {mode.format(c='flag')}) AS flag
         FROM t
-    """
-
-    sql["m6_fill_median"] = f"""
-        WITH t AS ({LI_SQL})
-        SELECT l_orderkey, l_linenumber,
+        UNION ALL
+        SELECT 'median', l_orderkey, l_linenumber,
           round(coalesce(qty,  (SELECT quantile_cont(qty, 0.5) FROM t)), 4) AS qty,
           round(coalesce(price,(SELECT quantile_cont(price, 0.5) FROM t)), 4) AS price,
           coalesce(flag, {mode.format(c='flag')}) AS flag
@@ -1293,6 +1312,47 @@ def oracle_sql() -> dict[str, str]:
     sql["n6_scaling_stats"] = (
         _stats_row("l_quantity") + " UNION ALL " + _stats_row("l_extendedprice")
     )
+
+    sql["dedup_components"] = r"""
+        WITH RECURSIVE docs2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM docs2
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+          FROM toks, UNNEST(CASE WHEN len(w) >= 3
+                            THEN generate_series(1, len(w) - 2) ELSE [] END) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE c / (sa.n_sh + sb.n_sh - c)::DOUBLE >= 0.9
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+        )
+        SELECT id, min(r) AS component FROM reach GROUP BY id
+    """
 
     sql["dedup_exact_docs"] = """
         SELECT doc_id, text FROM documents

@@ -31,7 +31,7 @@ from dataforge_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family + the scale-relevant extensions.
 BENCH_QUERIES = [
     "s4_profile",
-    "m5_fill_mean",
+    "m5_m6_fill_stats",
     "m8_m9_ordered_fill",
     "d1_dedup_keep_first",
     "o6_iqr_cap",

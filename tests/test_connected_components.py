@@ -1,0 +1,67 @@
+"""connected_components vs a driver-side union-find oracle, including the
+chain case where greedy edge-wise dedup over-deletes."""
+
+from pyspark.sql import functions as F
+
+from dataforge_spark.dedup.components import (
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_union_find(edges).items())
+    assert got == want
+
+
+def test_chain_cycle_and_separate_components(spark):
+    _check(
+        spark,
+        [
+            (1, 2), (2, 3), (3, 4),          # chain → all comp 1
+            (10, 11), (11, 12), (12, 10),    # cycle → comp 10
+            (20, 21),                        # pair
+        ],
+    )
+
+
+def test_long_chain_converges(spark):
+    _check(spark, [(i, i + 1) for i in range(0, 40)])
+
+
+def test_star_and_reversed_ids(spark):
+    _check(spark, [(5, 1), (5, 2), (5, 3), (9, 5)])
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    # chain 0-1-2 plus pair 5-6: survivors = {0, 3, 4, 5, 7}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = dedup_by_components(docs, pairs)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 4, 5, 7]

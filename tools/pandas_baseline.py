@@ -56,13 +56,17 @@ def b_s4_profile():
     return out
 
 
-def b_m5_fill_mean():
-    df = li_nulls()
+def b_m5_m6_fill_stats():
+    a = li_nulls()
     for c in ("qty", "price"):
-        df[c] = df[c].fillna(df[c].mean())
-    mode = df["flag"].mode().iloc[0]
-    df["flag"] = df["flag"].fillna(mode)
-    return df.shape
+        a[c] = a[c].fillna(a[c].mean())
+    b = li_nulls()
+    for c in ("qty", "price"):
+        b[c] = b[c].fillna(b[c].median())
+    for d in (a, b):
+        mode = d["flag"].mode().iloc[0]
+        d["flag"] = d["flag"].fillna(mode)
+    return (a.shape[0] + b.shape[0], a.shape[1])
 
 
 def b_m8_m9_ordered_fill():
@@ -313,7 +317,7 @@ def b_pipeline_e2e():
 
 BENCHES = {
     "s4_profile": b_s4_profile,
-    "m5_fill_mean": b_m5_fill_mean,
+    "m5_m6_fill_stats": b_m5_m6_fill_stats,
     "m8_m9_ordered_fill": b_m8_m9_ordered_fill,
     "d1_dedup_keep_first": b_d1_dedup,
     "o6_iqr_cap": b_o6_iqr_cap,
