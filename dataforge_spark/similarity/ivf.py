@@ -77,39 +77,36 @@ def with_ivf_bucket(
     return df.withColumn(out_col, assign(F.col(vec_col)))
 
 
-def ivf_cosine_topk(
-    corpus: DataFrame,
+def _probe_and_score(
+    c: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    centroids: np.ndarray | None = None,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    prune_buckets: bool = False,
 ) -> DataFrame:
-    """Same output contract as brute_force.cosine_topk
-    (query_id, neighbor_id, cos_sim rounded 6dp, deterministic
-    tie-break); approximate unless ``nprobe >= n_centroids``."""
-    if centroids is None:
-        centroids = fit_centroids(corpus, vec_col, k=n_centroids)
+    """Shared probe/score tail for the in-memory and on-disk index paths.
+    ``c`` must have (neighbor_id, _cvec, _ivf_bucket). With
+    ``prune_buckets`` the union of probed buckets is applied as an
+    ``isin`` filter FIRST — on a bucket-partitioned index read that is a
+    partition-pruning predicate, so unprobed buckets are never scanned."""
     nprobe = min(nprobe, len(centroids))
-
-    c = with_ivf_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
-        centroids, "_cvec",
-    )
-
     # Probed buckets per query: tiny driver-side matmul (queries are the
     # small side by construction), broadcast back as (query_id, bucket).
     q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]
-    spark = corpus.sparkSession
+    spark = c.sparkSession
     probes = spark.createDataFrame(
         [(int(r[0]), int(b)) for r, row in zip(q_rows, order) for b in row],
         "query_id bigint, _ivf_bucket int",
     )
+    if prune_buckets:
+        probed = sorted({int(b) for row in order for b in row})
+        c = c.where(F.col("_ivf_bucket").isin(probed))
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
 
     joined = (
@@ -129,4 +126,85 @@ def ivf_cosine_topk(
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Same output contract as brute_force.cosine_topk
+    (query_id, neighbor_id, cos_sim rounded 6dp, deterministic
+    tie-break); approximate unless ``nprobe >= n_centroids``."""
+    if centroids is None:
+        centroids = fit_centroids(corpus, vec_col, k=n_centroids)
+
+    c = with_ivf_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        centroids, "_cvec",
+    )
+    return _probe_and_score(c, queries, centroids, k, nprobe, id_col, vec_col)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF index AT REST: vectors written as parquet
+    partitioned by ``_ivf_bucket`` (one directory per coarse cell), the
+    centroid matrix as a tiny parquet sidecar. Searching the stored index
+    prunes to the probed buckets at the SCAN — at 100 TB a query touches
+    ~nprobe/n_centroids of the data and the rest is never read. Assign is
+    one map over the corpus, done once at write time."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = fit_centroids(corpus, vec_col, k=n_centroids, seed=seed)
+    bucketed = with_ivf_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        centroids, "_cvec",
+    )
+    bucketed.write.mode("overwrite").partitionBy("_ivf_bucket").parquet(
+        f"{path}/vectors"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "bucket int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("bucket").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a ``write_ivf_index`` index. The probed-bucket ``isin``
+    filter lands on the partition column, so the scan's PartitionFilters
+    prune unprobed bucket directories entirely (visible in
+    ``.explain``). Results are identical to ``ivf_cosine_topk`` with the
+    same centroids."""
+    centroids = read_ivf_centroids(spark, path)
+    c = spark.read.parquet(f"{path}/vectors")
+    return _probe_and_score(
+        c, queries, centroids, k, nprobe, id_col, vec_col, prune_buckets=True
     )

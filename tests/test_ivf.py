@@ -40,3 +40,29 @@ def test_fit_centroids_normalized(spark, embeddings):
     assert C.shape[1] == 64
     norms = np.linalg.norm(C, axis=1)
     assert np.allclose(norms, 1.0, atol=1e-9)
+
+
+def test_disk_index_equals_memory_and_prunes_partitions(spark, embeddings, tmp_path):
+    from dataforge_spark.similarity.ivf import (
+        read_ivf_centroids,
+        search_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_idx")
+    centroids = write_ivf_index(embeddings, path, n_centroids=8, seed=42)
+    assert read_ivf_centroids(spark, path).shape == centroids.shape
+
+    queries = embeddings.orderBy("vec_id").limit(5)
+    on_disk = search_ivf_index(spark, path, queries, k=5, nprobe=2)
+    in_mem = ivf_cosine_topk(
+        embeddings, queries, k=5, nprobe=2, centroids=centroids
+    )
+    assert sorted(map(tuple, on_disk.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
+
+    # the probed-bucket filter must reach the scan as a partition filter
+    plan = on_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_ivf_bucket" in plan
