@@ -74,6 +74,7 @@ def exact_quantiles(
     relative_error: float = 1e-4,
     max_collect: int = 1_000_000,
     max_depth: int = 3,
+    small_input_bytes: int | None = 64 << 20,
 ) -> dict[str, list[float | None]]:
     """Exact quantiles for every (column, prob) pair; values identical to
     ``F.expr("percentile(col, q)")`` on NaN-free input. Returns
@@ -97,6 +98,37 @@ def exact_quantiles(
             for c in columns
         ]
     )
+
+    # Adaptive small-input path: below ``small_input_bytes`` (per the
+    # optimizer's size estimate) percentile()'s one-pass cost beats three
+    # sketch/count/collect jobs, and its distinct-value map is harmless at
+    # that size. Same values either way (bit-exact, property-tested); the
+    # bracketed path is the scale path. Unknown/huge estimates (e.g.
+    # in-memory frames default to "infinite") take the bracketed path —
+    # the conservative choice.
+    if small_input_bytes is not None:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = None
+        if size is not None and 0 <= size <= small_input_bytes:
+            arr = ",".join(repr(q) for q in probs)
+            row = sel.agg(
+                *[
+                    F.expr(f"percentile({c}, array({arr}))").alias(c)
+                    for c in columns
+                ]
+            ).collect()[0]
+            return {
+                c: (
+                    [float(v) for v in row[c]]
+                    if row[c] is not None and row[c][0] is not None
+                    else [None] * len(probs)
+                )
+                for c in columns
+            }
 
     pad = 4.0 * relative_error
     padded = sorted({p for q in probs for p in

@@ -33,9 +33,14 @@ def test_matches_percentile_bitwise(spark, maker):
     vals = maker(rng)
     rows = [(float(v),) if i % 11 else (None,) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "x double")
-    mine = exact_quantiles(df, ["x"], PROBS)["x"]
+    # force the bracketed (scale) path — small in-memory frames would
+    # otherwise take the single-pass percentile shortcut
+    mine = exact_quantiles(df, ["x"], PROBS, small_input_bytes=None)["x"]
     ref = _reference(df, "x", PROBS)
     assert mine == [float(r) for r in ref]
+    # the adaptive small-input shortcut must agree exactly
+    fast = exact_quantiles(df, ["x"], PROBS)["x"]
+    assert fast == mine
 
 
 def test_small_and_empty_inputs(spark):
@@ -47,10 +52,12 @@ def test_small_and_empty_inputs(spark):
 
 def test_multi_column_one_call(spark, lineitem):
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    mine = exact_quantiles(lineitem, cols, [0.25, 0.75])
-    for c in cols:
-        ref = _reference(lineitem, c, [0.25, 0.75])
-        assert mine[c] == [float(r) for r in ref]
+    for gate in (None, 64 << 20):  # bracketed path and adaptive shortcut
+        mine = exact_quantiles(lineitem, cols, [0.25, 0.75],
+                               small_input_bytes=gate)
+        for c in cols:
+            ref = _reference(lineitem, c, [0.25, 0.75])
+            assert mine[c] == [float(r) for r in ref]
 
 
 def test_refinement_path_still_exact(spark):
