@@ -6,6 +6,8 @@ Commands mirror the service surface without HTTP:
             --output cleaned.csv [--single-file] [--bug-compat]
     profile --input data.csv            (JSON profile to stdout)
     info                                (capability manifest to stdout)
+    serve   [--port 8000] [--host 127.0.0.1] [--upload-dir uploads]
+            (stdlib HTTP server: REST surface + /ui frontend)
 """
 
 from __future__ import annotations
@@ -45,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("info", help="print the capability manifest")
 
+    sv = sub.add_parser("serve", help="serve the REST API + frontend (stdlib HTTP)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--upload-dir", default="uploads")
+    sv.add_argument("--verbose", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "info":
@@ -52,6 +60,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_spark("dataforge_cli")
+    if args.cmd == "serve":
+        from .http_server import serve
+
+        server = serve(spark, args.host, args.port, args.upload_dir,
+                       quiet=not args.verbose)
+        host, port = server.server_address[:2]
+        print(f"serving on http://{host}:{port}  (UI at /ui)", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+
     if args.cmd == "profile":
         df = _read(spark, args.input)
         print(json.dumps(sanitize_for_json(dataset_info(df)), indent=2, default=str))
