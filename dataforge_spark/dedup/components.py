@@ -36,11 +36,18 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``;
-    ``component`` is the smallest id in the node's connected component.
+    ``component`` is the smallest id in the node's connected component
+    (numeric min for numeric ids, lexicographic min for strings — min-label
+    propagation only needs an orderable id type, so ids keep their native
+    type; a forced numeric cast would silently NULL string/uuid ids and
+    turn the downstream dedup into a no-op).
     Deterministic regardless of partitioning."""
-    half = pairs.select(
-        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
-    )
+    import pyspark.sql.types as T
+
+    dt = pairs.schema[id_a].dataType
+    numeric = isinstance(dt, T.NumericType)
+    key = (lambda c: F.col(c).cast("long")) if numeric else (lambda c: F.col(c))
+    half = pairs.select(key(id_a).alias("u"), key(id_b).alias("v"))
     edges = (
         half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -49,6 +56,7 @@ def connected_components(
     labels = edges.select("u").distinct().select("u", F.col("u").alias("comp"))
 
     prev_sum = None
+    prev_labels = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -79,10 +87,23 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        s = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
-        if s == prev_sum:
-            break
-        prev_sum = s
+        if numeric:
+            # labels only ever decrease, so an unchanged sum == fixpoint.
+            s = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+            if s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            # no monotone scalar for strings: exact changed-row check
+            # between two checkpointed frames (same key, cheap join).
+            if prev_labels is not None and (
+                labels.alias("a")
+                .join(prev_labels.alias("b"), "u")
+                .where(F.col("a.comp") != F.col("b.comp"))
+                .isEmpty()
+            ):
+                break
+            prev_labels = labels
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
 
 

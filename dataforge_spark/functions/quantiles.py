@@ -47,6 +47,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _quoted(c: str) -> str:
+    """Backtick-quote an identifier for F.expr (column names with spaces,
+    hyphens or reserved words otherwise break the SQL parse)."""
+    return "`" + c.replace("`", "``") + "`"
+
+
 def _interpolate(values_sorted, n: int, q: float, offset: int):
     """Exact linear interpolation from a sorted bracket slice.
     ``values_sorted`` holds the column's order statistics for global
@@ -117,7 +123,7 @@ def exact_quantiles(
             arr = ",".join(repr(q) for q in probs)
             row = sel.agg(
                 *[
-                    F.expr(f"percentile({c}, array({arr}))").alias(c)
+                    F.expr(f"percentile({_quoted(c)}, array({arr}))").alias(c)
                     for c in columns
                 ]
             ).collect()[0]
@@ -156,46 +162,75 @@ def exact_quantiles(
     row = sel.agg(*aggs).collect()[0].asDict()
 
     # Collect pass: sorted in-bracket values for every pair that fits.
+    # Pairs are CHUNKED so one job never materializes more than
+    # ~max_collect values in total — the per-pair gate alone would let a
+    # wide frame (many columns × probs) collect columns·probs·max_collect
+    # values into a single driver Row.
     out: dict[str, list[float | None]] = {c: [None] * len(probs) for c in columns}
-    collect_aggs = []
-    collect_keys = []
+    chunks: list[list[tuple[str, int]]] = []
+    chunk: list[tuple[str, int]] = []
+    chunk_rows = 0
     refine = []
     for (c, j), (lo, hi) in brackets.items():
         n = int(row[f"n__{c}"] or 0)
         if n == 0:
             continue
         within = int(row[f"w__{c}__{j}"] or 0)
-        if within <= max_collect:
-            collect_keys.append((c, j))
-            collect_aggs.append(
+        if within > max_collect:
+            refine.append((c, j))
+            continue
+        if chunk and chunk_rows + within > max_collect:
+            chunks.append(chunk)
+            chunk, chunk_rows = [], 0
+        chunk.append((c, j))
+        chunk_rows += within
+    if chunk:
+        chunks.append(chunk)
+    for keys in chunks:
+        vrow = sel.agg(
+            *[
                 F.sort_array(
                     F.collect_list(
-                        F.when(F.col(c).between(lo, hi), F.col(c))
+                        F.when(
+                            F.col(c).between(*brackets[(c, j)]), F.col(c)
+                        )
                     )
                 ).alias(f"v__{c}__{j}")
-            )
-        else:
-            refine.append((c, j))
-    if collect_aggs:
-        vrow = sel.agg(*collect_aggs).collect()[0].asDict()
-        for c, j in collect_keys:
+                for c, j in keys
+            ]
+        ).collect()[0].asDict()
+        for c, j in keys:
             n = int(row[f"n__{c}"] or 0)
             below = int(row[f"b__{c}__{j}"] or 0)
             v = _interpolate(vrow[f"v__{c}__{j}"], n, probs[j], below)
             if v is None:
-                refine.append((c, j))  # bracket missed → refine path
+                refine.append((c, j))  # bracket missed → recovery path
             else:
                 out[c][j] = v
 
     for c, j in refine:
         n = int(row[f"n__{c}"] or 0)
-        below = int(row[f"b__{c}__{j}"] or 0)
-        lo, hi = brackets[(c, j)]
-        out[c][j] = _refine(
-            sel.where(F.col(c).between(lo, hi)).select(c),
-            c, n, probs[j], below,
-            relative_error, max_collect, max_depth - 1,
-        )
+        within = int(row[f"w__{c}__{j}"] or 0)
+        if within > max_collect:
+            # Oversized bracket: narrow it by rank inside the bracket.
+            below = int(row[f"b__{c}__{j}"] or 0)
+            lo, hi = brackets[(c, j)]
+            out[c][j] = _refine(
+                sel.where(F.col(c).between(lo, hi)).select(c),
+                c, n, probs[j], below,
+                relative_error, max_collect, max_depth - 1,
+            )
+        else:
+            # Bracket MISSED the needed ranks (sketch guarantee violated —
+            # defensive). Re-filtering to the same bracket can never
+            # recover, so restart rank-windowed refinement from the FULL
+            # column: _refine re-sketches its own window around the exact
+            # ranks it needs, independent of the failed bracket.
+            out[c][j] = _refine(
+                sel.select(c).where(F.col(c).isNotNull()),
+                c, n, probs[j], 0,
+                relative_error, max_collect, max_depth,
+            )
     return out
 
 
@@ -243,5 +278,7 @@ def _refine(
     # one value repeats > max_collect times.)
     cnt = sub.count()
     local_q = min(1.0, max(0.0, ((n - 1) * q - below) / max(cnt - 1, 1)))
-    r = sub.agg(F.expr(f"percentile({c}, {local_q!r})").alias("p")).collect()[0]["p"]
+    r = sub.agg(
+        F.expr(f"percentile({_quoted(c)}, {local_q!r})").alias("p")
+    ).collect()[0]["p"]
     return float(r) if r is not None else None

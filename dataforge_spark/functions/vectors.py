@@ -48,17 +48,61 @@ def l2_distance(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def to_matrix(
+    vals: list, dim: int | None = None
+) -> tuple[np.ndarray, "np.ndarray | None"]:
+    """Arrow batch of array-typed values → ``(n, d)`` float64 matrix plus a
+    bad-row mask (or None when the batch is clean). NULL, ragged-length,
+    or non-numeric rows are zeroed and flagged instead of failing the
+    task — shared by every batched vector scorer (cosine, LSH buckets,
+    IVF assignment). The clean path is a single vectorized ``np.array``;
+    the row-wise salvage only runs when that fails."""
+    try:
+        X = np.array(vals, dtype=np.float64)
+        if X.ndim == 2 and (dim is None or X.shape[1] == dim):
+            return X, None
+        raise ValueError
+    except (ValueError, TypeError):
+        if dim is None:
+            dims = [len(x) for x in vals if x is not None]
+            dim = max(dims, default=1)
+        X = np.zeros((len(vals), dim), dtype=np.float64)
+        bad = np.zeros(len(vals), dtype=bool)
+        for i, x in enumerate(vals):
+            if x is None or len(x) != dim:
+                bad[i] = True
+                continue
+            try:
+                X[i] = np.asarray(x, dtype=np.float64)
+            except (ValueError, TypeError):
+                bad[i] = True
+        return X, bad
+
+
 def batch_cosine_udf():
     """Pairwise cosine(a, b) as an Arrow-batched pandas UDF: one
     vectorized row-wise dot + norm per batch (float64). Zero-norm inputs
-    score 0.0, matching ``cosine`` above."""
+    score 0.0, matching ``cosine`` above; NULL or ragged-length vectors
+    score NULL (the Column formulation's behavior) instead of failing
+    the task."""
 
     @F.pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        X = np.array(a.tolist(), dtype=np.float64)
-        Y = np.array(b.tolist(), dtype=np.float64)
+        X, bad_x = to_matrix(a.tolist())
+        Y, bad_y = to_matrix(b.tolist())
+        if X.shape[1] != Y.shape[1]:  # a-vs-b length mismatch: all NULL
+            return pd.Series([None] * len(a), dtype="float64")
         num = np.einsum("nd,nd->n", X, Y)
         den = np.linalg.norm(X, axis=1) * np.linalg.norm(Y, axis=1)
-        return pd.Series(np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0))
+        out = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        if bad_x is not None or bad_y is not None:
+            bad = (bad_x if bad_x is not None else False) | (
+                bad_y if bad_y is not None else False
+            )
+            return pd.Series(
+                [None if bad[i] else float(v) for i, v in enumerate(out)],
+                dtype="float64",
+            )
+        return pd.Series(out)
 
     return cos

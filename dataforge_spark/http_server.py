@@ -33,6 +33,7 @@ import json
 import os
 import shutil
 import threading
+import uuid
 from email.parser import BytesParser
 from email.policy import default as default_policy
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -98,6 +99,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(200)
         self.send_header("Content-Type", "text/csv")
         self.send_header("Content-Length", str(size))
+        self.send_header("Access-Control-Allow-Origin", "*")
         self.send_header(
             "Content-Disposition", f'attachment; filename="{download_name}"'
         )
@@ -130,6 +132,16 @@ class _Handler(BaseHTTPRequestHandler):
         return self.rfile.read(length) if length else b""
 
     # -- routing -------------------------------------------------------------
+    def do_OPTIONS(self) -> None:  # noqa: N802
+        # CORS preflight: the frontend supports a cross-origin API base
+        # (?api=...), and browsers preflight DELETE/POST before sending.
+        self.send_response(204)
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Methods", "GET, POST, DELETE, OPTIONS")
+        self.send_header("Access-Control-Allow-Headers", "Content-Type")
+        self.send_header("Access-Control-Max-Age", "86400")
+        self.end_headers()
+
     def do_GET(self) -> None:  # noqa: N802
         path = urlparse(self.path).path
         if path == "/":
@@ -183,8 +195,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json({"detail": "multipart field 'file' required"}, 400)
                 return
             filename, payload = file_field
+            # unique per request: concurrent uploads of the same filename on
+            # the threading server must not race on one temp path
             tmp = os.path.join(
-                self.service.upload_dir, f".tmp_{os.path.basename(filename)}"
+                self.service.upload_dir,
+                f".tmp_{uuid.uuid4().hex}_{os.path.basename(filename)}",
             )
             os.makedirs(self.service.upload_dir, exist_ok=True)
             with open(tmp, "wb") as f:

@@ -95,6 +95,11 @@ def _distributed_codes(dv: DataFrame, prefix_len: int = 3) -> DataFrame:
     Skew caveat: one bucket per distinct ``prefix_len``-char prefix; a
     domain sharing a single long prefix degrades toward one task — raise
     ``prefix_len`` for such domains."""
+    # dv is a distinct() over the full column — the heaviest scan here.
+    # It is consumed twice (bucket counts + the ranked join) and its output
+    # feeds a third join back to the caller's frame; checkpoint so the
+    # distinct shuffle runs once instead of per consumer.
+    dv = dv.localCheckpoint(eager=False)
     prefix = F.substring(F.col("__v"), 1, prefix_len)
     bucket_counts = (
         dv.groupBy(prefix.alias("__p")).agg(F.count(F.lit(1)).alias("__n")).collect()

@@ -272,7 +272,12 @@ def fix_missing_values(
             dtypes = {f.name: f.dataType for f in df.schema.fields}
             for c in num:
                 v = stats[c]
-                fills[c] = float(v) if v is not None else 0.0
+                if v is None:
+                    # all-null column: no statistic to fill from — leave the
+                    # NULLs (pandas fillna(NaN) likewise leaves NaN) rather
+                    # than inventing 0.0.
+                    continue
+                fills[c] = float(v)
                 if isinstance(dtypes[c], int_types) and fills[c] != int(fills[c]):
                     out = out.withColumn(c, F.col(c).cast("double"))
         if cat:

@@ -78,6 +78,8 @@ def normalize_data(
         qs = exact_quantiles(df, cols, [0.25, 0.5, 0.75])
         out = df
         for c in cols:
+            if any(x is None for x in qs[c]):  # all-null column: leave as-is
+                continue
             q1, med, q3 = (float(x) for x in qs[c])
             iqr = (q3 - q1) or 1.0
             params[c] = {"center": med, "scale": iqr}

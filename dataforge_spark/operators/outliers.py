@@ -44,7 +44,7 @@ def outlier_bounds(
         out = {}
         for c in cols:
             q1, q3 = qs[c]
-            if q1 is None:
+            if q1 is None or q3 is None:
                 out[c] = None
                 continue
             iqr = q3 - q1

@@ -100,7 +100,10 @@ def boundary_scrub(df: DataFrame) -> DataFrame:
         from .functions.quantiles import exact_quantiles
 
         meds = {c: v[0] for c, v in exact_quantiles(out, num, [0.5]).items()}
-        out = out.na.fill({c: float(meds[c]) if meds[c] is not None else 0.0 for c in num})
+        # all-null columns have no median; pandas fillna leaves them NaN
+        out = out.na.fill(
+            {c: float(meds[c]) for c in num if meds[c] is not None}
+        )
     str_cols = [c for c in _data_cols(df, None) if c not in num and dict(df.dtypes)[c] == "string"]
     if str_cols:
         out = out.na.fill({c: "" for c in str_cols})

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import to_matrix
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -48,6 +50,12 @@ def cosine_topk(
             f"cosine_topk broadcasts the query set; got > {max_queries} queries — "
             "use lsh_cosine_topk / ivf_cosine_topk for corpus-scale query sides"
         )
+    q_rows = [r for r in q_rows if r[1] is not None]  # null-vector queries: no hits
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+        )
     qids = [r[0] for r in q_rows]
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -57,11 +65,17 @@ def cosine_topk(
     @F.pandas_udf("array<double>")
     def scores(v: pd.Series) -> pd.Series:
         Qm = bc.value
-        X = np.array(v.tolist(), dtype=np.float64)
+        # NULL / ragged corpus vectors score NULL (posexplode then drops
+        # the row) — the Column-cosine this replaced degraded the same way.
+        X, bad = to_matrix(v.tolist(), Qm.shape[1])
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         Xn = np.divide(X, norms, out=np.zeros_like(X), where=norms > 0)
         S = Xn @ Qm.T  # (batch, q)
-        return pd.Series(list(S))
+        if bad is None:
+            return pd.Series(list(S))
+        return pd.Series(
+            [None if bad[i] else row for i, row in enumerate(S.tolist())]
+        )
 
     qid_arr = F.array(*[F.lit(q) for q in qids])
     scored = corpus.select(

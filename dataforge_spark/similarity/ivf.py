@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import batch_cosine_udf
+from ..functions.vectors import batch_cosine_udf, to_matrix
 
 
 def fit_centroids(
@@ -70,9 +70,16 @@ def with_ivf_bucket(
     @F.pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
         C = bc.value
-        X = np.array(v.tolist(), dtype=np.float64)
+        X, bad = to_matrix(v.tolist(), C.shape[1])
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(X @ C.T, axis=1).astype("int32"))
+        a = np.argmax(X @ C.T, axis=1)
+        if bad is None:
+            return pd.Series(a.astype("int32"))
+        # NULL/ragged vectors: NULL bucket → never probed, never matched
+        return pd.Series(
+            [None if bad[i] else int(x) for i, x in enumerate(a)],
+            dtype="Int32",
+        )
 
     return df.withColumn(out_col, assign(F.col(vec_col)))
 

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import batch_cosine_udf
+from ..functions.vectors import batch_cosine_udf, to_matrix
 
 
 def _planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
@@ -49,10 +49,16 @@ def multi_bucket_udf(spark, planes: np.ndarray):
     @F.pandas_udf("array<long>")
     def assign_all(v: pd.Series) -> pd.Series:
         P = bc.value  # (T, P, dim)
-        X = np.array(v.tolist(), dtype=np.float64)  # (n, dim)
+        X, bad = to_matrix(v.tolist(), P.shape[2])  # (n, dim)
         bits = np.einsum("nd,tpd->ntp", X, P) > 0  # (n, T, P)
         ids = bits @ weights  # (n, T)
-        return pd.Series(list(ids.astype(np.int64)))
+        if bad is None:
+            return pd.Series(list(ids.astype(np.int64)))
+        # NULL/ragged vectors get NULL buckets → excluded from joins
+        return pd.Series(
+            [None if bad[i] else row for i, row in
+             enumerate(ids.astype(np.int64).tolist())]
+        )
 
     return assign_all
 
@@ -66,9 +72,14 @@ def bucket_udf(spark, planes: np.ndarray):
     @F.pandas_udf("long")
     def assign(v: pd.Series) -> pd.Series:
         P = bc.value
-        X = np.array(v.tolist(), dtype=np.float64)
-        bits = (X @ P.T) > 0
-        return pd.Series((bits @ weights).astype(np.int64))
+        X, bad = to_matrix(v.tolist(), P.shape[1])
+        ids = ((X @ P.T) > 0) @ weights
+        if bad is None:
+            return pd.Series(ids.astype(np.int64))
+        return pd.Series(
+            [None if bad[i] else int(x) for i, x in enumerate(ids)],
+            dtype="Int64",
+        )
 
     return assign
 

@@ -65,3 +65,21 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
     )
     out = dedup_by_components(docs, pairs)
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 4, 5, 7]
+
+
+def test_string_ids_preserved(spark):
+    """String/uuid ids must cluster natively (a numeric cast would NULL
+    them and silently disable the dedup)."""
+    edges = [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    assert got == {
+        ("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a"),
+        ("doc-x", "doc-x"), ("doc-y", "doc-x"),
+    }
+    docs = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",), ("doc-x",), ("doc-y",), ("solo",)],
+        "doc_id string",
+    )
+    kept = {r["doc_id"] for r in dedup_by_components(docs, df).collect()}
+    assert kept == {"doc-a", "doc-x", "solo"}

@@ -69,3 +69,41 @@ def test_refinement_path_still_exact(spark):
     mine = exact_quantiles(df, ["x"], [0.25, 0.5], max_collect=50)["x"]
     ref = _reference(df, "x", [0.25, 0.5])
     assert mine == [float(r) for r in ref]
+
+
+def test_quoted_identifiers(spark):
+    """Column names with spaces/hyphens must survive both the small-input
+    percentile shortcut and the refine fallback (F.expr interpolation)."""
+    rows = [(float(i),) for i in range(1000)]
+    df = spark.createDataFrame(rows, "`unit price` double")
+    # small-input path (file-size estimate unknown -> force via param)
+    got = exact_quantiles(df, ["unit price"], [0.5], small_input_bytes=1 << 40)
+    assert got["unit price"] == [499.5]
+    # bracketed path with max_collect=0 so every pair takes the refine
+    # path, and depth exhausted so the percentile fallback (the other
+    # F.expr site) fires
+    got = exact_quantiles(
+        df, ["unit price"], [0.5], small_input_bytes=None,
+        max_collect=0, max_depth=0,
+    )
+    assert abs(got["unit price"][0] - 499.5) < 1.0
+
+
+def test_chunked_collect_many_pairs(spark):
+    """Aggregate driver pull is bounded: many (column, prob) pairs with a
+    tiny max_collect must chunk the collect pass yet stay exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cols = [f"c{i}" for i in range(6)]
+    data = rng.standard_normal((5000, 6)) * 50
+    df = spark.createDataFrame(
+        [tuple(map(float, r)) for r in data], ", ".join(f"{c} double" for c in cols)
+    )
+    probs = [0.25, 0.5, 0.75]
+    got = exact_quantiles(
+        df, cols, probs, small_input_bytes=None, max_collect=2000
+    )
+    for c in cols:
+        ref = _reference(df, c, probs)
+        assert got[c] == [float(r) for r in ref]
