@@ -80,3 +80,34 @@ def test_fill_median_leaves_all_null_column(spark):
     rows = sorted(out.collect(), key=lambda r: r["x"])
     assert [r["x"] for r in rows] == [1.0, 1.5, 2.0]  # median fill
     assert all(r["y"] is None for r in rows)  # no invented 0.0
+
+
+# -- to_matrix property tests (pure numpy, no Spark session) ---------------
+
+from hypothesis import given, settings, strategies as st
+
+from dataforge_spark.functions.vectors import to_matrix
+
+_vec = st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    min_size=3, max_size=3,
+)
+_entry = st.one_of(st.none(), _vec, st.lists(st.floats(width=32), min_size=1, max_size=2))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_entry, max_size=30))
+def test_to_matrix_never_raises_and_flags_exactly_the_bad_rows(vals):
+    X, bad = to_matrix(vals, 3)
+    assert X.shape == (len(vals), 3)
+    expect_bad = [v is None or len(v) != 3 for v in vals]
+    if bad is None:
+        assert not any(expect_bad)
+    else:
+        assert list(bad) == expect_bad
+    # good rows round-trip exactly
+    import numpy as np
+
+    for i, v in enumerate(vals):
+        if not expect_bad[i]:
+            assert np.array_equal(X[i], np.asarray(v, dtype=np.float64))
