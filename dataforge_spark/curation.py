@@ -1,0 +1,250 @@
+"""Dataset-curation operators for LLM training pipelines (extension,
+SURVEY §7.7 class — no reference analogue; the reference stops at
+single-table cleaning).
+
+Three operations every large-scale training-data pipeline needs and the
+engine's other modules don't cover:
+
+1. **Deterministic hash splits / stratified sampling** (`hash_split`,
+   `stratified_sample`). Spark's ``randomSplit``/``sample``/``sampleBy``
+   draw per-partition RNG streams: the assignment changes under
+   repartitioning, AQE re-plans, and task RETRIES — at 100 TB a retried
+   stage can emit a different sample than its first attempt, silently
+   corrupting a train/test split. Here the bucket is a pure function of
+   the row's key (md5 → first 8 hex digits → int, mod 1e6), so the split
+   is reproducible forever, retry-safe, joinable after the fact, and
+   leakage-safe when keyed by a group column (all docs of one URL/domain
+   land in the same split). Map-only: zero shuffles, zero state.
+
+2. **Benchmark-contamination check** (`contamination`). Counts word
+   n-gram overlap between every corpus document and an evaluation set —
+   the standard train/test-contamination sweep (GPT-3 appendix C /
+   PaLM-style 'dirty' docs). The eval side is tiny by construction, so
+   its distinct n-grams travel as a broadcast hash relation; the corpus
+   side streams map-only through explode → broadcast-join → partial
+   count. The corpus is never shuffled by value: the only exchange
+   carries one row per (doc, matched-gram) AFTER the broadcast join
+   prunes non-matches, then partial aggregation collapses it to one row
+   per doc.
+
+3. **Sequence packing** (`pack_sequences`). Concat-and-chunk packing
+   (the GPT-style pretraining layout): documents are laid out in a
+   deterministic order (by id), token offsets are assigned by prefix
+   sum, and a document's pack is ``start_offset // budget``. The prefix
+   sum is computed WITHOUT a global-order window (an unpartitioned
+   ``Window.orderBy`` serializes 100 TB into one task): ids are bucketed
+   by a deterministic range function, each bucket cumsums locally, and
+   the tiny per-bucket totals are broadcast back as offsets — the same
+   two-phase pattern as ``encoding._distributed_codes``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.text_analysis import token_count
+from .dedup.ngram_jaccard import word_shingles
+
+# Bucket space for hash splits: md5's first 8 hex digits give 32 uniform
+# bits; mod 1e6 keeps fraction resolution at 1e-6 while staying exactly
+# representable in every engine (DuckDB oracle:
+# ('0x' || substr(md5(k),1,8))::UBIGINT % 1000000).
+SPLIT_BUCKETS = 1_000_000
+# Unit separator — cannot appear in normal keys, so concatenated
+# multi-column keys cannot collide ("a","bc" vs "ab","c").
+_SEP = "\x1f"
+
+
+def split_bucket(key_cols: list[str], seed: int = 0) -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from the row's key.
+
+    Pure function of (seed, key values) — stable across partitionings,
+    retries, Spark versions, and engines (md5 is md5 everywhere).
+    """
+    key = F.concat_ws(_SEP, F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols])
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+            % SPLIT_BUCKETS)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by deterministic key hash.
+
+    ``weights`` maps split name → fraction (must sum to ~1; insertion
+    order defines the bucket ranges). Key by a GROUP column (url, domain,
+    source) to keep correlated rows in one split — the train/test-leakage
+    guard ``randomSplit`` cannot give you.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    bucket = split_bucket(key_cols, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * SPLIT_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    strata_col: str | None,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its key bucket
+    falls below its stratum's fraction. Unlike ``df.stat.sampleBy`` the
+    result is identical under retries/repartitioning, and the SAME rows
+    are kept every run — resumable pipelines sample once, forever.
+
+    ``fractions``: per-stratum dict (missing strata → dropped), or one
+    global float (``strata_col`` may then be None). Map-only, 0 shuffles.
+    """
+    bucket = split_bucket(key_cols, seed)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions need a strata_col")
+        thr = None
+        for val, frac in fractions.items():
+            cond = F.col(strata_col) == val
+            lim = F.lit(int(round(frac * SPLIT_BUCKETS)))
+            thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+        thr = thr.otherwise(F.lit(0))
+    else:
+        thr = F.lit(int(round(float(fractions) * SPLIT_BUCKETS)))
+    return df.where(bucket < thr)
+
+
+def contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram overlap with an evaluation set.
+
+    Returns (id, n_grams, n_hits, contaminated): distinct word-``n``-gram
+    count, how many of them appear anywhere in ``eval_set``, and the
+    contamination flag. Decontamination = ``where(~contaminated)``.
+
+    Scale: eval n-grams are deduped and BROADCAST (eval sets are KBs–MBs);
+    the corpus side is a map-only explode into a broadcast hash join —
+    the corpus never shuffles by gram, and the one real exchange is the
+    per-doc partial-aggregated count (one row per doc). Docs with < n
+    words have zero grams and are kept with n_grams = 0 (explode_outer).
+    """
+    eval_grams = (
+        eval_set.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    joined = doc_grams.join(F.broadcast(eval_grams), "g", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.col("g")).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    token_col: str | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: (id, n_tokens, start_offset,
+    pack_id) where documents are concatenated in ``id_col`` order and
+    chunked every ``budget`` tokens; ``pack_id = start_offset // budget``.
+
+    The global prefix sum avoids the unpartitioned-window scale cliff:
+
+    1. one aggregate gets the id span; rows are bucketed by a
+       deterministic range of the id (a pure function — no sampling, so
+       recomputes agree, unlike ``repartitionByRange``),
+    2. a window cumsum runs WITHIN each bucket (parallel),
+    3. per-bucket token totals (≤ n_buckets rows) are collected, turned
+       into cumulative offsets on the driver, and broadcast-joined back.
+
+    Requires unique ids (the packing order must be total); token counts
+    are whitespace tokens of ``text_col`` unless ``token_col`` is given.
+    """
+    if token_col is None:
+        if text_col is None:
+            raise ValueError("need text_col or token_col")
+        tok = F.coalesce(token_count(F.col(text_col)), F.lit(0))
+    else:
+        tok = F.coalesce(F.col(token_col), F.lit(0))
+    base = df.select(
+        F.col(id_col).alias("id"), tok.cast("bigint").alias("n_tokens")
+    )
+
+    if n_buckets is None:
+        n_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    span = base.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).collect()[0]
+    if span["lo"] is None:
+        return base.select(
+            "id", "n_tokens",
+            F.lit(0).cast("bigint").alias("start_offset"),
+            F.lit(0).cast("bigint").alias("pack_id"),
+        )
+    width = max(1, (int(span["hi"]) - int(span["lo"])) // n_buckets + 1)
+    bucketed = base.withColumn(
+        "__b", ((F.col("id") - F.lit(int(span["lo"]))) / F.lit(width)).cast("bigint")
+    )
+
+    totals = sorted(
+        bucketed.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect(),
+        key=lambda r: r["__b"],
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((int(r["__b"]), acc))
+        acc += int(r["t"])
+    off = df.sparkSession.createDataFrame(offsets, "__b bigint, __off bigint")
+
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "__local", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        local.join(F.broadcast(off), "__b")
+        .select(
+            "id", "n_tokens",
+            (F.col("__local") + F.col("__off")).alias("start_offset"),
+        )
+        # integer DIV: exact on bigints (float division + cast truncates
+        # wrongly once offsets exceed 2^53 — reachable at 100 TB of text)
+        .withColumn("pack_id", F.expr(f"start_offset DIV {int(budget)}"))
+    )

@@ -1,0 +1,139 @@
+"""Curation operators: deterministic splits, contamination, packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataforge_spark.curation import (
+    SPLIT_BUCKETS,
+    contamination,
+    hash_split,
+    pack_sequences,
+    split_bucket,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(documents):
+    return documents
+
+
+def test_hash_split_is_deterministic_and_partition_invariant(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, w, key_cols=["doc_id"], seed=7)
+    b = hash_split(docs.repartition(13), w, key_cols=["doc_id"], seed=7)
+    merged = a.select("doc_id", "split").join(
+        b.select("doc_id", F.col("split").alias("split2")), "doc_id"
+    )
+    assert merged.where(F.col("split") != F.col("split2")).count() == 0
+    # complete partition: every row gets exactly one split
+    assert a.where(F.col("split").isNull()).count() == 0
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert 0.7 * n < counts["train"] < 0.9 * n  # md5 uniformity at n=50
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_hash_split_group_keys_keep_groups_together(spark, docs):
+    out = hash_split(docs, {"a": 0.5, "b": 0.5}, key_cols=["source"], seed=1)
+    # every source maps to exactly one split
+    assert (
+        out.groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_hash_split_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.5, "b": 0.2}, key_cols=["doc_id"])
+    with pytest.raises(ValueError):
+        hash_split(docs, {"a": 1.0}, key_cols=[])
+
+
+def test_stratified_sample_deterministic_subset_and_strata(spark, docs):
+    fr = {"en": 0.5, "de": 1.0}
+    s1 = stratified_sample(docs, fr, "lang", key_cols=["doc_id"], seed=3)
+    s2 = stratified_sample(docs.repartition(9), fr, "lang", key_cols=["doc_id"], seed=3)
+    assert sorted(r["doc_id"] for r in s1.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in s2.select("doc_id").collect()
+    )
+    langs = {r["lang"] for r in s1.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # unlisted strata dropped
+    # de fraction 1.0 keeps every de doc
+    assert (
+        s1.where(F.col("lang") == "de").count()
+        == docs.where(F.col("lang") == "de").count()
+    )
+    # global-fraction form needs no strata_col
+    g = stratified_sample(docs, 1.0, None, key_cols=["doc_id"])
+    assert g.count() == docs.count()
+
+
+def test_split_and_sample_use_the_same_bucket(spark, docs):
+    """sample(f) == split rows whose bucket < f·BUCKETS — one hash family."""
+    got = stratified_sample(docs, 0.3, None, key_cols=["doc_id"], seed=5)
+    manual = docs.withColumn("__bkt", split_bucket(["doc_id"], seed=5)).where(
+        F.col("__bkt") < int(0.3 * SPLIT_BUCKETS)
+    )
+    assert got.count() == manual.count()
+
+
+def test_contamination_flags_exactly_the_planted_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains eval 5-gram
+            (2, "one two three four five six"),            # clean
+            (3, "tiny doc"),                               # < n words
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in contamination(corpus, eval_set, n=5).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 1
+    assert rows[1]["n_grams"] == 2
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]  # kept
+
+
+def test_contamination_self_overlap_on_real_docs(spark, docs):
+    """Eval set drawn from the corpus: every eval doc (≥ n words) must be
+    flagged when checked against itself."""
+    eval_set = docs.where(F.col("doc_id") % 50 == 0)
+    out = contamination(docs, eval_set, n=5)
+    flagged = out.join(eval_set.select(F.col("doc_id").alias("id")), "id")
+    assert flagged.where(~F.col("contaminated")).count() == 0
+
+
+def test_pack_sequences_matches_serial_cumsum(spark, docs):
+    out = pack_sequences(docs, budget=128, n_buckets=7).collect()
+    got = {r["id"]: r for r in out}
+    pdf = sorted(
+        docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("t")
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    acc = 0
+    for r in pdf:
+        g = got[r["doc_id"]]
+        assert g["start_offset"] == acc
+        assert g["n_tokens"] == r["t"]
+        assert g["pack_id"] == acc // 128
+        acc += r["t"]
+
+
+def test_pack_sequences_bucket_count_invariance(spark, docs):
+    a = pack_sequences(docs, budget=64, n_buckets=2).collect()
+    b = pack_sequences(docs, budget=64, n_buckets=31).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_sequences_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(empty, budget=10).count() == 0
