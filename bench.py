@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "txt_metrics",
     "stream_sessionize",
     "pipeline_e2e",
+    "curation_split",
+    "curation_contamination",
+    "curation_pack",
 ]
 
 
@@ -120,6 +123,21 @@ def main() -> None:
     # also compile the hash-aggregate/exchange codegen paths once
     ev.groupBy("event_type").count().write.format("noop").mode("overwrite").save()
     entry.prewarm_stream_inputs(spark, sf_dir)
+    # The FIRST streaming query of a session pays one-time machinery costs
+    # (microbatch executor, state store instances, Python worker pool for
+    # applyInPandasWithState) — measured ~5-7 s on this box. Pay it here
+    # on a 10-row stream so the timed stream query measures the operator,
+    # not session setup.
+    from dataforge_spark.streaming import run_to_memory, sessionize_stream
+
+    tiny = f"/tmp/dataforge_stream_warm_{os.getpid()}"
+    ev.limit(10).coalesce(1).write.mode("overwrite").parquet(tiny)
+    run_to_memory(
+        sessionize_stream(
+            spark.readStream.schema(ev.schema).parquet(tiny),
+            user_col="user_id", ts_col="ts", gap_minutes=30,
+        )
+    ).count()
 
     times: dict[str, float] = {}
     t_all = time.time()

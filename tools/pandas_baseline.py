@@ -315,6 +315,46 @@ def b_pipeline_e2e():
     return df.shape
 
 
+def b_curation_split():
+    d = load("documents")
+    sep = "\x1f"
+
+    def bucket(seed: str, key) -> int:
+        h = hashlib.md5(f"{seed}{sep}{key}".encode()).hexdigest()
+        return int(h[:8], 16) % 1_000_000
+
+    b = d["doc_id"].map(lambda k: bucket("42", k))
+    split = np.where(b < 900_000, "train", np.where(b < 950_000, "val", "test"))
+    sb = d["source"].map(lambda k: bucket("7", k))
+    thr = d["lang"].map({"en": 500_000, "de": 250_000, "fr": 1_000_000}).fillna(0)
+    kept = d[sb < thr]
+    return (pd.Series(split).value_counts().to_dict(), len(kept))
+
+
+def b_curation_contamination():
+    d = load("documents")
+    grams = {
+        row.doc_id: {
+            " ".join(w[i : i + 5])
+            for w in [row.text.split()]
+            for i in range(max(0, len(w) - 4))
+        }
+        for row in d.itertuples()
+    }
+    ev = set().union(*(g for i, g in grams.items() if i % 97 == 0)) if grams else set()
+    hits = {
+        i: len(g & ev) for i, g in grams.items() if i % 97 != 0
+    }
+    return (len(hits), sum(1 for v in hits.values() if v))
+
+
+def b_curation_pack():
+    d = load("documents").sort_values("doc_id")
+    n_tok = d["text"].str.split().str.len().astype("int64")
+    start = n_tok.cumsum() - n_tok
+    return (int(start.iloc[-1]), int((start // 512).nunique()))
+
+
 BENCHES = {
     "s4_profile": b_s4_profile,
     "m5_m6_fill_stats": b_m5_m6_fill_stats,
@@ -335,6 +375,9 @@ BENCHES = {
     "txt_metrics": b_txt_metrics,
     "stream_sessionize": b_sessionize,
     "pipeline_e2e": b_pipeline_e2e,
+    "curation_split": b_curation_split,
+    "curation_contamination": b_curation_contamination,
+    "curation_pack": b_curation_pack,
 }
 
 
