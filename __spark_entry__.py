@@ -345,20 +345,46 @@ def q_o2_o3_robust_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_o6_iqr_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_o6_o7_outlier_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (IQR cap/winsorize) + O7 (log1p transform of positives) as one
+    tagged union — both outlier ACTIONS attested in a single driver row."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
-    out = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
+    cap = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
                           action="cap", threshold=1.5)
-    return out.select("l_orderkey", "l_linenumber",
-                      F.round("l_extendedprice", 4).alias("l_extendedprice"))
-
-
-def q_o7_log_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
-    out = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
+    log = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
                           action="transform")
-    return out.select("l_orderkey", "l_linenumber",
-                      F.round("l_extendedprice", 6).alias("l_extendedprice"))
+    return cap.select(
+        F.lit("cap").alias("op"), "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 4).alias("l_extendedprice"),
+    ).unionByName(log.select(
+        F.lit("log").alias("op"), "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+    ))
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join — relational.asof_join: every event picks up
+    the user's most recent 'status' event (every 20th event, deduped to
+    one row per (user, time) for deterministic ties). Times compared as
+    integer MICROSECONDS on both sides (events.parquet is nanos; Spark
+    truncates to micros at read, the oracle truncates identically), so
+    the join condition is bit-exact across engines. The union-and-carry
+    plan pays ONE exchange and no row amplification — the DuckDB oracle
+    is its native ASOF LEFT JOIN."""
+    from dataforge_spark.relational import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    status = (
+        ev.where(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("status_id"))
+        .select("user_id", "us", "status_id", F.col("us").alias("s_us"))
+    )
+    out = asof_join(ev, status, on="us", by=["user_id"],
+                    right_cols=["status_id", "s_us"])
+    return out.select("event_id", "user_id", "us", "status_id", "s_us")
 
 
 def q_t1_manual_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "boundary_scrub": q_boundary_scrub,
         "join_enrich": q_join_enrich,
+        "join_asof": q_join_asof,
         "llm_prep_pipeline": q_llm_prep_pipeline,
         "sim_ivf_topk": q_sim_ivf_topk,
         "txt_metrics": q_txt_metrics,
@@ -1021,8 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_dedup_keep_first": q_d1_dedup_keep_first,
         "o1_iqr_remove": q_o1_iqr_remove,
         "o2_o3_robust_remove": q_o2_o3_robust_remove,
-        "o6_iqr_cap": q_o6_iqr_cap,
-        "o7_log_transform": q_o7_log_transform,
+        "o6_o7_outlier_actions": q_o6_o7_outlier_actions,
         "t1_manual_cast": q_t1_manual_cast,
         "t234_auto_convert": q_t234_auto_convert,
         "x1_text_clean": q_x1_text_clean,
@@ -1176,21 +1202,34 @@ def oracle_sql() -> dict[str, str]:
           l_extendedprice > md + 3.5 * mad / 0.6745)
     """
 
-    sql["o6_iqr_cap"] = f"""
-        SELECT l_orderkey, l_linenumber,
+    sql["o6_o7_outlier_actions"] = f"""
+        SELECT 'cap' AS op, l_orderkey, l_linenumber,
           round(CASE
             WHEN (q3 - q1) = 0 THEN l_extendedprice
             WHEN l_extendedprice < q1 - 1.5 * (q3 - q1) THEN q1 - 1.5 * (q3 - q1)
             WHEN l_extendedprice > q3 + 1.5 * (q3 - q1) THEN q3 + 1.5 * (q3 - q1)
             ELSE l_extendedprice END, 4) AS l_extendedprice
         FROM lineitem, {iqr_bounds} b
-    """
-
-    sql["o7_log_transform"] = """
-        SELECT l_orderkey, l_linenumber,
+        UNION ALL
+        SELECT 'log' AS op, l_orderkey, l_linenumber,
           round(CASE WHEN l_extendedprice > 0 THEN ln(1 + l_extendedprice)
                      ELSE l_extendedprice END, 6) AS l_extendedprice
         FROM lineitem
+    """
+
+    # ASOF LEFT JOIN is native in DuckDB — the exact oracle for
+    # relational.asof_join's union-and-carry formulation.
+    sql["join_asof"] = """
+        WITH ev AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
+        ),
+        st AS (
+          SELECT user_id, us, max(event_id) AS status_id, us AS s_us
+          FROM ev WHERE event_id % 20 = 0 GROUP BY user_id, us
+        )
+        SELECT ev.event_id, ev.user_id, ev.us, st.status_id, st.s_us
+        FROM ev ASOF LEFT JOIN st
+          ON ev.user_id = st.user_id AND ev.us >= st.us
     """
 
     sql["t1_manual_cast"] = """

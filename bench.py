@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "m5_m6_fill_stats",
     "m8_m9_ordered_fill",
     "d1_dedup_keep_first",
-    "o6_iqr_cap",
+    "o6_o7_outlier_actions",
     "t234_auto_convert",
     "x1_text_clean",
     "dt1_datetime_features",
@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "txt_metrics",
     "stream_sessionize",
     "pipeline_e2e",
+    "join_asof",
     "curation_split",
     "curation_contamination",
     "curation_pack",

@@ -62,8 +62,14 @@ def split_bucket(key_cols: list[str], seed: int = 0) -> Column:
 
     Pure function of (seed, key values) — stable across partitionings,
     retries, Spark versions, and engines (md5 is md5 everywhere).
+    NULL key parts map to a sentinel BEFORE concatenation: ``concat_ws``
+    silently drops NULL arguments, which would make ("a", NULL) and
+    (NULL, "a") hash identically.
     """
-    key = F.concat_ws(_SEP, F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols])
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
+    ]
+    key = F.concat_ws(_SEP, F.lit(str(seed)), *parts)
     return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
             % SPLIT_BUCKETS)
 

