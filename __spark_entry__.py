@@ -413,33 +413,29 @@ def q_t234_auto_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_x1_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 12 X text-cleaning ops + X11 custom patterns in ONE row set:
+    the x1 composite (lowercase/html/urls/emails/numbers/punctuation/
+    extra_spaces) on ``messy``, the remaining ops (uppercase,
+    remove_special_chars, remove_whitespace) on ``t``, custom patterns on
+    ``text``; X12 ''→NULL applies to every column."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.lit("  <b>Hello "), F.col("text"),
             F.lit("</b> visit https://ex.com/a?b=1 mail a.b@ex.com 42 cats!  "),
         ).alias("messy"),
+        F.concat(F.lit("  a-1 "), F.col("text"), F.lit(" z*9  ")).alias("t"),
+        "text",
     )
-    return clean_text_columns(
+    out = clean_text_columns(
         docs,
         columns=["messy"],
         operations=["lowercase", "remove_html", "remove_urls", "remove_emails",
                     "remove_numbers", "remove_punctuation", "remove_extra_spaces"],
     )
-
-
-def q_x2_x11_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-ops not in the x1 composite (uppercase, remove_special_chars,
-    remove_whitespace) + X11 custom patterns, on two columns of one row
-    set."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(F.lit("  a-1 "), F.col("text"), F.lit(" z*9  ")).alias("t"),
-        "text",
-    )
     out = clean_text_columns(
-        docs, columns=["t"],
+        out, columns=["t"],
         operations=["uppercase", "remove_special_chars", "remove_whitespace"],
     )
     return clean_text_columns(
@@ -953,6 +949,31 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("price", 4).alias("price"), "flag")
 
 
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (relational.range_join): every event
+    value joined into ±2 bands around anchor events, bucketized to a
+    cell-grid equi-join instead of the BroadcastNestedLoopJoin Catalyst
+    would plan for a bare inequality condition. Aggregated per interval
+    (count + point-id sum) so any pair-set difference flips the row hash.
+    The DuckDB oracle runs the naive BETWEEN join."""
+    from dataforge_spark.relational import range_join
+
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    intervals = (
+        ev.where(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("iid"),
+            (F.col("value") - 2).alias("lo"),
+            (F.col("value") + 2).alias("hi"),
+        )
+    )
+    pairs = range_join(ev, intervals, point_col="value", lo_col="lo", hi_col="hi")
+    return pairs.groupBy("iid").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("event_id").alias("sum_pid"),
+    )
+
+
 def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash split + stratified sample (curation.py) as one
     tagged union. Both assign rows by a pure md5 key hash — reproducible
@@ -1020,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_scrub": q_boundary_scrub,
         "join_enrich": q_join_enrich,
         "join_asof": q_join_asof,
+        "join_range": q_join_range,
         "llm_prep_pipeline": q_llm_prep_pipeline,
         "sim_ivf_topk": q_sim_ivf_topk,
         "txt_metrics": q_txt_metrics,
@@ -1051,8 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o6_o7_outlier_actions": q_o6_o7_outlier_actions,
         "t1_manual_cast": q_t1_manual_cast,
         "t234_auto_convert": q_t234_auto_convert,
-        "x1_text_clean": q_x1_text_clean,
-        "x2_x11_text_ops": q_x2_x11_text_ops,
+        "x_text_suite": q_x_text_suite,
         "dt1_datetime_features": q_dt1_datetime_features,
         "e1_label_encode": q_e1_label_encode,
         "e3_frequency_encode": q_e3_frequency_encode,
@@ -1245,11 +1266,12 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
 
-    sql["x1_text_clean"] = f"""
+    sql["x_text_suite"] = f"""
         WITH m AS (
-          SELECT doc_id,
+          SELECT doc_id, text,
             '  <b>Hello ' || text ||
-            '</b> visit https://ex.com/a?b=1 mail a.b@ex.com 42 cats!  ' AS s
+            '</b> visit https://ex.com/a?b=1 mail a.b@ex.com 42 cats!  ' AS s,
+            '  a-1 ' || text || ' z*9  ' AS s2
           FROM documents
         )
         SELECT doc_id, NULLIF(
@@ -1263,19 +1285,24 @@ def oracle_sql() -> dict[str, str]:
                 '{_EMAIL_RE}', '', 'g'),
               '\\d+', '', 'g'),
             '{_PUNCT_SQL}', '')
-          , '\\s+', ' ', 'g')), '') AS messy
+          , '\\s+', ' ', 'g')), '') AS messy,
+          NULLIF(
+            trim(regexp_replace(
+              regexp_replace(upper(s2), '[^a-zA-Z0-9\\s]', '', 'g')
+            , '\\s+', ' ', 'g')), '') AS t,
+          NULLIF(regexp_replace(lower(text), '\\bspark\\b', 'SPARK', 'g'), '') AS text
         FROM m
     """
 
-    sql["x2_x11_text_ops"] = r"""
-        SELECT doc_id,
-          NULLIF(
-            trim(regexp_replace(
-              regexp_replace(upper('  a-1 ' || text || ' z*9  '),
-                             '[^a-zA-Z0-9\s]', '', 'g')
-            , '\s+', ' ', 'g')), '') AS t,
-          NULLIF(regexp_replace(lower(text), '\bspark\b', 'SPARK', 'g'), '') AS text
-        FROM documents
+    sql["join_range"] = """
+        WITH iv AS (
+          SELECT event_id AS iid, value - 2 AS lo, value + 2 AS hi
+          FROM events WHERE event_id % 50 = 0
+        )
+        SELECT iv.iid, count(*) AS n_pts,
+               CAST(sum(e.event_id) AS BIGINT) AS sum_pid
+        FROM events e JOIN iv ON e.value BETWEEN iv.lo AND iv.hi
+        GROUP BY iv.iid
     """
 
     sql["dt1_datetime_features"] = """

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "d1_dedup_keep_first",
     "o6_o7_outlier_actions",
     "t234_auto_convert",
-    "x1_text_clean",
+    "x_text_suite",
     "dt1_datetime_features",
     "e2_onehot_encode",
     "y1_common_typos",

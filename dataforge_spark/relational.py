@@ -119,3 +119,72 @@ def asof_join(
     else:
         sel = [F.col(f"__c_{c}").alias(out_cols[c]) for c in right_cols]
     return carried.select(*[F.col(c) for c in left.columns], *sel)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    by: list[str] | None = None,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``lo <= point <= hi``) without the
+    cartesian cliff.
+
+    Catalyst plans a bare inequality join as BroadcastNestedLoopJoin
+    (small side) or falls back to a cartesian product — O(|P|·|I|) at
+    scale. This bucketizes the value axis into fixed-width cells:
+    intervals EXPLODE into every cell they cover, points map to their
+    single cell, and the join becomes an equi-join on (by..., cell)
+    followed by the exact range filter. Each qualifying (point, interval)
+    pair meets in EXACTLY one cell (the point's), so no dedup pass is
+    needed.
+
+    ``bucket_width`` defaults to the p95 interval length (one tiny
+    aggregate) — wide enough that a typical interval explodes into ~2
+    cells, narrow enough that a cell's population stays joinable. Long
+    outlier intervals just produce more cell rows (cost is linear in
+    covered cells, the honest lower bound for this join).
+
+    ``how='left'`` keeps unmatched points with NULL interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    by = list(by or [])
+    overlap = (set(intervals.columns) - set(by)) & set(points.columns)
+    if overlap:
+        raise ValueError(
+            f"interval columns {sorted(overlap)} collide with point columns; rename"
+        )
+    if bucket_width is None:
+        q = intervals.select(
+            (F.col(hi_col) - F.col(lo_col)).cast("double").alias("__len")
+        ).stat.approxQuantile("__len", [0.95], 0.01)
+        bucket_width = max(q[0] if q else 0.0, 1e-9)
+    w = float(bucket_width)
+
+    cell = lambda c: F.floor(F.col(c).cast("double") / F.lit(w))  # noqa: E731
+    # Drop degenerate lo > hi intervals BEFORE the explode: they can match
+    # nothing, and Spark's sequence() auto-DESCENDS for hi < lo, which
+    # would fabricate cells instead of an empty array.
+    icells = intervals.where(F.col(lo_col) <= F.col(hi_col)).withColumn(
+        "__cell",
+        F.explode(F.sequence(cell(lo_col), cell(hi_col))),
+    ).alias("i")
+    pcells = points.withColumn("__cell", cell(point_col)).alias("p")
+    # The range predicate lives IN the join condition so how='left' keeps
+    # points whose cell matched but whose value missed every interval.
+    cond = F.col("p.__cell") == F.col("i.__cell")
+    for k in by:
+        cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
+    cond = cond & F.col(f"p.{point_col}").between(
+        F.col(f"i.{lo_col}"), F.col(f"i.{hi_col}")
+    )
+    out_i = [c for c in intervals.columns if c not in by]
+    return pcells.join(icells, cond, how).select(
+        *[F.col(f"p.{c}") for c in points.columns],
+        *[F.col(f"i.{c}").alias(c) for c in out_i],
+    )

@@ -73,6 +73,19 @@ def test_stratified_sample_deterministic_subset_and_strata(spark, docs):
     assert g.count() == docs.count()
 
 
+def test_split_bucket_null_key_parts_do_not_collide(spark):
+    """concat_ws drops NULL args; the sentinel must keep ("a", NULL) and
+    (NULL, "a") in (generally) different buckets and all-NULL stable."""
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), (None, None), ("a", "a")],
+        "x string, y string",
+    )
+    rows = df.withColumn("b", split_bucket(["x", "y"], seed=0)).collect()
+    b = {(r["x"], r["y"]): r["b"] for r in rows}
+    assert b[("a", None)] != b[(None, "a")]
+    assert all(v is not None for v in b.values())
+
+
 def test_split_and_sample_use_the_same_bucket(spark, docs):
     """sample(f) == split rows whose bucket < f·BUCKETS — one hash family."""
     got = stratified_sample(docs, 0.3, None, key_cols=["doc_id"], seed=5)

@@ -98,6 +98,66 @@ def test_asof_plan_has_single_exchange(spark, frames):
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
 
 
+def test_range_join_matches_brute_force(spark):
+    import random
+
+    rnd = random.Random(7)
+    pts = [(i, rnd.uniform(0, 100)) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        lo = rnd.uniform(0, 95)
+        ivs.append((j, lo, lo + rnd.uniform(0, 8)))
+    ivs.append((60, 50.0, 40.0))  # degenerate lo > hi: must match nothing
+    points = spark.createDataFrame(pts, "pid long, x double")
+    intervals = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+
+    from dataforge_spark.relational import range_join
+
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "x", "lo", "hi").collect()
+    )
+    exp = sorted(
+        (pid, iid)
+        for pid, x in pts
+        for iid, lo, hi in ivs
+        if lo <= x <= hi
+    )
+    assert got == exp  # exactly-once per qualifying pair, no dedup pass
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 5.5)], "pid long, x double"
+    )
+    intervals = spark.createDataFrame([(1, 5.0, 6.0)], "iid long, lo double, hi double")
+
+    from dataforge_spark.relational import range_join
+
+    rows = {r["pid"]: r["iid"]
+            for r in range_join(points, intervals, "x", "lo", "hi",
+                                how="left", bucket_width=10.0).collect()}
+    # pid=2 shares cell [50/10]=5 with nothing; pid 1,3 match; pid 2 kept NULL
+    assert rows == {1: 1, 3: 1, 2: None}
+
+
+def test_range_join_by_keys_and_collision_guard(spark):
+    from dataforge_spark.relational import range_join
+
+    points = spark.createDataFrame(
+        [("a", 1, 5.0), ("b", 2, 5.0)], "k string, pid long, x double"
+    )
+    intervals = spark.createDataFrame(
+        [("a", 10, 0.0, 10.0)], "k string, iid long, lo double, hi double"
+    )
+    got = [(r["pid"], r["iid"]) for r in
+           range_join(points, intervals, "x", "lo", "hi", by=["k"]).collect()]
+    assert got == [(1, 10)]  # key 'b' point does not cross-match
+    bad = intervals.withColumnRenamed("iid", "pid")
+    with pytest.raises(ValueError):
+        range_join(points, bad, "x", "lo", "hi", by=["k"])
+
+
 def test_asof_on_real_events(spark, sf_dir):
     """Backward-join each event to the user's most recent 'status' event
     (every 20th), then spot-check per-user monotonicity."""

@@ -111,7 +111,7 @@ def b_t234_auto_convert():
     return pd.DataFrame(out).shape
 
 
-def b_x1_text_clean():
+def b_x_text_suite():
     d = load("documents")
     s = ("  <b>Hello " + d["text"] + "</b> visit https://ex.com/a?b=1 mail a.b@ex.com 42 cats!  ")
     s = s.str.lower()
@@ -121,7 +121,11 @@ def b_x1_text_clean():
     s = s.str.replace(r"\d+", "", regex=True)
     s = s.str.translate(str.maketrans("", "", string.punctuation))
     s = s.str.strip().str.replace(r"\s+", " ", regex=True)
-    return s.replace("", None).shape
+    t = ("  a-1 " + d["text"] + " z*9  ").str.upper()
+    t = t.str.replace(r"[^a-zA-Z0-9\s]", "", regex=True)
+    t = t.str.strip().str.replace(r"\s+", " ", regex=True)
+    x = d["text"].str.lower().str.replace(r"\bspark\b", "SPARK", regex=True)
+    return (s.replace("", None).shape, t.shape, x.shape)
 
 
 def b_dt1_features():
@@ -363,7 +367,7 @@ BENCHES = {
     "d1_dedup_keep_first": b_d1_dedup,
     "o6_o7_outlier_actions": b_o6_o7_outlier_actions,
     "t234_auto_convert": b_t234_auto_convert,
-    "x1_text_clean": b_x1_text_clean,
+    "x_text_suite": b_x_text_suite,
     "dt1_datetime_features": b_dt1_features,
     "e2_onehot_encode": b_e2_onehot,
     "y1_common_typos": b_y1_common_typos,
