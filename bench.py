@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "stream_sessionize",
     "pipeline_e2e",
     "join_asof",
+    "join_range",
     "curation_split",
     "curation_contamination",
     "curation_pack",

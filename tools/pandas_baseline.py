@@ -320,6 +320,36 @@ def b_pipeline_e2e():
     return df.shape
 
 
+def b_join_asof():
+    ev = load("events")[["event_id", "user_id", "ts"]]
+    ev["us"] = ev["ts"].astype("int64") // 1000 if ev["ts"].dtype.kind == "i" else (
+        ev["ts"].astype("datetime64[us]").astype("int64")
+    )
+    ev = ev.drop(columns=["ts"])
+    st = (
+        ev[ev["event_id"] % 20 == 0]
+        .groupby(["user_id", "us"], as_index=False)["event_id"].max()
+        .rename(columns={"event_id": "status_id"})
+    )
+    out = pd.merge_asof(
+        ev.sort_values("us"), st.sort_values("us"),
+        on="us", by="user_id", direction="backward",
+    )
+    return out.shape
+
+
+def b_join_range():
+    ev = load("events")[["event_id", "value"]]
+    iv = ev[ev["event_id"] % 50 == 0]
+    v = np.sort(ev["value"].to_numpy())
+    order = np.argsort(ev["value"].to_numpy())
+    pid_sorted = ev["event_id"].to_numpy()[order]
+    csum = np.concatenate([[0], np.cumsum(pid_sorted, dtype=np.int64)])
+    lo = np.searchsorted(v, iv["value"].to_numpy() - 2, side="left")
+    hi = np.searchsorted(v, iv["value"].to_numpy() + 2, side="right")
+    return (int((hi - lo).sum()), int((csum[hi] - csum[lo]).sum()))
+
+
 def b_curation_split():
     d = load("documents")
     sep = "\x1f"
@@ -380,6 +410,8 @@ BENCHES = {
     "txt_metrics": b_txt_metrics,
     "stream_sessionize": b_sessionize,
     "pipeline_e2e": b_pipeline_e2e,
+    "join_asof": b_join_asof,
+    "join_range": b_join_range,
     "curation_split": b_curation_split,
     "curation_contamination": b_curation_contamination,
     "curation_pack": b_curation_pack,
