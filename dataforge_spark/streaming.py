@@ -152,6 +152,49 @@ def sessionize_stream(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Built-in ``session_window`` sessionization — the pure-JVM
+    alternative to ``sessionize_stream``. Works on BATCH frames too
+    (pass ``watermark`` for streams; required there for state eviction).
+
+    Emits (user, session_start, session_end, n_events) per gap-delimited
+    session entirely inside whole-stage codegen — no Python, no
+    per-group state function. What it CANNOT express is the per-user
+    session ORDINAL carried across micro-batches (``session_id``), which
+    is why the stateful ``applyInPandasWithState`` operator exists; for
+    batch frames the ordinal is recovered here with a per-user
+    ``row_number`` over session starts."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    agg = (
+        src.groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            # session_window's end is exclusive (last event + gap);
+            # subtract nothing here — callers wanting the last EVENT time
+            # should use sessionize_stream, which tracks it exactly.
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    if watermark is None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(user_col).orderBy("session_start")
+        agg = agg.withColumn("session_id", F.row_number().over(w))
+    return agg
+
+
 def run_to_memory(stream_df: DataFrame, name: str | None = None) -> DataFrame:
     """Drain a (bounded) stream with availableNow into a memory sink and
     return the materialized result as a batch DataFrame — the test/driver

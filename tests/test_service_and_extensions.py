@@ -220,6 +220,51 @@ def test_streaming_parquet_sink_and_within_watermark(spark, tmp_path, events):
     assert spark.read.parquet(str(tmp_path / "out")).count() == events.count()
 
 
+def test_sessionize_native_agrees_with_stateful(spark, tmp_path, events):
+    """Built-in session_window (pure JVM) must produce the same session
+    PARTITION as the custom applyInPandasWithState operator: identical
+    (user, n_events, session ordinal) triples and identical session-start
+    times. (session_window's `end` is start-of-gap-exclusive, the
+    stateful op's is the last event time — ends are not compared.)"""
+    from dataforge_spark.streaming import (
+        read_events_stream, run_to_memory, sessionize_native, sessionize_stream,
+    )
+
+    path = str(tmp_path / "sess_in")
+    events.coalesce(2).write.mode("overwrite").parquet(path)
+    stateful = run_to_memory(
+        sessionize_stream(read_events_stream(spark, path, events.schema),
+                          user_col="user_id", ts_col="ts", gap_minutes=30)
+    )
+    native = sessionize_native(events, user_col="user_id", ts_col="ts",
+                               gap_minutes=30)
+    a = sorted(
+        (r["user_id"], r["session_id"], r["n_events"], r["session_start"])
+        for r in stateful.collect()
+    )
+    b = sorted(
+        (r["user_id"], r["session_id"], r["n_events"], r["session_start"])
+        for r in native.collect()
+    )
+    assert a == b
+
+
+def test_sessionize_native_streaming_mode(spark, tmp_path, events):
+    from dataforge_spark.streaming import (
+        read_events_stream, run_aggregate_to_memory, sessionize_native,
+    )
+
+    path = str(tmp_path / "sessn_in")
+    events.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = read_events_stream(spark, path, events.schema)
+    got = run_aggregate_to_memory(
+        sessionize_native(stream, watermark="2 hours")
+    )
+    batch = sessionize_native(events)
+    assert got.count() == batch.count()
+    assert got.agg({"n_events": "sum"}).collect()[0][0] == events.count()
+
+
 def test_multimodal_features_shape(spark, documents):
     from dataforge_spark.multimodal import attach_binary, extract_features
 
