@@ -62,10 +62,14 @@ def _noop(df) -> None:
 
 
 def crossover_bench(spark, n_rows: int) -> dict:
-    """IQR cap + standard scale (exact percentiles, the o6/n1 operators)
-    on n_rows of generated data, Spark operators vs the pandas/numpy
-    equivalent — the apples-to-apples compute comparison at the scale
-    where engine design starts to matter."""
+    """Four operator classes on n_rows of generated data, Spark operators
+    vs the pandas/numpy equivalent — the apples-to-apples compute
+    comparison at the scale where engine design starts to matter:
+
+    - iqr_cap / standard_scale: statistics + projection (o6/n1);
+    - dedup: shuffle-bound keep-first over a 50%-duplicate key space (d1);
+    - distinct_count: the profiler's per-column cardinality (s4).
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -82,6 +86,16 @@ def crossover_bench(spark, n_rows: int) -> dict:
     t0 = time.time()
     _noop(normalize_data(gen, columns=["price"], method="standard")[0])
     spark_scale = round(time.time() - t0, 3)
+    # 50%-duplicate bigint key: the d1 shuffle path
+    dup = spark.range(n_rows).select((F.col("id") % (n_rows // 2)).alias("k"),
+                                     (F.col("id") % 97).alias("v"))
+    t0 = time.time()
+    _noop(dup.groupBy("k").agg(F.min("v").alias("v")))
+    spark_dedup = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(dup.agg(F.count_distinct("k").alias("n"),
+                  F.count_distinct("v").alias("m")))
+    spark_distinct = round(time.time() - t0, 3)
 
     ids = np.arange(n_rows, dtype=np.float64)
     price = np.sin(ids) * 1000 + 5000
@@ -95,11 +109,21 @@ def crossover_bench(spark, n_rows: int) -> dict:
     t0 = time.time()
     _ = (s - s.mean()) / s.std(ddof=0)
     pandas_scale = round(time.time() - t0, 3)
+    kd = pd.DataFrame({"k": np.arange(n_rows, dtype=np.int64) % (n_rows // 2),
+                       "v": np.arange(n_rows, dtype=np.int64) % 97})
+    t0 = time.time()
+    _ = kd.groupby("k", as_index=False)["v"].min()
+    pandas_dedup = round(time.time() - t0, 3)
+    t0 = time.time()
+    _ = (kd["k"].nunique(), kd["v"].nunique())
+    pandas_distinct = round(time.time() - t0, 3)
 
     return {
         "rows": n_rows,
-        "spark_sec": {"iqr_cap": spark_cap, "standard_scale": spark_scale},
-        "pandas_sec": {"iqr_cap": pandas_cap, "standard_scale": pandas_scale},
+        "spark_sec": {"iqr_cap": spark_cap, "standard_scale": spark_scale,
+                      "dedup": spark_dedup, "distinct_count": spark_distinct},
+        "pandas_sec": {"iqr_cap": pandas_cap, "standard_scale": pandas_scale,
+                       "dedup": pandas_dedup, "distinct_count": pandas_distinct},
     }
 
 
