@@ -755,9 +755,11 @@ def q_t6_stringify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_spark.functions.text_analysis import repetition_metrics
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
         regex_token_count(t).alias("n_regex_tokens"),
@@ -766,6 +768,12 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(t).alias("fp"),
         rolling_fingerprint(t).alias("rfp"),
     )
+    rep = repetition_metrics(docs, text_col="text", id_col="doc_id", n=2).select(
+        F.col("id").alias("doc_id"),
+        F.round("rep_top_frac", 6).alias("rep_top_frac"),
+        F.round("rep_dup_frac", 6).alias("rep_dup_frac"),
+    )
+    return base.join(rep, "doc_id")
 
 
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1632,7 +1640,7 @@ def oracle_sql() -> dict[str, str]:
             len(list_filter(toks, x -> x IN ({es}))) AS hits_es
           FROM t
         )
-        SELECT doc_id,
+        SELECT h.doc_id,
           CAST(n_tok AS INTEGER) AS n_tokens,
           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS INTEGER)
             AS n_regex_tokens,
@@ -1658,8 +1666,30 @@ def oracle_sql() -> dict[str, str]:
             list_transform(
               regexp_split_to_array(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '\s+'),
               s -> CAST(7 * length(s) + ascii(substr(s, 1, 1)) AS BIGINT)),
-            (acc, v) -> (acc * 31 + v) % 1000000007) AS rfp
+            (acc, v) -> (acc * 31 + v) % 1000000007) AS rfp,
+          round(coalesce(r.rep_top_frac, 0.0), 6) AS rep_top_frac,
+          round(coalesce(r.rep_dup_frac, 0.0), 6) AS rep_dup_frac
         FROM h
+        LEFT JOIN (
+          WITH toks2 AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents
+          ),
+          g AS (
+            SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+            FROM toks2, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+          ),
+          c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+          p AS (
+            SELECT doc_id, sum(cnt) AS total, max(cnt) AS top,
+                   sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+            FROM c GROUP BY 1
+          )
+          SELECT doc_id,
+                 top::DOUBLE / total AS rep_top_frac,
+                 dup::DOUBLE / total AS rep_dup_frac
+          FROM p WHERE total > 0
+        ) r ON r.doc_id = h.doc_id
     """
 
     # llm_prep: planted dups have higher ids → dedup keeps the originals,

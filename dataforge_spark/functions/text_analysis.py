@@ -98,3 +98,59 @@ def rolling_fingerprint(col: Column, modulus: int = 1_000_000_007) -> Column:
         lambda h, t: (h * 31 + F.length(t) * 7 + F.ascii(F.substring(t, 1, 1)))
         % F.lit(modulus),
     )
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (unlike dedup's word_shingles,
+    which dedups for set-Jaccard) — repetition signals need the counts.
+    [] when the document has fewer than n words."""
+    toks = F.split(F.trim(col), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+):
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    appendix A1.1 'repetitious text' filters — public paper):
+
+    - ``rep_top_frac``: fraction of all word n-grams taken by the single
+      most frequent one (high → boilerplate/spam);
+    - ``rep_dup_frac``: fraction of n-gram occurrences whose gram occurs
+      more than once (high → templated/looping text).
+
+    Returns (id, n_ngrams, rep_top_frac, rep_dup_frac); documents with
+    fewer than ``n`` words get 0.0 fractions.
+
+    Scale: explode → two map-side-combined aggregations keyed by
+    (doc, gram) then (doc) — shuffle rows bounded by distinct grams per
+    doc, never a cross-doc term dictionary.
+    """
+    from ..partitioning import ensure_parallelism
+
+    grams = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    counts = grams.groupBy("id", "g").agg(F.count(F.col("g")).alias("cnt"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("cnt").alias("__total"),
+        F.max("cnt").alias("__top"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("__dup"),
+    )
+    total = F.col("__total")
+    return per_doc.select(
+        "id",
+        F.coalesce(total, F.lit(0)).cast("bigint").alias("n_ngrams"),
+        F.when(total > 0, F.col("__top") / total).otherwise(0.0).alias("rep_top_frac"),
+        F.when(total > 0, F.col("__dup") / total).otherwise(0.0).alias("rep_dup_frac"),
+    )

@@ -150,3 +150,21 @@ def test_pack_sequences_bucket_count_invariance(spark, docs):
 def test_pack_sequences_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(empty, budget=10).count() == 0
+
+
+def test_repetition_metrics_flags_templated_text(spark):
+    from dataforge_spark.functions.text_analysis import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # one bigram repeated 5x
+            (2, "a b c d e f g"),                    # all bigrams unique
+            (3, "x"),                                # < n words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in repetition_metrics(df, n=2).collect()}
+    assert rows[1]["rep_top_frac"] == 1.0 and rows[1]["rep_dup_frac"] == 1.0
+    assert rows[2]["rep_top_frac"] == pytest.approx(1 / 6)
+    assert rows[2]["rep_dup_frac"] == 0.0
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["rep_top_frac"] == 0.0
