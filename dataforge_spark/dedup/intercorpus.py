@@ -1,0 +1,59 @@
+"""Inter-corpus dedup: drop documents already present in a REFERENCE
+corpus (extension, SURVEY §7.7 class — the pattern behind "dedup this
+crawl against the last N training snapshots").
+
+Formulation: anti-join on a 128-bit content digest, declared so Catalyst
+can pick the physical strategy per scale:
+
+- reference digests below ``broadcast_rows`` → explicit ``broadcast()``:
+  the new corpus is filtered MAP-ONLY, zero shuffles (the common case —
+  a benchmark/eval snapshot is tiny next to a crawl);
+- larger references → shuffle anti-join of digests only (16 bytes + id
+  per row, never document bodies). Spark ≥3.3's runtime bloom-filter
+  injection (``spark.sql.optimizer.runtime.bloomFilter.enabled``) prunes
+  the probe side at the scan/shuffle boundary when the build side is
+  selective — the engine inserts the bloom pass this module would
+  otherwise hand-roll, which is exactly the declare-don't-schedule bet
+  this repo makes everywhere.
+
+Only digests travel: the wide document columns stay on the new corpus'
+side of a semi/anti join and are never shuffled by digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def digest(col: str | Column) -> Column:
+    """128-bit content digest (md5 hex) — collision-safe for exact dedup
+    at corpus scale, portable to every oracle engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def intercorpus_dedup(
+    new: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    broadcast_rows: int = 10_000_000,
+) -> DataFrame:
+    """Rows of ``new`` whose ``text_col`` content does NOT appear in
+    ``reference`` (exact content match by md5 digest). Keeps every column
+    of ``new``; ``reference`` contributes only its digest set.
+
+    ``broadcast_rows`` gates the explicit broadcast: 1e7 digests ≈ 500 MB
+    broadcast — at or below this the anti-join is map-only; above it the
+    digests shuffle (with runtime bloom pruning where the optimizer
+    applies it). The gate uses ``limit(n+1).count()`` so an over-limit
+    reference never pays a full count.
+    """
+    ref_text_col = ref_text_col or text_col
+    ref_digests = reference.select(digest(ref_text_col).alias("__d")).distinct()
+    tagged = new.withColumn("__d", digest(text_col))
+
+    small = ref_digests.limit(broadcast_rows + 1).count() <= broadcast_rows
+    right = F.broadcast(ref_digests) if small else ref_digests
+    return tagged.join(right, "__d", "left_anti").drop("__d")

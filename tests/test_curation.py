@@ -152,6 +152,31 @@ def test_pack_sequences_empty_input(spark):
     assert pack_sequences(empty, budget=10).count() == 0
 
 
+def test_intercorpus_dedup_drops_exactly_the_seen_docs(spark, docs):
+    from dataforge_spark.dedup.intercorpus import intercorpus_dedup
+
+    seen = docs.where(F.col("doc_id") % 3 == 0).select("text")
+    out = intercorpus_dedup(docs, seen)
+    assert out.count() == docs.where(F.col("doc_id") % 3 != 0).count()
+    assert out.where(F.col("doc_id") % 3 == 0).count() == 0
+    assert set(out.columns) == set(docs.columns)  # digest col dropped
+    # broadcast path for a small reference: no shuffle of the new corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_intercorpus_dedup_shuffle_path_same_result(spark, docs):
+    from dataforge_spark.dedup.intercorpus import intercorpus_dedup
+
+    seen = docs.where(F.col("doc_id") % 3 == 0).select("text")
+    a = sorted(r["doc_id"] for r in
+               intercorpus_dedup(docs, seen).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               intercorpus_dedup(docs, seen, broadcast_rows=1)
+               .select("doc_id").collect())
+    assert a == b
+
+
 def test_repetition_metrics_flags_templated_text(spark):
     from dataforge_spark.functions.text_analysis import repetition_metrics
 
