@@ -63,6 +63,10 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by or [])
+    reserved = {"__t", "__side", _RT}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} are reserved by asof_join")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by + [on]]
     overlap = set(right_cols) & set(left.columns)
