@@ -104,13 +104,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries nanosecond timestamps (INT64 TIMESTAMP(NANOS))
-    which Spark's parquet reader rejects by default; read them as longs and
-    rebuild a (microsecond) timestamp column with integer arithmetic."""
+    """Normalize ``events.ts`` to a plain UTC TIMESTAMP regardless of the
+    parquet physical encoding. Generated data has shipped as both INT64
+    TIMESTAMP(NANOS) (read as bigint under ``nanosAsLong``) and micros
+    without timezone (read as TIMESTAMP_NTZ, which functions like
+    ``unix_micros``/``window`` reject). Disabling ``inferTimestampNTZ``
+    makes the reader surface naive parquet micros as TIMESTAMP holding the
+    stored value as a UTC instant — identical to DuckDB's ``epoch_us`` on
+    the same file and independent of the session timezone (a bare
+    NTZ→TIMESTAMP cast would shift by the session offset instead —
+    verified off-by-5h under America/New_York)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    elif ts_type == "timestamp_ntz":
+        # Conf not honored (unexpected): fall back to a cast, correct only
+        # when the session timezone is UTC (get_spark pins it).
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
