@@ -8,10 +8,17 @@ columns: numeric (>70% parse), datetime (>50% parse), boolean (value-set
 storage hint only in Spark; Parquet dictionary-encodes for free).
 
 Scale: all detection ratios for all candidate columns are computed in ONE
-aggregate job; casts are pure projections.
+full-data aggregate job. The datetime format list is elected from a
+driver-side sample first (SURVEY §7.3 item 3), so the full pass parses
+only the elected formats (usually one) instead of probing all 8 per
+value; the ≥2-distinct boolean test uses min≠max instead of an exact
+count_distinct (which would force an Expand-based multi-distinct plan —
+a row-multiplying full extra scan at 100 TB). Casts are pure projections.
 """
 
 from __future__ import annotations
+
+from datetime import datetime
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +42,23 @@ DATETIME_FORMATS = [
     "MM-dd-yyyy",
     "dd-MM-yyyy",
 ]
+
+# Python strptime equivalents used ONLY for driver-side format election on
+# a bounded sample. strptime is slightly laxer than Java's strict patterns
+# (accepts unpadded fields), which errs in the safe direction: a format the
+# sample matches is still gated by the Java-side full-data parse ratio.
+_PY_FORMATS = {
+    "yyyy-MM-dd HH:mm:ss": "%Y-%m-%d %H:%M:%S",
+    "yyyy-MM-dd'T'HH:mm:ss": "%Y-%m-%dT%H:%M:%S",
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "MM/dd/yyyy": "%m/%d/%Y",
+    "dd/MM/yyyy": "%d/%m/%Y",
+    "yyyy/MM/dd": "%Y/%m/%d",
+    "MM-dd-yyyy": "%m-%d-%Y",
+    "dd-MM-yyyy": "%d-%m-%Y",
+}
+
+DETECT_SAMPLE_ROWS = 10_000
 
 _TYPE_ALIASES = {
     "int": "bigint", "int64": "bigint", "integer": "bigint",
@@ -96,12 +120,18 @@ def convert_data_types(
     if not str_cols:
         return out
 
-    # First aggregate pass: per column — non-null count, numeric-parse
-    # count, integral count, distinct count, bool-vocab count. The
-    # datetime probe (8 try_to_timestamp formats per value — by far the
-    # most expensive detector) runs in a SECOND pass restricted to the
-    # columns that failed the cheap detectors, so numeric/boolean tables
-    # never pay for it.
+    # Format election: one bounded sample job (limit → first partitions
+    # only), then per-column keep the formats (priority order) that parse
+    # ≥1 sampled value. A column whose sample matches nothing skips the
+    # datetime detector entirely; the full pass below then pays only the
+    # elected formats instead of an 8-way per-cell probe.
+    fmts = _elect_datetime_formats(out, str_cols)
+
+    # ONE full-data aggregate pass: per column — non-null count,
+    # numeric-parse count, integral count, min/max (≥2-distinct test),
+    # bool-vocab count, and (elected-format) datetime-parse count. All
+    # plain partial+final aggregates: map-side combined, no Expand, no
+    # shuffle beyond one row per partition.
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in str_cols:
         v = F.col(c)
@@ -110,19 +140,25 @@ def convert_data_types(
             F.count(v).alias(f"nn_{c}"),
             F.count(num).alias(f"num_{c}"),
             F.sum(((num.isNotNull()) & (num == F.floor(num))).cast("long")).alias(f"int_{c}"),
-            F.count_distinct(v).alias(f"uniq_{c}"),
+            F.min(v).alias(f"mn_{c}"),
+            F.max(v).alias(f"mx_{c}"),
             F.sum(F.lower(F.trim(v)).isin(sorted(_BOOL_VOCAB)).cast("long")).alias(f"bool_{c}"),
         ]
+        if fmts[c]:
+            aggs.append(
+                F.count(parse_timestamp_expr(v, fmts[c])).alias(f"dt_{c}")
+            )
     s = out.agg(*aggs).collect()[0]
 
-    dt_candidates = []
     for c in str_cols:
         nn = s[f"nn_{c}"]
         if not nn:
             continue
         v = F.col(c)
         # T4 auto-boolean: every non-null value in vocabulary, ≥2 distinct
-        if s[f"bool_{c}"] == nn and s[f"uniq_{c}"] >= 2:
+        # (min≠max over non-nulls ⇔ count_distinct ≥ 2, without the
+        # multi-distinct Expand plan).
+        if s[f"bool_{c}"] == nn and s[f"mn_{c}"] != s[f"mx_{c}"]:
             out = out.withColumn(
                 c,
                 F.when(F.lower(F.trim(v)).isin(_BOOL_TRUE), True)
@@ -134,17 +170,41 @@ def convert_data_types(
                 out = out.withColumn(c, v.try_cast("double").try_cast("bigint"))
             else:
                 out = out.withColumn(c, v.try_cast("double"))
-        else:
-            dt_candidates.append(c)
+        # T3 auto-datetime: >50% of non-null parse with elected formats
+        elif fmts[c] and s[f"dt_{c}"] / nn > 0.50:
+            out = out.withColumn(c, parse_timestamp_expr(v, fmts[c]))
         # T5 auto-category: metadata-only in Spark (dictionary encoding is a
         # Parquet storage concern, not a logical type) — no-op.
-
-    if dt_candidates:
-        dts = out.agg(
-            *[F.count(parse_timestamp_expr(F.col(c))).alias(c) for c in dt_candidates]
-        ).collect()[0]
-        for c in dt_candidates:
-            # T3 auto-datetime: >50% of non-null parse
-            if dts[c] / s[f"nn_{c}"] > 0.50:
-                out = out.withColumn(c, parse_timestamp_expr(F.col(c)))
     return out
+
+
+def _elect_datetime_formats(
+    df: DataFrame, cols: list[str], n: int = DETECT_SAMPLE_ROWS
+) -> dict[str, list[str]]:
+    """Driver-side datetime-format election (SURVEY §7.3 item 3): read the
+    first ``n`` rows once, keep per column the formats (priority order)
+    that parse ≥1 sampled value. The full-data gate/cast still applies
+    Java-side parsing over the ELECTED list, so election only bounds which
+    formats are paid for — a format used exclusively outside the sampled
+    prefix is the documented sampling tradeoff."""
+    rows = df.select(*cols).limit(n).collect()
+    elected: dict[str, list[str]] = {}
+    for c in cols:
+        # Every candidate format starts with a digit field — prefilter so
+        # prose columns don't pay 8 × n strptime exceptions; dedupe so
+        # low-cardinality columns are elected in O(distinct).
+        vals = list(dict.fromkeys(
+            v for v in (r[c].strip() for r in rows if r[c] is not None)
+            if v[:1].isdigit()
+        ))
+        keep = []
+        for jfmt, pfmt in _PY_FORMATS.items():
+            for v in vals:
+                try:
+                    datetime.strptime(v, pfmt)
+                    keep.append(jfmt)
+                    break
+                except (ValueError, TypeError):
+                    continue
+        elected[c] = keep
+    return elected

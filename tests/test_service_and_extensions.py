@@ -145,6 +145,37 @@ def test_type_conversion_ignore_leaves_column_unchanged(spark):
     assert {r["x"] for r in out.collect()} == {"1", "oops"}
 
 
+def test_auto_detect_sample_elected_formats(spark):
+    """Auto-detect after the round-4 rewrite: one full aggregate pass with
+    sample-elected datetime formats. Pins (a) multi-format coalesce order
+    within the elected list, (b) prose columns electing no format (skip
+    the datetime detector entirely), (c) boolean ≥2-distinct via min≠max,
+    (d) single-valued bool vocab NOT converting."""
+    from dataforge_spark.operators.type_conversion import _elect_datetime_formats
+
+    rows = [
+        ("2024-01-15", "01/02/2024", "plain prose", "yes", "yes"),
+        ("2024-02-20 10:30:00", "03/04/2024", "more text", "no", "yes"),
+        ("not a date", "05/06/2024", "words", "yes", "yes"),
+    ]
+    df = spark.createDataFrame(rows, "d: string, us: string, txt: string, b: string, b1: string")
+
+    fmts = _elect_datetime_formats(df, ["d", "us", "txt", "b", "b1"])
+    assert fmts["d"] == ["yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"]
+    # MM/dd elected before dd/MM (priority order), both parse the sample
+    assert fmts["us"][0] == "MM/dd/yyyy"
+    assert fmts["txt"] == [] and fmts["b"] == []
+
+    out = convert_data_types(df, auto_detect=True)
+    dt = dict(out.dtypes)
+    assert dt["d"] == "timestamp" and dt["us"] == "timestamp"
+    assert dt["txt"] == "string"
+    assert dt["b"] == "boolean"
+    assert dt["b1"] == "string"  # single distinct value: not boolean
+    got = {r["d"] for r in out.select("d").collect()}
+    assert None in got and len(got) == 3  # "not a date" → NULL, two parses
+
+
 def test_isolation_forest_cap_noops(spark, lineitem):
     df = lineitem.select("l_quantity").limit(100)
     out = handle_outliers(df, columns=["l_quantity"], method="isolation_forest",
