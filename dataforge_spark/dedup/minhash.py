@@ -68,8 +68,16 @@ def candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """LSH banding: (id_a, id_b) candidate pairs, id_a < id_b, distinct."""
+    """LSH banding: (id_a, id_b) candidate pairs, id_a < id_b, distinct.
+
+    Buckets with more than ``max_bucket`` members (hash collisions /
+    boilerplate shingle sets) are pruned BEFORE the self-join — correct
+    engineering, but an invisible recall hole if unreported. Pass a dict
+    as ``stats`` to have it filled with ``dropped_buckets`` /
+    ``dropped_members`` (one extra small aggregate job over the bucket
+    sizes; opt-in so the production pair path stays single-shuffle)."""
     banded = signatures.select(
         "id",
         F.explode(
@@ -86,10 +94,26 @@ def candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # Self-join within buckets; prune degenerate buckets first.
+    # Self-join within buckets; prune degenerate buckets first. NO
+    # broadcast hint on the sizes table: it has one row per surviving
+    # (band, bucket) — proportional to the number of duplicate clusters,
+    # i.e. to the corpus. A mandatory broadcast of that is a driver OOM
+    # at 100 TB; unhinted, AQE broadcasts it only when it measures small
+    # and falls back to a shuffled join otherwise.
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    if stats is not None:
+        dropped = (
+            sizes.where(F.col("n") > max_bucket)
+            .agg(
+                F.count(F.lit(1)).alias("db"),
+                F.coalesce(F.sum("n"), F.lit(0)).alias("dm"),
+            )
+            .collect()[0]
+        )
+        stats["dropped_buckets"] = int(dropped["db"])
+        stats["dropped_members"] = int(dropped["dm"])
     ok = banded.join(
-        F.broadcast(sizes.where((F.col("n") > 1) & (F.col("n") <= max_bucket))),
+        sizes.where((F.col("n") > 1) & (F.col("n") <= max_bucket)),
         ["band", "bucket"],
     )
     a, b = ok.alias("a"), ok.alias("b")
@@ -113,14 +137,17 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Candidates via LSH, then EXACT Jaccard verification of candidates
     only — output (id_a, id_b, jaccard ≥ threshold). The verify join
     touches candidate docs only, so precision is exact and recall is the
-    LSH probability curve."""
+    LSH probability curve. ``stats`` (opt-in) reports pruned degenerate
+    buckets — see candidate_pairs."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
-    cands = candidate_pairs(sigs, bands, rows_per_band)
+    cands = candidate_pairs(sigs, bands, rows_per_band, max_bucket, stats)
 
     from ..partitioning import ensure_parallelism
 

@@ -174,9 +174,12 @@ def _lsh_fuzzy_map(
             )
         ).alias("bb"),
     ).select("v", "n", "len", "bb.band", "bb.bucket")
+    # Unhinted join (mirrors dedup/minhash.candidate_pairs): the sizes
+    # table grows with the distinct-value domain, so a mandatory
+    # broadcast is a scale cliff — let AQE broadcast it only when small.
     sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
     ok = banded.join(
-        F.broadcast(sizes.where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))),
+        sizes.where((F.col("bn") > 1) & (F.col("bn") <= max_bucket)),
         ["band", "bucket"],
     )
     a = ok.select(

@@ -35,3 +35,27 @@ def test_simhash_recovers_planted_near_dups(spark, documents):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, f"simhash recall {recall} over {len(truth)} true pairs"
+
+
+def test_minhash_reports_dropped_degenerate_buckets(spark):
+    """Planted degenerate bucket: many docs sharing one text collide in
+    every band; with max_bucket below the clone count the bucket is
+    pruned and MUST be reported, while distinct docs still pair up."""
+    from dataforge_spark.dedup.minhash import minhash_dedup_pairs
+
+    clones = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(30)]
+    near = [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine eleven"),
+    ]
+    df = spark.createDataFrame(clones + near, "doc_id: bigint, text: string")
+    stats: dict = {}
+    pairs = minhash_dedup_pairs(
+        df, threshold=0.5, max_bucket=10, stats=stats
+    ).collect()
+    # every band-bucket holding the 30 clones (30 > max_bucket) is pruned
+    assert stats["dropped_buckets"] >= 1
+    assert stats["dropped_members"] >= 30
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got
+    assert not any(a < 30 and b < 30 for a, b in got)  # clone pairs pruned
