@@ -153,17 +153,43 @@ class CleaningPipeline:
         self,
         bug_compat: bool = False,
         collect_metrics: bool = False,
-        persist_intermediate: bool = False,
+        persist_intermediate: bool | None = None,
     ):
         """``persist_intermediate``: persist (MEMORY_AND_DISK) the DataFrame
         after each op that later ops compute statistics over. Stat-dependent
         chains (fill→dedup→cap→scale) otherwise re-execute the whole
         upstream lineage once per statistics job — at 4 stat ops that is 4
-        extra full scans. Opt-in because persisting the working set is a
+        extra full scans. Default ``None`` = auto: persist a boundary only
+        when ≥2 downstream enabled ops will run driver-side statistics jobs
+        over it (the re-scan count that makes the persist pay for itself).
+        ``True``/``False`` force it — persisting the working set is still a
         deliberate capacity decision on a real cluster."""
         self.bug_compat = bug_compat
         self.collect_metrics = collect_metrics
         self.persist_intermediate = persist_intermediate
+
+    @staticmethod
+    def _runs_stat_jobs(name: str, cfg: dict[str, Any]) -> bool:
+        """Whether this op executes driver-side statistics jobs over its
+        input (each such job re-executes the full upstream lineage unless
+        a boundary below it is persisted). Pure-projection ops return
+        False."""
+        if name in ("text_cleaning", "duplicates"):
+            return False
+        if name == "missing_values":
+            return cfg.get("strategy", "fill_mean") not in (
+                "drop_rows", "drop_rows_threshold"
+            )
+        if name == "typo_fix":
+            # common_typos is a pure regexp chain; fuzzy/spell fit a map
+            return cfg.get("method", "common_typos") != "common_typos"
+        if name == "data_type_conversion":
+            return bool(cfg.get("auto_detect", True)) or cfg.get("errors") in (
+                "ignore", "raise"
+            )
+        if name == "datetime_parsing":
+            return bool(cfg.get("auto_detect", True))
+        return True  # outliers / normalization / encoding fit statistics
 
     def _apply_one(self, df: DataFrame, name: str, cfg: dict[str, Any]) -> DataFrame:
         if name == "data_type_conversion":
@@ -249,6 +275,20 @@ class CleaningPipeline:
         current = boundary_scrub(df) if self.bug_compat else df
         persisted: list[DataFrame] = []
 
+        enabled = [
+            n for n in CANONICAL_ORDER
+            if operations.get(n) and operations[n].get("enabled", False)
+        ]
+        # downstream stat-job count per op: how many LATER enabled ops will
+        # re-scan the boundary after this op for their fitted statistics
+        stat_after = {
+            n: sum(
+                self._runs_stat_jobs(m, operations[m])
+                for m in enabled[enabled.index(n) + 1:]
+            )
+            for n in enabled
+        }
+
         for name in CANONICAL_ORDER:
             cfg = operations.get(name)
             if not cfg or not cfg.get("enabled", False):
@@ -277,7 +317,12 @@ class CleaningPipeline:
                     if name == "duplicates":
                         op_report["duplicate_count"] = before - after
                 current = boundary_scrub(nxt) if self.bug_compat else nxt
-                if self.persist_intermediate:
+                do_persist = (
+                    self.persist_intermediate
+                    if self.persist_intermediate is not None
+                    else stat_after[name] >= 2
+                )
+                if do_persist:
                     current = current.persist(StorageLevel.MEMORY_AND_DISK)
                     persisted.append(current)
             except Exception as e:  # error-isolated: keep previous df
