@@ -86,6 +86,11 @@ def isolation_forest_mask(
             col_pdf = col_df.sample(fraction=max_fit_rows / n, seed=random_state).toPandas()
         else:
             col_pdf = col_df.toPandas()
+        # Sort the fit values: toPandas order follows scan/partition
+        # planning, which is NOT part of the operator's contract — with a
+        # seeded RNG, fitting on the sorted array makes the model (and so
+        # the flagged set) a pure function of the VALUE MULTISET.
+        col_pdf = col_pdf.sort_values(c).reset_index(drop=True)
         model = fit_model(col_pdf[[c]].values)
         p = make_scorer(model)(F.col(c).cast("double"))
         masks = p if masks is None else (masks | p)

@@ -316,12 +316,25 @@ class CleaningPipeline:
                     ]
                     if name == "duplicates":
                         op_report["duplicate_count"] = before - after
+                    if name == "missing_values":
+                        # Reference UI parity: its report drives a
+                        # before/after missing-value chart
+                        # (/root/reference/frontend/script.js:506-540).
+                        from .profile import missing_counts
+
+                        op_report["missing_before"] = missing_counts(current)
+                        op_report["missing_after"] = missing_counts(nxt)
                 current = boundary_scrub(nxt) if self.bug_compat else nxt
-                do_persist = (
-                    self.persist_intermediate
-                    if self.persist_intermediate is not None
-                    else stat_after[name] >= 2
-                )
+                if self.persist_intermediate is not None:
+                    do_persist = self.persist_intermediate
+                else:
+                    # metrics mode re-scans every boundary for row counts
+                    # and changed-cell joins, so any non-final boundary
+                    # is worth pinning there.
+                    later = enabled.index(name) < len(enabled) - 1
+                    do_persist = stat_after[name] >= 2 or (
+                        self.collect_metrics and later
+                    )
                 if do_persist:
                     current = current.persist(StorageLevel.MEMORY_AND_DISK)
                     persisted.append(current)

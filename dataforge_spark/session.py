@@ -37,6 +37,14 @@ def get_spark(app_name: str = "dataforge_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet reader settings pinned at BUILD time so every read in
+        # the session sees the same physical-type mapping: the testdata's
+        # events.ts has shipped as INT64 TIMESTAMP(NANOS) (read as bigint
+        # under nanosAsLong) and as naive micros (TIMESTAMP_NTZ unless
+        # inferTimestampNTZ is off). Setting these per-read made the
+        # dtype of OTHER naive-micros columns order-dependent.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # Spill-awareness: input split size bounds per-task memory at the

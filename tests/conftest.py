@@ -38,11 +38,12 @@ def documents(spark, sf_dir):
 
 @pytest.fixture(scope="session")
 def events(spark, sf_dir):
-    # events.parquet carries nanosecond timestamps; see __spark_entry__._events
+    # events.parquet carries nanosecond timestamps; the parquet reader
+    # confs handling them are pinned in get_spark() at session build so
+    # every fixture sees identical reader settings regardless of
+    # instantiation order (see __spark_entry__._events).
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(ev.dtypes).get("ts")
     if ts_type == "bigint":

@@ -23,7 +23,10 @@ def main() -> None:
         q for q in BENCH_QUERIES if not q.startswith("stream_")
     ]
     spark = get_spark("explain_audit")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    from bench import _s4_profile_approx
+
+    qs["s4_profile_approx"] = _s4_profile_approx
     print(f"{'query':28s} {'exch':>4s} {'bcast':>5s} {'smj':>4s} {'pyudf':>5s}  scans (ReadSchema, truncated)")
     for name in names:
         df = qs[name](spark, sf_dir)
