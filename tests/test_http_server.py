@@ -177,3 +177,29 @@ def test_frontend_served_and_manifest_driven(server):
     for endpoint in ("/pipeline-info", "/health", "/upload", "/clean-data", "/files"):
         assert endpoint in html, f"frontend no longer references {endpoint}"
     assert os.path.exists(FRONTEND_PATH)
+
+
+def test_missing_value_chart_report_and_svg_nodes(server):
+    """Round-4 UI parity (reference script.js:506-540): the clean report
+    carries missing_before/missing_after per column, and the served UI
+    renders them as a dependency-free inline SVG bar chart."""
+    r, body = _post(server, "/upload", {"file": ("chart.csv", CSV)})
+    up = json.loads(body)
+    ops = {"missing_values": {"enabled": True, "strategy": "fill_mean"}}
+    r, body = _post(
+        server, "/clean-data",
+        {"file_path": up["file_path"], "operations": json.dumps(ops)},
+    )
+    assert r.status == 200, body
+    mv = json.loads(body)["result"]["operations"]["missing_values"]
+    assert mv["missing_before"]["qty"] > 0
+    assert mv["missing_after"]["qty"] == 0
+    # name column has no gap either side — present in both dicts
+    assert mv["missing_before"]["name"] == mv["missing_after"]["name"] == 0
+
+    r, body = _get(server, "/ui")
+    html = body.decode()
+    for node in ("renderMissingChart", "missing_before", "missing_after",
+                 "createElementNS", "chart-before", "chart-after",
+                 'id="chart-svg"'):
+        assert node in html, f"frontend chart machinery missing: {node}"
