@@ -590,30 +590,20 @@ def q_n1_n5_standard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
-def q_n2_n3_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N2 minmax + N3 robust scaling as a tagged union."""
+def q_n2_n3_n4_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 minmax + N3 robust + N4 row-wise L2 as a tagged union (one
+    driver row attests all three scalers)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *_NCOLS)
     mm, _ = normalize_data(li, columns=_NCOLS, method="minmax", feature_range=(0.0, 1.0))
     rb, _ = normalize_data(li, columns=_NCOLS, method="robust")
-    a = mm.select(
-        "l_orderkey", "l_linenumber",
-        F.round("l_quantity", 6).alias("v_qty"),
-        F.round("l_extendedprice", 6).alias("v_price"),
-    ).withColumn("variant", F.lit("minmax"))
-    b = rb.select(
-        "l_orderkey", "l_linenumber",
-        F.round("l_quantity", 6).alias("v_qty"),
-        F.round("l_extendedprice", 6).alias("v_price"),
-    ).withColumn("variant", F.lit("robust"))
-    return a.unionByName(b)
-
-
-def q_n4_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *_NCOLS)
-    out, _ = normalize_data(li, columns=_NCOLS, method="normalize")
-    return out.select("l_orderkey", "l_linenumber",
-                      F.round("l_quantity", 6).alias("qty_l2"),
-                      F.round("l_extendedprice", 6).alias("price_l2"))
+    l2, _ = normalize_data(li, columns=_NCOLS, method="normalize")
+    def leg(df, tag):
+        return df.select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_quantity", 6).alias("v_qty"),
+            F.round("l_extendedprice", 6).alias("v_price"),
+        ).withColumn("variant", F.lit(tag))
+    return leg(mm, "minmax").unionByName(leg(rb, "robust")).unionByName(leg(l2, "l2"))
 
 
 def q_n6_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,6 +760,28 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10)
     return ivf_cosine_topk(corpus=emb, queries=q, k=5, id_col="vec_id",
                            vec_col="embedding", n_centroids=16, nprobe=16)
+
+
+def q_sim_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-disk IVF index (similarity/ivf.py write/search): the index is
+    materialized as bucket-partitioned parquet under /tmp, then searched
+    with FULL probe (nprobe = n_centroids) — results must equal the exact
+    brute-force top-k, so this shares that oracle. The probed-bucket
+    filter lands on the partition column (PartitionFilters prune
+    unprobed directories — pinned by pytest); at small nprobe a query
+    reads ~nprobe/n_centroids of the data."""
+    import os as _os
+
+    from dataforge_spark.similarity.ivf import search_ivf_index, write_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = f"/tmp/dataforge_ivf_idx_{_os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    write_ivf_index(emb, path, id_col="vec_id", vec_col="embedding", n_centroids=16)
+    q = emb.where(F.col("vec_id") < 10)
+    return search_ivf_index(spark, path, q, k=5, nprobe=16,
+                            id_col="vec_id", vec_col="embedding")
 
 
 def q_dedup_intercorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_intercorpus": q_dedup_intercorpus,
         "sessionize_native": q_sessionize_native,
         "o4_isolation_forest": q_o4_isolation_forest,
+        "sim_ivf_disk_topk": q_sim_ivf_disk_topk,
         # --- round-2/3 queries ---
         "pipeline_e2e": q_pipeline_e2e,
         "boundary_scrub": q_boundary_scrub,
@@ -1160,8 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "y2_y3_difflib_fix": q_y2_y3_difflib_fix,
         "y4_typo_stats": q_y4_typo_stats,
         "n1_n5_standard_roundtrip": q_n1_n5_standard_roundtrip,
-        "n2_n3_scale": q_n2_n3_scale,
-        "n4_l2_normalize": q_n4_l2_normalize,
+        "n2_n3_n4_scale": q_n2_n3_n4_scale,
         "n6_scaling_stats": q_n6_scaling_stats,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -1483,7 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
     """
 
-    sql["n2_n3_scale"] = """
+    sql["n2_n3_n4_scale"] = """
         SELECT l_orderkey, l_linenumber,
           round((l_quantity - loq) / (hiq - loq) * 1.0 + 0.0, 6) AS v_qty,
           round((l_extendedprice - lop) / (hip - lop) * 1.0 + 0.0, 6) AS v_price,
@@ -1505,12 +1517,11 @@ def oracle_sql() -> dict[str, str]:
                   quantile_cont(l_extendedprice, 0.25) AS q1p,
                   quantile_cont(l_extendedprice, 0.75) AS q3p
            FROM lineitem) s
-    """
-
-    sql["n4_l2_normalize"] = """
+        UNION ALL
         SELECT l_orderkey, l_linenumber,
-          round(CASE WHEN nrm > 0 THEN l_quantity / nrm ELSE l_quantity END, 6) AS qty_l2,
-          round(CASE WHEN nrm > 0 THEN l_extendedprice / nrm ELSE l_extendedprice END, 6) AS price_l2
+          round(CASE WHEN nrm > 0 THEN l_quantity / nrm ELSE l_quantity END, 6),
+          round(CASE WHEN nrm > 0 THEN l_extendedprice / nrm ELSE l_extendedprice END, 6),
+          'l2'
         FROM (SELECT *,
                 sqrt(power(coalesce(l_quantity, 0), 2)
                    + power(coalesce(l_extendedprice, 0), 2)) AS nrm
@@ -1660,6 +1671,8 @@ def oracle_sql() -> dict[str, str]:
 
     # full-probe IVF must reproduce the exact top-k
     sql["sim_ivf_topk"] = sql["sim_cosine_topk"]
+    # Full-probe disk search must equal the exact top-k too.
+    sql["sim_ivf_disk_topk"] = sql["sim_cosine_topk"]
 
     # The perturbed-copy CTE shared by the LSH oracles — the EXACT formula
     # of _perturbed_embeddings: component i (0-based) += 0.02*sin(new_id+i).

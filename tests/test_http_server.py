@@ -201,5 +201,6 @@ def test_missing_value_chart_report_and_svg_nodes(server):
     html = body.decode()
     for node in ("renderMissingChart", "missing_before", "missing_after",
                  "createElementNS", "chart-before", "chart-after",
-                 'id="chart-svg"'):
-        assert node in html, f"frontend chart machinery missing: {node}"
+                 'id="chart-svg"', "renderPreview", "sample_data",
+                 'id="preview-rows"'):
+        assert node in html, f"frontend chart/preview machinery missing: {node}"

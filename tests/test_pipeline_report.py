@@ -75,3 +75,22 @@ def test_metrics_off_adds_no_jobs_keys(spark):
         df, {"duplicates": {"enabled": True}}
     )
     assert "cells_changed" not in report["operations"]["duplicates"]
+
+
+def test_auto_persist_policy_counts_downstream_stat_ops():
+    """_runs_stat_jobs classifies which ops re-scan their input with
+    driver-side statistics jobs — the auto-persist policy's input."""
+    from dataforge_spark.pipeline import CleaningPipeline
+
+    f = CleaningPipeline._runs_stat_jobs
+    assert not f("text_cleaning", {})
+    assert not f("duplicates", {})
+    assert not f("missing_values", {"strategy": "drop_rows"})
+    assert f("missing_values", {"strategy": "fill_median"})
+    assert f("missing_values", {})  # default fill_mean
+    assert not f("typo_fix", {})  # default common_typos is a regexp chain
+    assert f("typo_fix", {"method": "fuzzy_match"})
+    assert f("data_type_conversion", {})  # auto_detect default True
+    assert not f("data_type_conversion", {"auto_detect": False})
+    assert f("data_type_conversion", {"auto_detect": False, "errors": "raise"})
+    assert f("outliers", {}) and f("normalization", {}) and f("encoding", {})
