@@ -83,6 +83,7 @@ def convert_data_types(
     out = df
 
     # T1 — manual cast map
+    cast_exprs: dict[str, tuple[str, object]] = {}
     for col, target in (type_mapping or {}).items():
         if col not in out.columns:
             continue
@@ -98,16 +99,28 @@ def convert_data_types(
             )
         else:
             casted = src.try_cast(spark_type)
-        if errors in ("ignore", "raise"):
-            # pandas astype(errors='ignore') leaves the column UNCHANGED when
-            # any value fails (never a silent partial null-out); 'raise'
-            # errors out. Both need the failure count first.
-            n_bad = out.where(src.isNotNull() & casted.isNull()).count()
+        cast_exprs[col] = (target, casted)
+
+    if cast_exprs and errors in ("ignore", "raise"):
+        # pandas astype(errors='ignore') leaves the column UNCHANGED when
+        # any value fails (never a silent partial null-out); 'raise'
+        # errors out. Both need failure counts — computed for ALL mapped
+        # columns in ONE aggregate pass, not a full scan per column.
+        bad = out.agg(
+            *[
+                F.sum((F.col(c).isNotNull() & casted.isNull()).cast("long")).alias(c)
+                for c, (_, casted) in cast_exprs.items()
+            ]
+        ).collect()[0]
+        for c, (target, _) in list(cast_exprs.items()):
+            n_bad = int(bad[c] or 0)
             if n_bad:
                 if errors == "raise":
-                    raise ValueError(f"{n_bad} values of {col!r} fail cast to {target}")
-                continue  # ignore: skip this column entirely
-        out = out.withColumn(col, casted)
+                    raise ValueError(f"{n_bad} values of {c!r} fail cast to {target}")
+                del cast_exprs[c]  # ignore: skip this column entirely
+
+    for c, (_, casted) in cast_exprs.items():
+        out = out.withColumn(c, casted)
 
     if not auto_detect:
         return out
