@@ -141,6 +141,7 @@ def contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    broadcast_grams: int = 10_000_000,
 ) -> DataFrame:
     """Per-document n-gram overlap with an evaluation set.
 
@@ -148,22 +149,34 @@ def contamination(
     count, how many of them appear anywhere in ``eval_set``, and the
     contamination flag. Decontamination = ``where(~contaminated)``.
 
-    Scale: eval n-grams are deduped and BROADCAST (eval sets are KBs–MBs);
-    the corpus side is a map-only explode into a broadcast hash join —
-    the corpus never shuffles by gram, and the one real exchange is the
-    per-doc partial-aggregated count (one row per doc). Docs with < n
-    words have zero grams and are kept with n_grams = 0 (explode_outer).
+    Scale: eval n-grams are deduped and — when the deduped set is at or
+    under ``broadcast_grams`` (gated with ``limit(n+1).count()``, so an
+    over-limit set never pays a full count) — BROADCAST: the corpus side
+    is then a map-only explode into a broadcast hash join, never shuffled
+    by gram, and the one real exchange is the per-doc partial-aggregated
+    count. A pathologically large eval set (many snapshots at once) falls
+    back to an unhinted join so AQE picks the strategy instead of forcing
+    a driver-OOM broadcast (same gate pattern as dedup/intercorpus).
+    Docs with < n words have zero grams and are kept with n_grams = 0
+    (explode_outer).
     """
     eval_grams = (
         eval_set.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
+        # lazy localCheckpoint: the gate count below materializes the
+        # deduped grams once and the join reuses them (blocks are
+        # released by the ContextCleaner, same pattern as encoding's
+        # frequency table) — without it the distinct would run twice.
+        .localCheckpoint(eager=False)
     )
+    small = eval_grams.limit(broadcast_grams + 1).count() <= broadcast_grams
+    right = F.broadcast(eval_grams) if small else eval_grams
     doc_grams = corpus.select(
         F.col(id_col).alias("id"),
         F.explode_outer(word_shingles(F.col(text_col), n)).alias("g"),
     )
-    joined = doc_grams.join(F.broadcast(eval_grams), "g", "left")
+    joined = doc_grams.join(right, "g", "left")
     return (
         joined.groupBy("id")
         .agg(
