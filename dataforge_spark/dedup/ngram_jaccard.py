@@ -54,8 +54,11 @@ def jaccard_pairs(
         .select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
     )
     if max_df is not None:
+        # Unhinted anti-join: the hot-shingle set is the head of the
+        # corpus' shingle Zipf curve — usually tiny, but it GROWS with the
+        # corpus, so the broadcast decision belongs to AQE, not a hint.
         hot = sh.groupBy("s").count().where(F.col("count") > max_df).select("s")
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        sh = sh.join(hot, "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Inverted index WITHOUT a self-join: collect each shingle's posting
     # list (sorted doc ids), emit all in-list pairs with a nested

@@ -232,11 +232,13 @@ def encode_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFra
     out = df
     for c in cols:
         key = f"__key_{c}"
-        freqs = F.broadcast(
-            counts.where(F.col("col") == c).select(
-                F.col("val").alias(key),
-                (F.col("n") / F.lit(float(n_total))).alias(f"{c}_freq_encoded"),
-            )
+        # Unhinted join: the frequency table is one row per DISTINCT value
+        # of the column — tiny for true categoricals, but a user can pass
+        # a high-cardinality column, and a forced broadcast of that is an
+        # OOM cliff. AQE broadcasts it whenever it measures small.
+        freqs = counts.where(F.col("col") == c).select(
+            F.col("val").alias(key),
+            (F.col("n") / F.lit(float(n_total))).alias(f"{c}_freq_encoded"),
         )
         out = out.join(
             freqs, on=F.col(c).cast("string").eqNullSafe(F.col(key)), how="left"
