@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sketch_quantiles(
+def sketch_quantiles(
     sel: DataFrame,
     columns: list[str],
     probs: list[float],
@@ -170,7 +170,7 @@ def exact_quantiles(
     padded = sorted({p for q in probs for p in
                      (max(0.0, q - pad), min(1.0, q + pad))})
     # One sketch pass for every column × padded prob.
-    sketch = _sketch_quantiles(sel, columns, padded, relative_error)
+    sketch = sketch_quantiles(sel, columns, padded, relative_error)
 
     # Count pass: per (col, prob) below/within + per-col non-null n.
     aggs = [F.count(F.col(c)).alias(f"n__{c}") for c in columns]
@@ -291,7 +291,7 @@ def _refine(
         pad = 4.0 * relative_error
         p_lo = max(0.0, (r_lo - 1) / max(cnt - 1, 1) - pad)
         p_hi = min(1.0, (r_hi - 1) / max(cnt - 1, 1) + pad)
-        sk = _sketch_quantiles(sub, [c], [p_lo, p_hi], relative_error)[c]
+        sk = sketch_quantiles(sub, [c], [p_lo, p_hi], relative_error)[c]
         if not sk:
             return None
         lo, hi = sk[p_lo], sk[p_hi]

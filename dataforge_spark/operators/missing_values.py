@@ -97,7 +97,7 @@ def modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
 def _order_key(df: DataFrame, order_col: str):
     """(key expression, is_numeric_surrogate) for bucket-boundary math.
     Numeric columns are their own key; timestamps/dates map to a MONOTONE
-    numeric surrogate (so ``approxQuantile`` — numeric-only — still works);
+    numeric surrogate (so the quantile sketch — numeric-only — still works);
     strings (or anything else orderable) return ``None`` → sampled literal
     boundaries in the column's own comparison domain."""
     dt = df.schema[order_col].dataType
@@ -123,7 +123,7 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     the fill pass and the edge pass are guaranteed to agree
     (``repartitionByRange`` + ``spark_partition_id`` would re-sample per
     job and could disagree between the two passes). Boundaries come from
-    ``approxQuantile`` on a monotone numeric key (numeric/timestamp/date
+    the codegen quantile sketch on a monotone numeric key (numeric/timestamp/date
     order columns) or from a seeded deterministic sample (string order
     columns, where no numeric surrogate exists).
 
@@ -137,11 +137,15 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     if key is not None:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         dfk = df.withColumn("_ord_key", key)
-        splits = (
-            sorted(set(dfk.stat.approxQuantile("_ord_key", probs, 0.001)))
-            if probs
-            else []
-        )
+        if probs:
+            from ..functions.quantiles import sketch_quantiles
+
+            sk = sketch_quantiles(
+                dfk.select("_ord_key"), ["_ord_key"], probs, 0.001
+            )["_ord_key"]
+            splits = sorted(set(sk.values()))
+        else:
+            splits = []
         key_col = key
     else:
         # String (or other non-numeric orderable) order column: pick

@@ -164,10 +164,15 @@ def range_join(
             f"interval columns {sorted(overlap)} collide with point columns; rename"
         )
     if bucket_width is None:
-        q = intervals.select(
-            (F.col(hi_col) - F.col(lo_col)).cast("double").alias("__len")
-        ).stat.approxQuantile("__len", [0.95], 0.01)
-        bucket_width = max(q[0] if q else 0.0, 1e-9)
+        from .functions.quantiles import sketch_quantiles
+
+        sk = sketch_quantiles(
+            intervals.select(
+                (F.col(hi_col) - F.col(lo_col)).cast("double").alias("__len")
+            ),
+            ["__len"], [0.95], 0.01,
+        )["__len"]
+        bucket_width = max(sk.get(0.95, 0.0) if sk else 0.0, 1e-9)
     w = float(bucket_width)
 
     cell = lambda c: F.floor(F.col(c).cast("double") / F.lit(w))  # noqa: E731
