@@ -8,6 +8,7 @@ so they run at 100 TB as a single scan-and-project with pushdown intact.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -154,3 +155,32 @@ def repetition_metrics(
         F.when(total > 0, F.col("__top") / total).otherwise(0.0).alias("rep_top_frac"),
         F.when(total > 0, F.col("__dup") / total).otherwise(0.0).alias("rep_dup_frac"),
     )
+
+
+def compression_ratio(col: Column, level: int = 6) -> Column:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    bytes) — the classic redundancy signal for LLM data curation
+    (CCNet/Gopher-adjacent quality heuristics, public work): repetitive
+    or templated text compresses far below ~0.4, while natural prose
+    sits around 0.5-0.7 and random/encrypted content near 1.0.
+
+    Arrow-batched ``pandas_udf`` — zlib lives Python-side only, so this
+    is one of the few deliberate Python stages in the engine (same class
+    as the isolation-forest scorer). NULL/empty text → NULL ratio.
+    """
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(v):
+            if v is None:
+                return None
+            raw = v.encode("utf-8", errors="replace")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return s.map(one)
+
+    return _ratio(col)

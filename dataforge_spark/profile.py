@@ -93,6 +93,31 @@ def profile_df(
     )
 
 
+def top_values(
+    df: DataFrame, columns: list[str] | None = None, k: int = 10
+) -> dict[str, list[tuple[Any, int]]]:
+    """Approximate top-k most frequent values per column, ONE codegen'd
+    aggregate pass for all columns (native ``approx_top_k`` sketch —
+    fixed-size state per column, the 100 TB-safe alternative to an exact
+    value-counts groupBy per column). Returns
+    ``{col: [(value, count), ...]}`` ordered most-frequent first."""
+    fields = [f for f in _user_fields(df) if columns is None or f.name in columns]
+    if not fields:
+        return {}
+    row = df.agg(
+        *[
+            F.expr(
+                f"approx_top_k(`{f.name.replace('`', '``')}`, {int(k)})"
+            ).alias(f.name)
+            for f in fields
+        ]
+    ).collect()[0]
+    return {
+        f.name: [(r["item"], int(r["count"])) for r in (row[f.name] or [])]
+        for f in fields
+    }
+
+
 # Estimated in-memory bytes per value by Spark column type, for the T7
 # memory report (informational parity with pandas memory_usage(deep=True),
 # /root/reference/methods/dataTypeConversion.py:181-191 — the reference

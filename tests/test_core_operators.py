@@ -158,3 +158,22 @@ def test_normalize_l2_rowwise(spark):
     assert math.isclose(got.loc[0, "a"], 0.6)
     assert math.isclose(got.loc[0, "b"], 0.8)
     assert got.loc[1, "a"] == 0.0
+
+
+def test_profile_top_values_sketch(spark, lineitem):
+    from dataforge_spark.profile import top_values
+
+    tv = top_values(lineitem.select("l_returnflag", "l_quantity"), k=3)
+    assert set(tv) == {"l_returnflag", "l_quantity"}
+    flags = tv["l_returnflag"]
+    assert 1 <= len(flags) <= 3
+    # descending counts, and the exact top flag must agree with a groupBy
+    counts = [c for _, c in flags]
+    assert counts == sorted(counts, reverse=True)
+    from pyspark.sql import functions as F
+
+    exact = (
+        lineitem.groupBy("l_returnflag").count()
+        .orderBy(F.desc("count"), "l_returnflag").first()
+    )
+    assert flags[0][0] == exact["l_returnflag"]

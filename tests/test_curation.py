@@ -193,3 +193,28 @@ def test_repetition_metrics_flags_templated_text(spark):
     assert rows[2]["rep_top_frac"] == pytest.approx(1 / 6)
     assert rows[2]["rep_dup_frac"] == 0.0
     assert rows[3]["n_ngrams"] == 0 and rows[3]["rep_top_frac"] == 0.0
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """Repetitive text must compress well below natural-ish prose, and
+    high-entropy text must barely compress; NULL/empty stay NULL."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.functions.text_analysis import compression_ratio
+
+    rows = [
+        (1, "spam spam spam spam " * 50),
+        (2, "the quick brown fox jumps over the lazy dog and then wanders "
+            "through seventeen different meadows describing each in turn"),
+        (3, __import__("hashlib").sha512(b"entropy").hexdigest() * 1),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r["doc_id"]: r["ratio"] for r in df.select(
+        "doc_id", compression_ratio(F.col("text")).alias("ratio")).collect()}
+    assert got[4] is None and got[5] is None
+    assert got[1] < 0.1          # pure repetition compresses near nothing
+    assert 0.3 < got[2] < 1.0    # prose sits mid-range
+    assert got[3] > 0.5          # high-entropy hex barely compresses
+    assert got[1] < got[2] and got[1] < got[3]
