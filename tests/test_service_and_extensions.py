@@ -316,3 +316,23 @@ def test_multimodal_real_decode_raises(spark, documents):
     out = extract_features(attach_binary(docs), fake_decode=False)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         out.collect()
+
+
+def test_every_datetime_format_detected_individually(spark):
+    """Each of the 8 supported formats must be elected from the sample
+    and convert a clean single-format column (>50% parse gate)."""
+    from datetime import datetime
+
+    from dataforge_spark.operators.type_conversion import _PY_FORMATS
+
+    base = datetime(2024, 3, 7, 14, 5, 9)
+    for jfmt, pfmt in _PY_FORMATS.items():
+        # days 13-17: unambiguous between MM/dd and dd/MM orderings (a
+        # 13+ can only be a day), so first-match-wins picks the true one
+        vals = [(base.replace(day=13 + i).strftime(pfmt),) for i in range(5)]
+        df = spark.createDataFrame(vals, "d: string")
+        out = convert_data_types(df, auto_detect=True)
+        assert dict(out.dtypes)["d"] == "timestamp", f"format {jfmt} not detected"
+        parsed = [r["d"] for r in out.collect()]
+        assert all(v is not None for v in parsed), f"format {jfmt} nulled values"
+        assert {v.day for v in parsed} == {13, 14, 15, 16, 17}, f"format {jfmt}"
