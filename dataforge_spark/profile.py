@@ -100,8 +100,18 @@ def top_values(
     aggregate pass for all columns (native ``approx_top_k`` sketch —
     fixed-size state per column, the 100 TB-safe alternative to an exact
     value-counts groupBy per column). Returns
-    ``{col: [(value, count), ...]}`` ordered most-frequent first."""
-    fields = [f for f in _user_fields(df) if columns is None or f.name in columns]
+    ``{col: [(value, count), ...]}`` ordered most-frequent first.
+    Non-atomic columns (arrays/maps/structs/binary) are skipped —
+    ``approx_top_k`` is defined over atomic comparable types."""
+    atomic = (
+        T.StringType, T.BooleanType, T.DateType, T.TimestampType,
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    fields = [
+        f for f in _user_fields(df)
+        if (columns is None or f.name in columns) and isinstance(f.dataType, atomic)
+    ]
     if not fields:
         return {}
     row = df.agg(
