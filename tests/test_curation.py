@@ -218,3 +218,38 @@ def test_compression_ratio_orders_redundancy(spark):
     assert 0.3 < got[2] < 1.0    # prose sits mid-range
     assert got[3] > 0.5          # high-entropy hex barely compresses
     assert got[1] < got[2] and got[1] < got[3]
+
+
+def test_pii_redaction_replaces_typed_placeholders(spark):
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.functions.pii import redact_pii, redaction_counts
+
+    rows = [
+        (1, "mail a.b@ex.com or visit https://ex.com/x?q=1 today"),
+        (2, "call 555-867-5309 or +1 415 555 1234 from 10.0.0.1"),
+        (3, "ssn 123-45-6789 card 4111 1111 1111 1111 end"),
+        (4, "no pii here, just 7 words and the year 2024"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail <EMAIL> or visit <URL> today"
+    assert "<PHONE>" in got[2] and "555-867-5309" not in got[2]
+    assert "<IP>" in got[2] and "10.0.0.1" not in got[2]
+    assert "<SSN>" in got[3] and "<CARD>" in got[3]
+    assert "123-45-6789" not in got[3] and "4111" not in got[3]
+    assert got[4] == rows[3][1]  # untouched prose, year survives
+    assert got[5] is None
+
+    counts = redaction_counts(df, "text")
+    assert counts["EMAIL"] == 1 and counts["URL"] == 1
+    assert counts["SSN"] == 1 and counts["CARD"] == 1
+    assert counts["PHONE"] >= 2 and counts["IP"] == 1
+
+    # kinds restriction: only emails touched
+    only = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", redact_pii(F.col("text"), kinds=["EMAIL"]).alias("red")).collect()}
+    assert only[1] == "mail <EMAIL> or visit https://ex.com/x?q=1 today"
+    assert only[2] == rows[1][1]
