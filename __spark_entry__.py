@@ -443,7 +443,12 @@ def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the x1 composite (lowercase/html/urls/emails/numbers/punctuation/
     extra_spaces) on ``messy``, the remaining ops (uppercase,
     remove_special_chars, remove_whitespace) on ``t``, custom patterns on
-    ``text``; X12 ''→NULL applies to every column."""
+    ``text``; X12 ''→NULL applies to every column. Round 4 adds the PII
+    redaction leg (functions/pii.redact_pii) on a planted-entity column —
+    RE2-portable kinds only (PHONE needs lookarounds DuckDB lacks), so
+    the oracle recomputes the identical regexp_replace chain."""
+    from dataforge_spark.functions.pii import redact_pii
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
@@ -452,6 +457,13 @@ def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("messy"),
         F.concat(F.lit("  a-1 "), F.col("text"), F.lit(" z*9  ")).alias("t"),
         "text",
+        redact_pii(
+            F.concat(
+                F.lit("mail a.b@ex.com see https://x.io/p ssn 123-45-6789 ip 10.0.0.1 "),
+                F.col("text"),
+            ),
+            kinds=["EMAIL", "URL", "SSN", "IP"],
+        ).alias("pii_red"),
     )
     out = clean_text_columns(
         docs,
@@ -1362,7 +1374,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, text,
             '  <b>Hello ' || text ||
             '</b> visit https://ex.com/a?b=1 mail a.b@ex.com 42 cats!  ' AS s,
-            '  a-1 ' || text || ' z*9  ' AS s2
+            '  a-1 ' || text || ' z*9  ' AS s2,
+            'mail a.b@ex.com see https://x.io/p ssn 123-45-6789 ip 10.0.0.1 '
+              || text AS s3
           FROM documents
         )
         SELECT doc_id, NULLIF(
@@ -1381,7 +1395,17 @@ def oracle_sql() -> dict[str, str]:
             trim(regexp_replace(
               regexp_replace(upper(s2), '[^a-zA-Z0-9\\s]', '', 'g')
             , '\\s+', ' ', 'g')), '') AS t,
-          NULLIF(regexp_replace(lower(text), '\\bspark\\b', 'SPARK', 'g'), '') AS text
+          NULLIF(regexp_replace(lower(text), '\\bspark\\b', 'SPARK', 'g'), '') AS text,
+          NULLIF(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(s3,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+                  'http[s]?://[^\\s<>"]+', '<URL>', 'g'),
+                '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+              '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+          '') AS pii_red
         FROM m
     """
 
