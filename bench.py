@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "curation_split",
     "curation_contamination",
     "curation_pack",
+    # round-4 driver rows
+    "dedup_intercorpus",
+    "sessionize_native",
+    "o4_isolation_forest",
+    "sim_ivf_disk_topk",
 ]
 
 
