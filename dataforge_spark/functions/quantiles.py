@@ -110,7 +110,7 @@ def exact_quantiles(
     relative_error: float = 1e-4,
     max_collect: int = 1_000_000,
     max_depth: int = 3,
-    small_input_bytes: int | None = 64 << 20,
+    small_input_bytes: int | None = 16 << 20,
 ) -> dict[str, list[float | None]]:
     """Exact quantiles for every (column, prob) pair; values identical to
     ``F.expr("percentile(col, q)")`` on NaN-free input. Returns
@@ -141,7 +141,9 @@ def exact_quantiles(
     # that size. Same values either way (bit-exact, property-tested); the
     # bracketed path is the scale path. Unknown/huge estimates (e.g.
     # in-memory frames default to "infinite") take the bracketed path —
-    # the conservative choice.
+    # the conservative choice. Threshold re-measured round 4 after the
+    # approx_percentile sketch swap: the bracketed path reaches parity at
+    # ~25 MB of input, so the cutover sits at 16 MB.
     if small_input_bytes is not None:
         try:
             size = int(
