@@ -246,12 +246,26 @@ def q_s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s4_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 profiler + T7 memory report in one row set (round 4): the
+    profile rows carry each column's estimated bytes (fixed width ×
+    rows for numerics, exact summed octet lengths for strings) — the
+    T7 contract, oracle-recomputed in SQL."""
+    from dataforge_spark.profile import memory_report
+
     ev = _events(spark, sf_dir).select(
         "event_id",
         F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")).alias("value"),
         F.when(F.col("event_id") % 11 == 0, F.lit("unknown")).otherwise(F.col("props")).alias("props"),
     )
-    return profile_df(ev, columns=["value", "props"])
+    prof = profile_df(ev, columns=["value", "props"])
+    mem = memory_report(ev)["columns"]
+    mem_map = F.create_map(
+        F.lit("value"), F.lit(int(mem["value"])),
+        F.lit("props"), F.lit(int(mem["props"])),
+    )
+    return prof.withColumn(
+        "est_bytes", mem_map[F.col("col_name")].cast("bigint")
+    )
 
 
 def q_m1_m2_drop_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,13 +1236,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'value' AS col_name,
                (SELECT count(*) FROM t WHERE value IS NULL OR isnan(value)) AS n_missing,
                (SELECT count(DISTINCT value) FROM t) AS n_unique,
-               n_rows, CAST(0 AS BIGINT) AS dup_rows FROM n
+               n_rows, CAST(0 AS BIGINT) AS dup_rows,
+               CAST(n_rows * 8 AS BIGINT) AS est_bytes FROM n
         UNION ALL
         SELECT 'props',
                (SELECT count(*) FROM t WHERE props IS NULL OR lower(trim(props)) IN
                  ('nan','null','none','na','n/a','missing','unknown','','nil','undefined')),
                (SELECT count(DISTINCT props) FROM t),
-               n_rows, CAST(0 AS BIGINT) FROM n
+               n_rows, CAST(0 AS BIGINT),
+               (SELECT CAST(sum(strlen(props)) AS BIGINT) FROM t) FROM n
     """
 
     sql["m1_m2_drop_rows"] = f"""
