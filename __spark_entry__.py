@@ -617,8 +617,11 @@ def q_n1_n5_standard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_n2_n3_n4_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N2 minmax + N3 robust + N4 row-wise L2 as a tagged union (one
-    driver row attests all three scalers)."""
+    """N2 minmax + N3 robust + N4 row-wise L2 + quantile binning
+    (operators/binning, pd.qcut parity) as a tagged union — one driver
+    row attests three scalers and the discretizer."""
+    from dataforge_spark.operators.binning import bin_columns
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *_NCOLS)
     mm, _ = normalize_data(li, columns=_NCOLS, method="minmax", feature_range=(0.0, 1.0))
     rb, _ = normalize_data(li, columns=_NCOLS, method="robust")
@@ -629,7 +632,18 @@ def q_n2_n3_n4_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_quantity", 6).alias("v_qty"),
             F.round("l_extendedprice", 6).alias("v_price"),
         ).withColumn("variant", F.lit(tag))
-    return leg(mm, "minmax").unionByName(leg(rb, "robust")).unionByName(leg(l2, "l2"))
+    qb, _ = bin_columns(li, columns=_NCOLS, n_bins=4)
+    qb_leg = qb.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity_bin").cast("double").alias("v_qty"),
+        F.col("l_extendedprice_bin").cast("double").alias("v_price"),
+    ).withColumn("variant", F.lit("qbin4"))
+    return (
+        leg(mm, "minmax")
+        .unionByName(leg(rb, "robust"))
+        .unionByName(leg(l2, "l2"))
+        .unionByName(qb_leg)
+    )
 
 
 def q_n6_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,6 +1580,22 @@ def oracle_sql() -> dict[str, str]:
                 sqrt(power(coalesce(l_quantity, 0), 2)
                    + power(coalesce(l_extendedprice, 0), 2)) AS nrm
               FROM lineitem)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+          CAST((CASE WHEN l_quantity > bq.q1 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_quantity > bq.q2 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_quantity > bq.q3 THEN 1 ELSE 0 END) AS DOUBLE),
+          CAST((CASE WHEN l_extendedprice > bp.q1 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice > bp.q2 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice > bp.q3 THEN 1 ELSE 0 END) AS DOUBLE),
+          'qbin4'
+        FROM lineitem,
+          (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                  quantile_cont(l_quantity, 0.50) AS q2,
+                  quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem) bq,
+          (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                  quantile_cont(l_extendedprice, 0.50) AS q2,
+                  quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem) bp
     """
 
     def _stats_row(c: str) -> str:

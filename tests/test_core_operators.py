@@ -177,3 +177,56 @@ def test_profile_top_values_sketch(spark, lineitem):
         .orderBy(F.desc("count"), "l_returnflag").first()
     )
     assert flags[0][0] == exact["l_returnflag"]
+
+
+def test_quantile_binning_matches_pandas_qcut(spark, lineitem):
+    import pandas as pd
+
+    from dataforge_spark.operators.binning import bin_columns
+
+    li = lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    out, edges = bin_columns(li, columns=["l_quantity"], n_bins=4)
+    # the bin is a pure function of the value (testdata lineitem has
+    # planted duplicate keys, so compare the value→bin mapping)
+    got = {r["l_quantity"]: r["l_quantity_bin"] for r in out.collect()}
+    pdf = li.toPandas()
+    pdf["b"] = pd.qcut(pdf["l_quantity"], 4, labels=False, duplicates="drop")
+    want = dict(zip(pdf["l_quantity"], pdf["b"]))
+    assert got == want
+    assert len(edges["l_quantity"]) <= 3
+
+
+def test_uniform_binning_matches_pandas_cut(spark, lineitem):
+    import pandas as pd
+
+    from dataforge_spark.operators.binning import bin_columns
+
+    li = lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    out, _ = bin_columns(li, columns=["l_extendedprice"], n_bins=5,
+                         strategy="uniform")
+    got = {r["l_extendedprice"]: r["l_extendedprice_bin"] for r in out.collect()}
+    pdf = li.toPandas()
+    pdf["b"] = pd.cut(pdf["l_extendedprice"], 5, labels=False)
+    want = dict(zip(pdf["l_extendedprice"], pdf["b"]))
+    mismatched_vals = {v for v in got if got[v] != want[v]}
+    # pd.cut widens the min edge by 0.1% (its lowest interval is
+    # left-open); only values at/near the exact bin edges may differ
+    assert len(mismatched_vals) <= 2, sorted(mismatched_vals)[:5]
+
+
+def test_binning_preserves_nulls_and_replays(spark):
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.operators.binning import apply_bins, bin_columns
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, None)], "id: bigint, x: double"
+    )
+    out, edges = bin_columns(df, columns=["x"], n_bins=2)
+    rows = {r["id"]: r["x_bin"] for r in out.collect()}
+    assert rows[5] is None
+    assert rows[1] == 0 and rows[4] == 1
+    # boundary value == interior edge falls in the LOWER bin (right-closed)
+    med = edges["x"][0]
+    probe = spark.createDataFrame([(9, float(med))], "id: bigint, x: double")
+    assert apply_bins(probe, edges).collect()[0]["x_bin"] == 0
