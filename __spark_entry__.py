@@ -1798,6 +1798,9 @@ def oracle_sql() -> dict[str, str]:
           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS INTEGER)
             AS n_regex_tokens,
           CASE
+            WHEN length(text) > 0
+                 AND len(regexp_extract_all(text, '\p{{Han}}'))::DOUBLE
+                     / length(text) > 0.3 THEN 'zh'
             WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_fr
                  AND hits_en >= hits_es THEN 'en'
             WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_fr

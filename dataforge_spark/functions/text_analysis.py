@@ -48,16 +48,24 @@ def stopword_hits(col: Column, lang: str) -> Column:
 
 
 def language_id(col: Column) -> Column:
-    """Stopword-vote language guess with deterministic tie-break (first
-    language in STOPWORDS order wins ties); 'unknown' when no hits."""
+    """Language guess: Han-script ratio first (space-delimited stopword
+    votes cannot see CJK), then stopword vote with deterministic
+    tie-break (first language in STOPWORDS order wins ties); 'unknown'
+    when nothing fires. Both detectors are plain codegen'd expressions —
+    the DuckDB oracle recomputes them verbatim (\\p{Han} is shared by
+    Java regex and RE2)."""
+    n_chars = F.length(col)
+    han = F.regexp_count(col, F.lit(r"\p{IsHan}"))
+    expr = F.when(
+        (n_chars > 0) & (han.cast("double") / n_chars > 0.3), F.lit("zh")
+    )
     scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
-    expr = None
     for lang in STOPWORDS:  # priority order = tie-break order (first wins)
         cond = scores[lang] > 0
         for other in STOPWORDS:
             if other != lang:
                 cond = cond & (scores[lang] >= scores[other])
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        expr = expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit("unknown"))
 
 

@@ -230,3 +230,23 @@ def test_binning_preserves_nulls_and_replays(spark):
     med = edges["x"][0]
     probe = spark.createDataFrame([(9, float(med))], "id: bigint, x: double")
     assert apply_bins(probe, edges).collect()[0]["x_bin"] == 0
+
+
+def test_language_id_detects_han_script(spark):
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.functions.text_analysis import language_id
+
+    rows = [
+        (1, "这是一个完全用中文写的句子没有空格"),
+        (2, "the quick brown fox and the lazy dog in the yard"),
+        (3, "mixed 语言 text where the english words dominate the sentence"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", language_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "zh"
+    assert got[2] == "en"
+    assert got[3] == "en"  # Han ratio under 0.3, stopword vote wins
+    assert got[4] == "unknown"
