@@ -267,3 +267,62 @@ def pack_sequences(
         # wrongly once offsets exceed 2^53 — reachable at 100 TB of text)
         .withColumn("pack_id", F.expr(f"start_offset DIV {int(budget)}"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into training-window chunks of at most
+    ``max_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (the standard context-window preprocessing step).
+
+    Returns (id, chunk_id, chunk_n_tokens, chunk_text); documents with no
+    tokens emit zero chunks. Chunk i covers token range
+    ``[i·stride, i·stride + max_tokens)`` with ``stride = max_tokens −
+    overlap``; the final chunk may be shorter but never empty.
+
+    Scale: pure codegen — tokens split once, chunk count is arithmetic,
+    chunks explode from a ``sequence`` and slice the token array; no
+    shuffle, no Python, ~(1 + overlap/max_tokens)× output amplification.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n = F.size(toks)
+    # smallest k with k*stride + overlap >= n  ==  ceil((n - overlap)/stride)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), toks.alias("__toks"), n_chunks.alias("__k")
+        )
+        .where(F.col("__k") > 0)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.col("__k") - 1)).alias("chunk_id"),
+            "__toks",
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(
+                F.col("__toks"), F.col("chunk_id") * stride + 1, max_tokens
+            ).alias("__chunk"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("__chunk").cast("int").alias("chunk_n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

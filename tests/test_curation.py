@@ -253,3 +253,46 @@ def test_pii_redaction_replaces_typed_placeholders(spark):
         "doc_id", redact_pii(F.col("text"), kinds=["EMAIL"]).alias("red")).collect()}
     assert only[1] == "mail <EMAIL> or visit https://ex.com/x?q=1 today"
     assert only[2] == rows[1][1]
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from dataforge_spark.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, ""), (4, "solo")],
+        "doc_id: bigint, text: string",
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: stride 8 → chunks at 0,8,16 → ceil((25-2)/8)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(8, 18)]
+    assert c1[2]["chunk_text"].split() == [f"w{i}" for i in range(16, 25)]
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-2:] == c1[1]["chunk_text"].split()[:2]
+    # short doc → one whole chunk; empty doc → no chunks; 1-token doc ok
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert 3 not in by_doc
+    assert by_doc[4][0]["chunk_n_tokens"] == 1
+    # reconstruction: dropping the overlap prefix of chunks 1+ rebuilds doc 1
+    rebuilt = c1[0]["chunk_text"].split()
+    for r in c1[1:]:
+        rebuilt += r["chunk_text"].split()[2:]
+    assert rebuilt == text.split()
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from dataforge_spark.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id: bigint, text: string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=5, overlap=5)
