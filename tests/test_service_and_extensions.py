@@ -336,3 +336,45 @@ def test_every_datetime_format_detected_individually(spark):
         parsed = [r["d"] for r in out.collect()]
         assert all(v is not None for v in parsed), f"format {jfmt} nulled values"
         assert {v.day for v in parsed} == {13, 14, 15, 16, 17}, f"format {jfmt}"
+
+
+def test_clean_stream_matches_batch_pipeline(spark, tmp_path, lineitem):
+    """foreachBatch cleaning: a single-batch stream must produce exactly
+    the batch pipeline's output (deterministic operators, per-batch fit
+    == whole-input fit when there is one batch)."""
+    from dataforge_spark.pipeline import CleaningPipeline
+    from dataforge_spark.streaming import clean_stream, read_events_stream
+
+    src = lineitem.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_orderkey") % 7 == 0, None)
+        .otherwise(F.col("l_quantity")).alias("qty"),
+    ).limit(2000)
+    in_path = str(tmp_path / "in")
+    src.coalesce(1).write.mode("overwrite").parquet(in_path)
+    ops = {
+        "missing_values": {"enabled": True, "strategy": "fill_mean",
+                           "columns": ["qty"]},
+        "outliers": {"enabled": True, "method": "iqr", "action": "cap",
+                     "columns": ["qty"]},
+    }
+    q = clean_stream(
+        read_events_stream(spark, in_path, src.schema),
+        ops, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want, _ = CleaningPipeline(collect_metrics=False).run(
+        spark.read.parquet(in_path), ops
+    )
+    key = ["l_orderkey", "l_linenumber"]
+    a = sorted(map(tuple, got.select(*key, "qty").collect()))
+    b = sorted(map(tuple, want.select(*key, "qty").collect()))
+    assert a == b
+    # replay safety: restarting with the same checkpoint adds nothing
+    q2 = clean_stream(
+        read_events_stream(spark, in_path, src.schema),
+        ops, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == len(a)
