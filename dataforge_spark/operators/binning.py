@@ -62,6 +62,10 @@ def bin_columns(
         for c in cols:
             mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
             if mn is None or mx is None or mn == mx:
+                # degenerate domain (constant or all-null column): a
+                # single bin 0 — pd.cut instead widens the point range
+                # and lands constants mid-bin; one bucket is the saner
+                # contract and is what qcut's duplicates="drop" yields
                 edges[c] = []
             else:
                 step = (mx - mn) / n_bins
