@@ -64,3 +64,15 @@ def test_frequency_encode_broadcasts(spark, customer):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_bucket_join_carries_no_broadcast_hint(spark, documents):
+    """Round-4 scale fix: the (band, bucket) sizes table is corpus-
+    proportional, so the candidate join must NOT carry a mandatory
+    broadcast hint — AQE decides at runtime. Guard the logical plan."""
+    from dataforge_spark.dedup.minhash import candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(documents.limit(50), "text", "doc_id")
+    cands = candidate_pairs(sigs)
+    logical = cands._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
