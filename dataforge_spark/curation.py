@@ -55,6 +55,8 @@ SPLIT_BUCKETS = 1_000_000
 # Unit separator — cannot appear in normal keys, so concatenated
 # multi-column keys cannot collide ("a","bc" vs "ab","c").
 _SEP = "\x1f"
+# sample_n_per_group collects one row per group driver-side; cap it.
+_MAX_SAMPLE_GROUPS = 100_000
 
 
 def split_bucket(key_cols: list[str], seed: int = 0) -> Column:
@@ -326,3 +328,84 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic "N rows per group" (eval-set construction: '500 docs
+    per language'): rows rank inside their group by their hash bucket
+    (ties by key), and the first ``n`` survive. Same rows every run,
+    under retries and repartitioning — ``sampleBy`` can guarantee
+    neither exact counts nor stability.
+
+    Scale: a naive per-group ``row_number`` sorts EVERY row of a group in
+    one task — a cliff for billion-row groups. Two phases instead:
+    (1) per-group counts (one aggregate), then a hash-bucket prefilter
+    keeping ≈ ``4n`` expected rows per oversized group; (2) the exact
+    window runs on the prefiltered survivors only. Groups whose
+    prefilter undershoots ``n`` (hash unluck, ~never at 4× margin) fall
+    back to the unfiltered window for that group — correctness is never
+    probabilistic, only the fast path is.
+
+    The group domain is collected driver-side (one row per group) for
+    the per-group thresholds — guarded at ``_MAX_SAMPLE_GROUPS`` so a
+    mistakenly high-cardinality group column fails loudly instead of
+    OOMing the driver.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    bucket = split_bucket(key_cols, seed)
+    gdf = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    if gdf.limit(_MAX_SAMPLE_GROUPS + 1).count() > _MAX_SAMPLE_GROUPS:
+        raise ValueError(
+            f"{group_col!r} has more than {_MAX_SAMPLE_GROUPS} groups - "
+            "not a sampling stratum; use hash_split/stratified_sample"
+        )
+    counts = {r[group_col]: r["__n"] for r in gdf.collect()}
+    # fraction per group targeting 4n expected survivors
+    frac = None
+    for g, cnt in counts.items():
+        lim = SPLIT_BUCKETS if cnt <= 4 * n else int(round(4 * n / cnt * SPLIT_BUCKETS))
+        cond = F.col(group_col).eqNullSafe(F.lit(g))
+        frac = F.when(cond, F.lit(lim)) if frac is None else frac.when(cond, F.lit(lim))
+    if frac is None:
+        return df.limit(0)
+    pre = df.where(bucket < frac)
+
+    w = Window.partitionBy(group_col).orderBy(bucket.asc(), *[F.col(c) for c in key_cols])
+    ranked = pre.withColumn("__rk", F.row_number().over(w))
+    picked = ranked.where(F.col("__rk") <= n).drop("__rk")
+
+    # undershoot check: groups where the prefilter kept fewer than n rows
+    # although the group itself has >= n — redo those without prefilter
+    got = {
+        r[group_col]: r["__g"]
+        for r in picked.groupBy(group_col).agg(F.count(F.lit(1)).alias("__g")).collect()
+    }
+    short = [
+        g for g, cnt in counts.items()
+        if got.get(g, 0) < min(n, cnt)
+    ]
+    if short:
+        non_null = [g for g in short if g is not None]
+        conds = []
+        if non_null:
+            conds.append(F.col(group_col).isin(non_null))
+        if any(g is None for g in short):
+            conds.append(F.col(group_col).isNull())
+        redo_cond = conds[0]
+        for c in conds[1:]:
+            redo_cond = redo_cond | c
+        ranked2 = df.where(redo_cond).withColumn("__rk", F.row_number().over(w))
+        fixed = ranked2.where(F.col("__rk") <= n).drop("__rk")
+        # NULL-group rows make isin() evaluate to NULL; coalesce keeps
+        # them in `picked` when they are not part of the redo set
+        picked = picked.where(
+            F.coalesce(~redo_cond, F.lit(True))
+        ).unionByName(fixed)
+    return picked

@@ -296,3 +296,38 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, max_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=5, overlap=5)
+
+
+def test_sample_n_per_group_exact_deterministic(spark, docs):
+    from dataforge_spark.curation import sample_n_per_group
+
+    out1 = sample_n_per_group(docs, 5, "lang", key_cols=["doc_id"], seed=2)
+    out2 = sample_n_per_group(
+        docs.repartition(11), 5, "lang", key_cols=["doc_id"], seed=2
+    )
+    a = sorted(r["doc_id"] for r in out1.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert a == b  # partition-invariant
+    per = {r["lang"]: r["n"] for r in
+           out1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, cnt in totals.items():
+        assert per.get(lang, 0) == min(5, cnt)  # exactly n (or whole group)
+
+
+def test_sample_n_per_group_null_group_and_undershoot(spark):
+    from dataforge_spark.curation import sample_n_per_group
+
+    rows = [(i, "g" if i % 2 == 0 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "id: bigint, grp: string")
+    out = sample_n_per_group(df, 3, "grp", key_cols=["id"])
+    per: dict = {}
+    for r in out.collect():
+        per[r["grp"]] = per.get(r["grp"], 0) + 1
+    assert per == {"g": 3, None: 3}
+    # tiny groups below n come back whole
+    small = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                                  "id: bigint, grp: string")
+    got = sample_n_per_group(small, 5, "grp", key_cols=["id"]).count()
+    assert got == 3
