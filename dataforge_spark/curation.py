@@ -409,3 +409,53 @@ def sample_n_per_group(
             F.coalesce(~redo_cond, F.lit(True))
         ).unionByName(fixed)
     return picked
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    max_rep_top: float = 0.3,
+    max_rep_dup: float = 0.5,
+    compression_band: tuple[float, float] | None = None,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Composite document-quality gate (the Gopher/C4-style keep/drop
+    pass): heuristic quality score, top/duplicate n-gram occupancy, and
+    (opt-in) the zlib compression-ratio band. Adds the individual signal
+    columns plus a ``keep`` boolean — callers filter ``where(keep)`` or
+    keep the flags for audit.
+
+    Scale: quality is a pure projection; repetition is the two
+    map-side-combined aggregations of ``repetition_metrics`` joined back
+    on id; compression (``compression_band`` set) adds the engine's one
+    deliberate Arrow/Python stage. Nothing collects to the driver.
+    """
+    from .functions.text_analysis import (
+        compression_ratio,
+        quality_score,
+        repetition_metrics,
+    )
+
+    rep = repetition_metrics(df, text_col=text_col, id_col=id_col, n=ngram_n)
+    out = (
+        df.withColumn("quality", quality_score(F.col(text_col)))
+        .join(
+            rep.select(
+                F.col("id").alias(id_col), "rep_top_frac", "rep_dup_frac"
+            ),
+            id_col,
+            "left",
+        )
+    )
+    keep = (
+        (F.col("quality") >= min_quality)
+        & (F.coalesce(F.col("rep_top_frac"), F.lit(0.0)) <= max_rep_top)
+        & (F.coalesce(F.col("rep_dup_frac"), F.lit(0.0)) <= max_rep_dup)
+    )
+    if compression_band is not None:
+        lo, hi = compression_band
+        out = out.withColumn("zlib_ratio", compression_ratio(F.col(text_col)))
+        keep = keep & F.col("zlib_ratio").between(float(lo), float(hi))
+    return out.withColumn("keep", keep)

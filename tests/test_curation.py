@@ -331,3 +331,23 @@ def test_sample_n_per_group_null_group_and_undershoot(spark):
                                   "id: bigint, grp: string")
     got = sample_n_per_group(small, 5, "grp", key_cols=["id"]).count()
     assert got == 3
+
+
+def test_quality_filter_flags_spam_keeps_prose(spark):
+    from dataforge_spark.curation import quality_filter
+
+    prose = ("the quick brown fox jumps over the lazy dog and it runs "
+             "through the field while the sun is high in the sky today "
+             "and the birds are singing in the trees near the old river")
+    rows = [
+        (1, prose),
+        (2, "buy now " * 60),          # repetition: rep_top/dup ≈ 1
+        (3, "xz"),                      # too short: quality < 0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r["doc_id"]: r for r in quality_filter(
+        df, compression_band=(0.25, 0.95)).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["rep_dup_frac"] > 0.9
+    assert got[3]["keep"] is False
+    assert 0.25 <= got[1]["zlib_ratio"] <= 0.95
