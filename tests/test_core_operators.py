@@ -250,3 +250,35 @@ def test_language_id_detects_han_script(spark):
     assert got[2] == "en"
     assert got[3] == "en"  # Han ratio under 0.3, stopword vote wins
     assert got[4] == "unknown"
+
+
+def test_part_supplier_tables_through_the_engine(spark, sf_dir):
+    """Exercise the two otherwise-untouched testdata tables end-to-end:
+    profile + outlier cap + binning on part, label encode + broadcast
+    dim enrichment on supplier."""
+    from dataforge_spark.operators.binning import bin_columns
+    from dataforge_spark.operators.encoding import encode_label
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    info = profile.dataset_info(part)
+    assert info["shape"]["columns"] == 6
+    assert info["missing_values"]["p_partkey"] == 0
+    capped = outliers.handle_outliers(
+        part, columns=["p_retailprice"], method="iqr", action="cap"
+    )
+    assert capped.count() == part.count()
+    binned, edges = bin_columns(part, columns=["p_retailprice"], n_bins=4)
+    assert binned.where(F.col("p_retailprice_bin").isNull()).count() == \
+        part.where(F.col("p_retailprice").isNull()).count()
+    assert len(edges["p_retailprice"]) <= 3
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    enc, mapping = encode_label(supp, columns=["s_name"])
+    assert dict(enc.dtypes)["s_name"] in ("int", "bigint")
+    joined = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    assert joined.count() == supp.count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
