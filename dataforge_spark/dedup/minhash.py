@@ -178,11 +178,26 @@ def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    transitive: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: from every verified pair, the larger id is
-    dropped (connected-component-free greedy — standard at corpus scale;
-    transitive chains collapse to the smallest id of each chain edge-wise)."""
+    """Drop near-duplicates.
+
+    Default (greedy): from every verified pair, the larger id is dropped
+    — connected-component-free, standard at corpus scale. ``transitive=
+    True`` instead collapses each CONNECTED COMPONENT of the verified
+    pair graph to its smallest id (dedup/components pointer-jumping):
+    stricter on "star" shapes like pairs (A,C),(B,C) where the greedy
+    pass keeps both A and B but transitivity says A~C~B are one cluster.
+    Costs the component propagation's extra O(log diameter) rounds."""
     pairs = minhash_dedup_pairs(df, text_col, id_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        from .components import connected_components
+
+        comp = connected_components(pairs)
+        losers = comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

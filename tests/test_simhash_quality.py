@@ -59,3 +59,26 @@ def test_minhash_reports_dropped_degenerate_buckets(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (100, 101) in got
     assert not any(a < 30 and b < 30 for a, b in got)  # clone pairs pruned
+
+
+def test_minhash_dedup_transitive_collapses_star_clusters(spark):
+    """Star shape: hub ~ spokes but spokes dissimilar to each other —
+    greedy keeps both spokes, transitive collapses the whole component."""
+    from dataforge_spark.dedup.minhash import minhash_dedup
+
+    hub = " ".join(f"w{i}" for i in range(40))
+    spoke_a = " ".join(f"w{i}" for i in range(30)) + " xa ya za qa ra sa ta ua va wa"
+    spoke_b = " ".join(f"w{i}" for i in range(10, 40)) + " xb yb zb qb rb sb tb ub vb wb"
+    other = "completely different words entirely here nothing shared at all today"
+    df = spark.createDataFrame(
+        [(1, spoke_a), (2, hub), (3, spoke_b), (9, other)],
+        "doc_id: bigint, text: string",
+    )
+    greedy = {r["doc_id"] for r in
+              minhash_dedup(df, threshold=0.3).select("doc_id").collect()}
+    trans = {r["doc_id"] for r in
+             minhash_dedup(df, threshold=0.3, transitive=True)
+             .select("doc_id").collect()}
+    assert 9 in greedy and 9 in trans           # unrelated doc survives
+    assert trans <= greedy                       # transitive is stricter
+    assert trans == {1, 9}                       # component collapses to min id
