@@ -189,15 +189,10 @@ def minhash_dedup(
     pair graph to its smallest id (dedup/components pointer-jumping):
     stricter on "star" shapes like pairs (A,C),(B,C) where the greedy
     pass keeps both A and B but transitivity says A~C~B are one cluster.
-    Costs the component propagation's extra O(log diameter) rounds."""
+    Costs the component propagation's extra O(log diameter) rounds.
+    The policy lives in ``dedup.drop.drop_near_duplicates`` — the same
+    helper applies to simhash/jaccard/embedding pair frames."""
     pairs = minhash_dedup_pairs(df, text_col, id_col, **kwargs)
-    if transitive:
-        from .components import connected_components
+    from .drop import drop_near_duplicates
 
-        comp = connected_components(pairs)
-        losers = comp.where(F.col("id") != F.col("component")).select(
-            F.col("id").alias(id_col)
-        )
-    else:
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    return drop_near_duplicates(df, pairs, id_col=id_col, transitive=transitive)

@@ -55,6 +55,9 @@ def simhash_pairs(
     sigs = simhash(df, text_col, id_col)
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
+    # two's-complement literal: at width 64 (max_hamming=0, exact match)
+    # (1 << 64) - 1 overflows a Java Long; -1 is the same all-ones mask
+    mask = (1 << width) - 1 if width < 64 else -1
     chunked = sigs.select(
         "id",
         "simhash",
@@ -64,7 +67,7 @@ def simhash_pairs(
                     F.struct(
                         F.lit(c).alias("chunk"),
                         F.shiftrightunsigned(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
                     for c in range(n_chunks)

@@ -82,3 +82,21 @@ def test_minhash_dedup_transitive_collapses_star_clusters(spark):
     assert 9 in greedy and 9 in trans           # unrelated doc survives
     assert trans <= greedy                       # transitive is stricter
     assert trans == {1, 9}                       # component collapses to min id
+
+
+def test_drop_near_duplicates_works_for_any_pair_source(spark, documents):
+    """The shared survivor policy plugs into a simhash pair frame the
+    same way minhash uses it."""
+    from dataforge_spark.dedup.drop import drop_near_duplicates
+    from dataforge_spark.dedup.simhash import simhash_pairs
+
+    docs = documents.select("doc_id", "text").limit(60)
+    dup = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    pairs = simhash_pairs(corpus, max_hamming=0)  # identical docs only
+    out = drop_near_duplicates(corpus, pairs, id_col="doc_id")
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not any(k >= 5000 for k in kept)  # every planted clone dropped
+    assert kept >= {r["doc_id"] for r in docs.select("doc_id").collect()}
