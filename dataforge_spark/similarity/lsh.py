@@ -26,6 +26,8 @@ from ..functions.vectors import batch_cosine_udf, to_matrix
 
 
 def _planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    if num_planes > 62:
+        raise ValueError("num_planes must be <= 62 (int64 bucket-id bits)")
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_planes, dim))
 
@@ -33,7 +35,13 @@ def _planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
 def stacked_planes(
     dim: int, num_planes: int, num_tables: int, seed: int
 ) -> np.ndarray:
-    """(num_tables, num_planes, dim) independent hyperplane sets."""
+    """(num_tables, num_planes, dim) independent hyperplane sets.
+
+    num_planes is capped at 62: bucket ids are signed-int64 bit weights
+    (1 << p), so 63+ planes silently wrap in numpy — and 2^62 buckets is
+    already astronomically past useful LSH granularity."""
+    if num_planes > 62:
+        raise ValueError("num_planes must be <= 62 (int64 bucket-id bits)")
     return np.stack(
         [_planes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
     )
