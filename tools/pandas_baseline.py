@@ -390,6 +390,72 @@ def b_curation_pack():
     return (int(start.iloc[-1]), int((start // 512).nunique()))
 
 
+def b_dedup_intercorpus():
+    docs = load("documents")[["doc_id", "text"]]
+    ref = set(
+        hashlib.md5(t.encode()).hexdigest()
+        for t in docs.loc[docs["doc_id"] % 5 == 0, "text"]
+    )
+    dig = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    return (int((~dig.isin(ref)).sum()),)
+
+
+def b_sessionize_native():
+    # native session_window semantics: strict >= gap breaks; exclusive end
+    ev = load("events")[["user_id", "ts"]].sort_values(["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+    d = ev.groupby("user_id")["ts"].diff()
+    brk = (d >= gap) | d.isna()
+    ev["session_id"] = brk.groupby(ev["user_id"]).cumsum()
+    agg = ev.groupby(["user_id", "session_id"]).agg(
+        n=("ts", "size"), start=("ts", "min"), end=("ts", "max")
+    )
+    agg["end"] = agg["end"] + gap
+    return agg.shape
+
+
+def b_o4_isolation_forest():
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from dataforge_spark.operators.iforest_numpy import NumpyIsolationForest
+
+    ev = load("events")
+    vals = ev["value"].dropna().sort_values().to_numpy().reshape(-1, 1)
+    m = NumpyIsolationForest(contamination=0.1, random_state=42).fit(vals)
+    flags = m.predict(ev["value"].fillna(0.0).to_numpy().reshape(-1, 1))
+    keep = (flags == 1) | ev["value"].isna().to_numpy()
+    return (int(keep.sum()),)
+
+
+def b_ivf_disk_topk():
+    import tempfile
+
+    e = load("embeddings")
+    M = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    rng = np.random.RandomState(42)
+    C = Mn[rng.choice(len(Mn), 16, replace=False)]
+    for _ in range(10):
+        assign = np.argmax(Mn @ C.T, axis=1)
+        for j in range(16):
+            m = Mn[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+    assign = np.argmax(Mn @ C.T, axis=1)
+    with tempfile.TemporaryDirectory() as d:
+        idx = e.assign(bucket=assign)
+        idx.to_parquet(f"{d}/vectors.parquet", index=False)
+        back = pd.read_parquet(f"{d}/vectors.parquet")
+    Mb = np.stack(back["embedding"].to_numpy()).astype(np.float64)
+    Mb = Mb / np.linalg.norm(Mb, axis=1, keepdims=True)
+    ids = back["vec_id"].to_numpy()
+    out = 0
+    for qi in np.where(ids < 10)[0]:
+        sims = Mb @ Mb[qi]
+        out += len(np.argsort(-sims)[:6])
+    return (out,)
+
+
 BENCHES = {
     "s4_profile": b_s4_profile,
     "m5_m6_fill_stats": b_m5_m6_fill_stats,
@@ -415,6 +481,10 @@ BENCHES = {
     "curation_split": b_curation_split,
     "curation_contamination": b_curation_contamination,
     "curation_pack": b_curation_pack,
+    "dedup_intercorpus": b_dedup_intercorpus,
+    "sessionize_native": b_sessionize_native,
+    "o4_isolation_forest": b_o4_isolation_forest,
+    "sim_ivf_disk_topk": b_ivf_disk_topk,
 }
 
 
