@@ -88,7 +88,10 @@ def apply_bins(
         ordinal = F.lit(0)
         for e in es:
             ordinal = ordinal + (v > F.lit(float(e))).cast("int")
+        # NaN (like NULL) has no bin — pd.cut/qcut emit NaN labels for it;
+        # without the isnan guard NaN > edge is false and it lands in bin 0
         out = out.withColumn(
-            f"{c}{suffix}", F.when(v.isNotNull(), ordinal).cast("int")
+            f"{c}{suffix}",
+            F.when(v.isNotNull() & ~F.isnan(v), ordinal).cast("int"),
         )
     return out

@@ -282,3 +282,13 @@ def test_part_supplier_tables_through_the_engine(spark, sf_dir):
     assert joined.count() == supp.count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_binning_nan_gets_no_bin(spark):
+    from dataforge_spark.operators.binning import apply_bins
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, None)], "id: bigint, x: double"
+    )
+    rows = {r["id"]: r["x_bin"] for r in apply_bins(df, {"x": [2.0]}).collect()}
+    assert rows[1] == 0 and rows[2] is None and rows[3] is None
