@@ -459,7 +459,7 @@ def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     remove_special_chars, remove_whitespace) on ``t``, custom patterns on
     ``text``; X12 ''→NULL applies to every column. Round 4 adds the PII
     redaction leg (functions/pii.redact_pii) on a planted-entity column —
-    RE2-portable kinds only (PHONE needs lookarounds DuckDB lacks), so
+    RE2-portable kinds only (PHONE and CARD need lookarounds DuckDB lacks), so
     the oracle recomputes the identical regexp_replace chain."""
     from dataforge_spark.functions.pii import redact_pii
 

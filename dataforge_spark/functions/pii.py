@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 PII_PATTERNS: list[tuple[str, str]] = [
     ("EMAIL", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
     ("URL", r"http[s]?://[^\s<>\"]+"),
-    ("CARD", r"\b(?:\d[ -]?){13,19}\b"),
+    # lookarounds stop a >19-digit run from partially redacting its tail
+    # (plain \b would match the run's last 13-19 digits); like PHONE this
+    # makes CARD Java-regex-only (RE2/DuckDB lacks lookarounds)
+    ("CARD", r"(?<![\d-])(?:\d[ -]?){12,18}\d(?![\d-])"),
     ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("PHONE", r"(?<![\d-])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}(?:[ .-]\d{2,4})?(?![\d-])"),
     ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
