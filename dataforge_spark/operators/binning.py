@@ -48,12 +48,20 @@ def bin_columns(
     if strategy == "quantile":
         from ..functions.quantiles import exact_quantiles
 
-        probs = [i / n_bins for i in range(1, n_bins)]
+        # prob 0 rides the same pass: interior edges EQUAL to the column
+        # minimum must be dropped (pd.qcut collapses them into the outer
+        # edge — with ≥1/n_bins of the mass at the minimum, keeping such
+        # an edge shifts every later bin up by one). Max-equal edges are
+        # harmless: (v > max) is never true.
+        probs = [0.0] + [i / n_bins for i in range(1, n_bins)]
         q = exact_quantiles(df, cols, probs)
         for c in cols:
-            vals = [v for v in q[c] if v is not None]
+            mn = q[c][0]
+            vals = [v for v in q[c][1:] if v is not None]
             # pd.qcut(duplicates="drop"): collapse equal edges
-            edges[c] = sorted(set(vals))
+            edges[c] = sorted(
+                set(v for v in vals if mn is None or v > mn)
+            )
     else:
         row = df.agg(
             *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],

@@ -292,3 +292,19 @@ def test_binning_nan_gets_no_bin(spark):
     )
     rows = {r["id"]: r["x_bin"] for r in apply_bins(df, {"x": [2.0]}).collect()}
     assert rows[1] == 0 and rows[2] is None and rows[3] is None
+
+
+def test_quantile_binning_mass_at_minimum_matches_qcut(spark):
+    import pandas as pd
+
+    from dataforge_spark.operators.binning import bin_columns
+
+    vals = [0.0] * 40 + [float(i) for i in range(1, 61)]
+    pdf = pd.DataFrame({"id": range(len(vals)), "x": vals})
+    sdf = spark.createDataFrame(pdf)
+    out, edges = bin_columns(sdf, columns=["x"], n_bins=4)
+    got = {r["x"]: r["x_bin"] for r in out.collect()}
+    pdf["b"] = pd.qcut(pdf["x"], 4, labels=False, duplicates="drop")
+    want = dict(zip(pdf["x"], pdf["b"]))
+    assert got == want          # q25 == min edge dropped, labels align
+    assert len(edges["x"]) == 2  # only the two interior edges above min
