@@ -74,3 +74,12 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+def qcol(name: str):
+    """``F.col`` with the name backtick-quoted. Plain ``F.col("a.b")``
+    parses the dot as struct access and backticks as quoting, so USER
+    column names (CSV headers can contain anything) must go through this
+    everywhere the engine touches them."""
+    from pyspark.sql import functions as F
+
+    return F.col("`" + name.replace("`", "``") + "`")

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import ROW_ID
+from ..io import ROW_ID, qcol
 
 MISSING_TOKEN = "__MISSING__"
 
@@ -73,7 +73,7 @@ def label_mapping(df: DataFrame, col: str) -> dict[str, int]:
     vals = [
         r[0]
         for r in df.select(
-            F.coalesce(F.col(col).cast("string"), F.lit(MISSING_TOKEN)).alias("v")
+            F.coalesce(qcol(col).cast("string"), F.lit(MISSING_TOKEN)).alias("v")
         )
         .distinct()
         .collect()
@@ -141,7 +141,7 @@ def encode_label(
     mappings: dict[str, dict[str, int]] = {}
     if not cols:
         return df, mappings
-    val = lambda c: F.coalesce(F.col(c).cast("string"), F.lit(MISSING_TOKEN))  # noqa: E731
+    val = lambda c: F.coalesce(qcol(c).cast("string"), F.lit(MISSING_TOKEN))  # noqa: E731
     _sizes, doms = _domains(df, cols, val, max_literal_categories)
     out = df
     for c in cols:
@@ -168,7 +168,7 @@ def decode_label(df: DataFrame, mappings: dict[str, dict[str, int]]) -> DataFram
     out = df
     for c, m in mappings.items():
         inv = F.create_map(*[x for k, v in m.items() for x in (F.lit(v), F.lit(k))])
-        out = out.withColumn(c, inv[F.col(c)])
+        out = out.withColumn(c, inv[qcol(c)])
     return out
 
 
@@ -188,7 +188,7 @@ def encode_onehot(
     if not cols:
         return df
     _sizes, doms = _domains(
-        df, cols, lambda c: F.col(c).cast("string"), max_categories
+        df, cols, lambda c: qcol(c).cast("string"), max_categories
     )
     out = df
     for c in cols:
@@ -197,9 +197,9 @@ def encode_onehot(
         cats = doms[c]
         keep = cats[1:] if drop_first else cats
         dummies = [
-            F.when(F.col(c).cast("string") == v, 1).otherwise(0).alias(f"{c}_{v}")
+            F.when(qcol(c).cast("string") == v, 1).otherwise(0).alias(f"{c}_{v}")
             for v in keep
-        ] + [F.col(c).isNull().cast("int").alias(f"{c}_nan")]
+        ] + [qcol(c).isNull().cast("int").alias(f"{c}_nan")]
         out = out.select(*[F.col(x) for x in out.columns if x != c], *dummies)
     return out
 
@@ -221,7 +221,7 @@ def encode_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFra
         return df
     pairs = []
     for c in cols:
-        pairs += [F.lit(c), F.col(c).cast("string")]
+        pairs += [F.lit(c), qcol(c).cast("string")]
     counts = (
         df.select(F.explode(F.create_map(*pairs)).alias("col", "val"))
         .groupBy("col", "val")
@@ -241,6 +241,6 @@ def encode_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFra
             (F.col("n") / F.lit(float(n_total))).alias(f"{c}_freq_encoded"),
         )
         out = out.join(
-            freqs, on=F.col(c).cast("string").eqNullSafe(F.col(key)), how="left"
+            freqs, on=qcol(c).cast("string").eqNullSafe(qcol(key)), how="left"
         ).drop(key)
     return out

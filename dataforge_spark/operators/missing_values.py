@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import ROW_ID
+from ..io import ROW_ID, qcol
 
 NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -37,6 +37,20 @@ STRATEGIES = [
     "drop_rows", "drop_rows_threshold", "drop_columns", "drop_columns_threshold",
     "fill_mean", "fill_median", "fill_mode", "forward_fill", "backward_fill",
 ]
+
+
+def _fill_expr(df: DataFrame, c: str, v):
+    """Null-fill expression replacing ``na.fill`` (whose subset/column
+    resolution breaks on names containing dots/backticks). Matches
+    na.fill/pandas-fillna semantics: float columns also fill NaN. One
+    deliberate difference from na.fill: an int column filled with a
+    float literal promotes to double instead of silently truncating the
+    fill — pandas parity (int columns holding NaN are float64 there)."""
+    col = qcol(c)
+    dt = df.schema[c].dataType
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return F.when(col.isNull() | F.isnan(col), F.lit(v)).otherwise(col)
+    return F.coalesce(col, F.lit(v))
 
 
 def _numeric_cols(df: DataFrame, cols: list[str]) -> list[str]:
@@ -65,7 +79,7 @@ def modes(df: DataFrame, cols: list[str]) -> dict[str, object]:
     numeric = {c for c in cols if isinstance(dtypes[c], NUMERIC_TYPES)}
     pairs = []
     for c in cols:
-        pairs += [F.lit(c), F.col(c).cast("string")]
+        pairs += [F.lit(c), qcol(c).cast("string")]
     melted = df.select(F.explode(F.create_map(*pairs)).alias("col", "val")).where(
         F.col("val").isNotNull()
     )
@@ -172,16 +186,16 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
             Window.partitionBy("_bucket").orderBy(F.asc(order_col))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: F.last(F.col(c), ignorenulls=True).over(local_w)  # noqa: E731
-        edge_agg = lambda c: F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(order_col)))  # noqa: E731
+        pick = lambda c: F.last(qcol(c), ignorenulls=True).over(local_w)  # noqa: E731
+        edge_agg = lambda c: F.max_by(qcol(c), F.when(qcol(c).isNotNull(), qcol(order_col)))  # noqa: E731
         cmp_bucket = F.col("b._bucket") < F.col("_bucket")
     else:
         local_w = (
             Window.partitionBy("_bucket").orderBy(F.asc(order_col))
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(F.col(c), ignorenulls=True).over(local_w)  # noqa: E731
-        edge_agg = lambda c: F.min_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(order_col)))  # noqa: E731
+        pick = lambda c: F.first(qcol(c), ignorenulls=True).over(local_w)  # noqa: E731
+        edge_agg = lambda c: F.min_by(qcol(c), F.when(qcol(c).isNotNull(), qcol(order_col)))  # noqa: E731
         cmp_bucket = F.col("b._bucket") > F.col("_bucket")
 
     filled = dfp.select(
@@ -203,13 +217,13 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
             Window.orderBy("_bucket")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        carry_pick = lambda c: F.last(F.col(c), ignorenulls=True).over(carry_w)  # noqa: E731
+        carry_pick = lambda c: F.last(qcol(c), ignorenulls=True).over(carry_w)  # noqa: E731
     else:
         carry_w = (
             Window.orderBy("_bucket")
             .rowsBetween(1, Window.unboundedFollowing)
         )
-        carry_pick = lambda c: F.first(F.col(c), ignorenulls=True).over(carry_w)  # noqa: E731
+        carry_pick = lambda c: F.first(qcol(c), ignorenulls=True).over(carry_w)  # noqa: E731
     carry_df = edges.select(
         "_bucket", *[carry_pick(c).alias(f"_c_{c}") for c in cols]
     )
@@ -217,7 +231,7 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     for c in cols:
         out = out.withColumn(
             c,
-            F.when(F.col("_bucket") == -1, F.col(c)).otherwise(
+            F.when(F.col("_bucket") == -1, qcol(c)).otherwise(
                 F.coalesce(F.col(f"_f_{c}"), F.col(f"_c_{c}"))
             ),
         )
@@ -237,17 +251,25 @@ def fix_missing_values(
     cols = _data_cols(df, columns)
 
     if strategy == "drop_rows":
-        return df.na.drop("any", subset=cols)
+        # hand-rolled instead of df.na.drop: its subset resolution breaks
+        # on column names containing dots/backticks (CSV headers can)
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & qcol(c).isNotNull()
+        return df.where(cond)
 
     if strategy == "drop_rows_threshold":
         # pandas: keep rows with >= int(threshold * ncols) non-null
         # (methods/missingValues.py:78-81); df.na.drop(thresh=) matches.
-        return df.na.drop(thresh=int(threshold * len(cols)), subset=cols)
+        non_null = sum(
+            (qcol(c).isNotNull().cast("int") for c in cols), F.lit(0)
+        )
+        return df.where(non_null >= int(threshold * len(cols)))
 
     if strategy in ("drop_columns", "drop_columns_threshold"):
         counts = df.agg(
             F.count(F.lit(1)).alias("__n"),
-            *[F.count(F.col(c)).alias(c) for c in cols],
+            *[F.count(qcol(c)).alias(c) for c in cols],
         ).collect()[0]
         n = counts["__n"]
         min_non_null = int(threshold * n) if strategy == "drop_columns_threshold" else n
@@ -261,7 +283,16 @@ def fix_missing_values(
         out = df
         if num:
             if strategy == "fill_mean":
-                stats = df.agg(*[F.avg(F.col(c)).alias(c) for c in num]).collect()[0]
+                # NaN-safe mean (pandas .mean() skips NaN; Spark avg
+                # propagates it — a single NaN would poison the fill)
+                def nan_safe(c):
+                    col = qcol(c)
+                    if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+                        return F.when(~F.isnan(col), col)
+                    return col
+                stats = df.agg(
+                    *[F.avg(nan_safe(c)).alias(c) for c in num]
+                ).collect()[0]
             else:
                 # exact linear-interpolated median (pandas parity) via the
                 # bracketed order-statistic path — percentile()'s
@@ -283,18 +314,22 @@ def fix_missing_values(
                     continue
                 fills[c] = float(v)
                 if isinstance(dtypes[c], int_types) and fills[c] != int(fills[c]):
-                    out = out.withColumn(c, F.col(c).cast("double"))
+                    out = out.withColumn(c, qcol(c).cast("double"))
         if cat:
             cat_modes = modes(df, cat)
             for c in cat:
                 fills[c] = cat_modes.get(c, "Unknown")
-        return out.na.fill(fills) if fills else out
+        for c, v in fills.items():
+            out = out.withColumn(c, _fill_expr(out, c, v))
+        return out
 
     if strategy == "fill_mode":
         m = modes(df, cols)
         fills = {c: m.get(c, "Unknown") for c in cols}
-        # na.fill needs type-consistent values; split by type
-        return df.na.fill(fills)
+        out = df
+        for c, v in fills.items():
+            out = out.withColumn(c, _fill_expr(out, c, v))
+        return out
 
     if strategy in ("forward_fill", "backward_fill"):
         direction = "ffill" if strategy == "forward_fill" else "bfill"

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import ROW_ID
+from ..io import ROW_ID, qcol
 
 OPS = [
     "lowercase", "uppercase", "remove_whitespace", "remove_punctuation",
@@ -92,9 +92,9 @@ def clean_text_columns(
         ]
     return df.select(
         *[
-            clean_text_expr(F.col(c), operations, custom_patterns).alias(c)
+            clean_text_expr(qcol(c), operations, custom_patterns).alias(c)
             if c in columns
-            else F.col(c)
+            else qcol(c)
             for c in df.columns
         ]
     )

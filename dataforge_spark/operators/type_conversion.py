@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import ROW_ID
+from ..io import ROW_ID, qcol
 
 _BOOL_TRUE = ["true", "1", "yes", "y", "t"]
 _BOOL_FALSE = ["false", "0", "no", "n", "f"]
@@ -88,7 +88,7 @@ def convert_data_types(
         if col not in out.columns:
             continue
         spark_type = _TYPE_ALIASES.get(target.lower(), target.lower())
-        src = F.col(col)
+        src = qcol(col)
         if spark_type == "timestamp":
             casted = parse_timestamp_expr(src)
         elif spark_type == "boolean":
@@ -108,7 +108,7 @@ def convert_data_types(
         # columns in ONE aggregate pass, not a full scan per column.
         bad = out.agg(
             *[
-                F.sum((F.col(c).isNotNull() & casted.isNull()).cast("long")).alias(c)
+                F.sum((qcol(c).isNotNull() & casted.isNull()).cast("long")).alias(c)
                 for c, (_, casted) in cast_exprs.items()
             ]
         ).collect()[0]
@@ -147,7 +147,7 @@ def convert_data_types(
     # shuffle beyond one row per partition.
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in str_cols:
-        v = F.col(c)
+        v = qcol(c)
         num = v.try_cast("double")
         aggs += [
             F.count(v).alias(f"nn_{c}"),
@@ -167,7 +167,7 @@ def convert_data_types(
         nn = s[f"nn_{c}"]
         if not nn:
             continue
-        v = F.col(c)
+        v = qcol(c)
         # T4 auto-boolean: every non-null value in vocabulary, ≥2 distinct
         # (min≠max over non-nulls ⇔ count_distinct ≥ 2, without the
         # multi-distinct Expand plan).
@@ -200,7 +200,7 @@ def _elect_datetime_formats(
     Java-side parsing over the ELECTED list, so election only bounds which
     formats are paid for — a format used exclusively outside the sampled
     prefix is the documented sampling tradeoff."""
-    rows = df.select(*cols).limit(n).collect()
+    rows = df.select(*[qcol(c).alias(c) for c in cols]).limit(n).collect()
     elected: dict[str, list[str]] = {}
     for c in cols:
         # Every candidate format starts with a digit field — prefilter so

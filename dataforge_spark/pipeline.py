@@ -38,7 +38,7 @@ from .operators import (
     type_conversion,
     typo_fix,
 )
-from .io import ROW_ID
+from .io import ROW_ID, qcol
 from .operators.missing_values import _data_cols, _numeric_cols
 from .sanitize import sanitize_for_json
 
@@ -92,21 +92,30 @@ def boundary_scrub(df: DataFrame) -> DataFrame:
         out = out.withColumn(
             c,
             F.when(
-                F.col(c).isin(float("inf"), float("-inf")) | F.isnan(F.col(c).cast("double")),
+                qcol(c).isin(float("inf"), float("-inf")) | F.isnan(qcol(c).cast("double")),
                 None,
-            ).otherwise(F.col(c)),
+            ).otherwise(qcol(c)),
         )
     if num:
         from .functions.quantiles import exact_quantiles
 
         meds = {c: v[0] for c, v in exact_quantiles(out, num, [0.5]).items()}
-        # all-null columns have no median; pandas fillna leaves them NaN
-        out = out.na.fill(
-            {c: float(meds[c]) for c in num if meds[c] is not None}
-        )
+        # all-null columns have no median; pandas fillna leaves them NaN.
+        # coalesce instead of na.fill: its dict keys break on dotted
+        # names, and NaN is already NULL after the scrub above. The fill
+        # literal is cast to the COLUMN's type — na.fill truncated a
+        # fractional median into int columns, and the bug-compat oracle
+        # pins that behavior.
+        dtypes = {f.name: f.dataType for f in out.schema.fields}
+        for c in num:
+            if meds[c] is not None:
+                out = out.withColumn(
+                    c,
+                    F.coalesce(qcol(c), F.lit(float(meds[c])).cast(dtypes[c])),
+                )
     str_cols = [c for c in _data_cols(df, None) if c not in num and dict(df.dtypes)[c] == "string"]
-    if str_cols:
-        out = out.na.fill({c: "" for c in str_cols})
+    for c in str_cols:
+        out = out.withColumn(c, F.coalesce(qcol(c), F.lit("")))
     return out
 
 
@@ -126,17 +135,17 @@ def cells_changed(before: DataFrame, after: DataFrame) -> dict[str, int]:
     if not shared or ROW_ID not in before.columns or ROW_ID not in after.columns:
         return {}
     b = before.select(
-        ROW_ID, *[F.col(c).cast("string").alias(f"__b_{c}") for c in shared]
+        ROW_ID, *[qcol(c).cast("string").alias(f"__b_{c}") for c in shared]
     )
     a = after.select(
-        ROW_ID, *[F.col(c).cast("string").alias(f"__a_{c}") for c in shared]
+        ROW_ID, *[qcol(c).cast("string").alias(f"__a_{c}") for c in shared]
     )
     row = (
         a.join(b, ROW_ID)
         .agg(
             *[
                 F.sum(
-                    (~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))).cast("long")
+                    (~qcol(f"__a_{c}").eqNullSafe(qcol(f"__b_{c}"))).cast("long")
                 ).alias(c)
                 for c in shared
             ]

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .io import ROW_ID
+from .io import ROW_ID, qcol
 from .session import MISSING_SENTINELS
 
 
@@ -35,7 +35,7 @@ def _missing_expr(field: T.StructField):
     """Per-column missing predicate = union of the reference's 5 detectors
     (/root/reference/pipeline.py:425-450): isnull/isna, empty string,
     whitespace-only, sentinel vocabulary (case-insensitive)."""
-    c = F.col(field.name)
+    c = qcol(field.name)
     cond = c.isNull()
     if isinstance(field.dataType, (T.DoubleType, T.FloatType)):
         cond = cond | F.isnan(c)
@@ -75,9 +75,9 @@ def profile_df(
     cols = [f.name for f in fields]
     all_cols = [f.name for f in _user_fields(df)]
     aggs = [F.count(F.lit(1)).alias("__rows"),
-            cd(F.struct(*all_cols)).alias("__distinct_rows")]
+            cd(F.struct(*[qcol(c) for c in all_cols])).alias("__distinct_rows")]
     aggs += [F.sum(_missing_expr(f).cast("long")).alias(f"__miss_{f.name}") for f in fields]
-    aggs += [cd(F.col(c)).alias(f"__uniq_{c}") for c in cols]
+    aggs += [cd(qcol(c)).alias(f"__uniq_{c}") for c in cols]
     row = df.agg(*aggs).collect()[0].asDict()
     n_rows = int(row["__rows"])
     # HLL++ at 5% rsd can OVERestimate distincts; clamp so approx profiles
@@ -150,7 +150,7 @@ def memory_report(df: DataFrame) -> dict[str, Any]:
     for f in df.schema.fields:
         if isinstance(f.dataType, (T.StringType, T.BinaryType)):
             var_cols.append(f.name)
-            aggs.append(F.sum(F.octet_length(F.col(f.name))).alias(f"__len_{f.name}"))
+            aggs.append(F.sum(F.octet_length(qcol(f.name))).alias(f"__len_{f.name}"))
     row = df.agg(*aggs).collect()[0]
     n = int(row["__n"])
     per_col: dict[str, int] = {}
@@ -168,15 +168,15 @@ def dataset_info(df: DataFrame, sample_rows: int = 5) -> dict[str, Any]:
     fields = _user_fields(df)
     cols = [f.name for f in fields]
     aggs = [F.count(F.lit(1)).alias("__rows"),
-            F.count_distinct(F.struct(*cols)).alias("__distinct_rows")]
+            F.count_distinct(F.struct(*[qcol(c) for c in cols])).alias("__distinct_rows")]
     aggs += [F.sum(_missing_expr(f).cast("long")).alias(f"__miss_{f.name}")
              for f in fields]
-    aggs += [F.count_distinct(F.col(c)).alias(f"__uniq_{c}") for c in cols]
+    aggs += [F.count_distinct(qcol(c)).alias(f"__uniq_{c}") for c in cols]
     row = df.agg(*aggs).collect()[0].asDict()
 
     n_rows = int(row["__rows"])
     missing = {c: int(row[f"__miss_{c}"] or 0) for c in cols}
-    sample = [r.asDict() for r in df.select(*cols).limit(sample_rows).collect()]
+    sample = [r.asDict() for r in df.select(*[qcol(c).alias(c) for c in cols]).limit(sample_rows).collect()]
     return {
         "shape": {"rows": n_rows, "columns": len(cols)},
         "columns": cols,

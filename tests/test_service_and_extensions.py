@@ -378,3 +378,24 @@ def test_clean_stream_matches_batch_pipeline(spark, tmp_path, lineitem):
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "out")).count() == len(a)
+
+
+def test_dotted_and_spaced_csv_headers_flow_end_to_end(spark, tmp_path):
+    """CSV headers routinely contain dots/spaces; plain F.col parses dots
+    as struct access, which crashed upload profiling and several
+    operators before round 4's qcol sweep. Full service flow must work."""
+    svc = DataForgeService(spark, upload_dir=str(tmp_path / "up"))
+    src = tmp_path / "dotted.csv"
+    src.write_text("user.name,score pct\nalice,1.5\nbob,\nbob,\n,4.5\n")
+    up = svc.upload("dotted.csv", str(src))
+    assert up["dataset_info"]["shape"] == {"rows": 4, "columns": 2}
+    assert up["dataset_info"]["missing_values"]["user.name"] == 1
+    res = svc.clean_data(
+        up["file_path"],
+        '{"missing_values": {"enabled": true, "strategy": "fill_mean"},'
+        ' "duplicates": {"enabled": true}}',
+    )
+    assert res["status"] == "success"
+    mv = res["result"]["operations"]["missing_values"]
+    assert mv["status"] == "success"
+    assert mv["missing_after"]["score pct"] == 0
