@@ -370,7 +370,10 @@ def sample_n_per_group(
     # fraction per group targeting 4n expected survivors
     frac = None
     for g, cnt in counts.items():
-        lim = SPLIT_BUCKETS if cnt <= 4 * n else int(round(4 * n / cnt * SPLIT_BUCKETS))
+        # clamp to >=1: for huge groups (4n/cnt*BUCKETS < 0.5) a rounded-to-0
+        # threshold would keep zero rows and force the naive full-group
+        # window fallback — the exact scale cliff the prefilter exists to avoid
+        lim = SPLIT_BUCKETS if cnt <= 4 * n else max(1, int(round(4 * n / cnt * SPLIT_BUCKETS)))
         cond = F.col(group_col).eqNullSafe(F.lit(g))
         frac = F.when(cond, F.lit(lim)) if frac is None else frac.when(cond, F.lit(lim))
     if frac is None:

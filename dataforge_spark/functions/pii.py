@@ -20,8 +20,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Order matters: cards before phones (a 16-digit card is also 10+ digits),
-# emails before generic hosts inside URLs is irrelevant because URL
-# placeholders keep no host text.
+# and IP before PHONE — the phone regex matches the first two octets of a
+# dotted-quad with 3-digit octets ('192.168.1.100' -> '<PHONE>.1.100')
+# while the IP pattern requires all four dot-separated octets so it cannot
+# misfire on dotted phones like 555.867.5309. Emails before generic hosts
+# inside URLs is irrelevant because URL placeholders keep no host text.
 PII_PATTERNS: list[tuple[str, str]] = [
     ("EMAIL", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
     ("URL", r"http[s]?://[^\s<>\"]+"),
@@ -30,8 +33,8 @@ PII_PATTERNS: list[tuple[str, str]] = [
     # makes CARD Java-regex-only (RE2/DuckDB lacks lookarounds)
     ("CARD", r"(?<![\d-])(?:\d[ -]?){12,18}\d(?![\d-])"),
     ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
-    ("PHONE", r"(?<![\d-])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}(?:[ .-]\d{2,4})?(?![\d-])"),
     ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("PHONE", r"(?<![\d-])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}(?:[ .-]\d{2,4})?(?![\d-])"),
 ]
 
 _KINDS = [k for k, _ in PII_PATTERNS]

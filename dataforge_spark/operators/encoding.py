@@ -68,19 +68,6 @@ def _domains(
     return sizes, {c: sorted(v) for c, v in doms.items()}
 
 
-def label_mapping(df: DataFrame, col: str) -> dict[str, int]:
-    """Sorted-lexicographic code map (sklearn LabelEncoder parity)."""
-    vals = [
-        r[0]
-        for r in df.select(
-            F.coalesce(qcol(col).cast("string"), F.lit(MISSING_TOKEN)).alias("v")
-        )
-        .distinct()
-        .collect()
-    ]
-    return {v: i for i, v in enumerate(sorted(vals))}
-
-
 def _distributed_codes(dv: DataFrame, prefix_len: int = 3) -> DataFrame:
     """(__v, __code) with codes in sorted order of ``__v``, computed WITHOUT
     a global ``Window.orderBy`` (which would pull every distinct value into

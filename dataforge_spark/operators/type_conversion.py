@@ -206,10 +206,8 @@ def _elect_datetime_formats(
         # Every candidate format starts with a digit field — prefilter so
         # prose columns don't pay 8 × n strptime exceptions; dedupe so
         # low-cardinality columns are elected in O(distinct).
-        vals = list(dict.fromkeys(
-            v for v in (r[c].strip() for r in rows if r[c] is not None)
-            if v[:1].isdigit()
-        ))
+        non_null = [r[c].strip() for r in rows if r[c] is not None]
+        vals = list(dict.fromkeys(v for v in non_null if v[:1].isdigit()))
         keep = []
         for jfmt, pfmt in _PY_FORMATS.items():
             for v in vals:
@@ -219,5 +217,11 @@ def _elect_datetime_formats(
                     break
                 except (ValueError, TypeError):
                     continue
-        elected[c] = keep
+        # Nothing sampled at all (prefix is all-NULL): fall back to the full
+        # format list so a column whose valid dates sit past the sample isn't
+        # permanently locked out — the >50% full-data gate still decides
+        # whether the cast applies. A sample with non-null prose values
+        # (non-digit-leading) still elects [] so prose columns never pay the
+        # 8-format full scan.
+        elected[c] = keep if non_null else list(_PY_FORMATS)
     return elected

@@ -14,6 +14,7 @@ Patterns used:
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -263,9 +264,13 @@ def clean_stream(
     Pipelines needing corpus-global statistics should fit on a batch
     snapshot and apply the fitted parameters with the operators' replay
     surfaces (normalization params, binning edges, encoder maps)
-    instead. Exactly-once: foreachBatch + checkpoint gives replay-safe
-    appends; every operator in the pipeline is deterministic (no RNG),
-    so a replayed batch writes identical rows.
+    instead. Exactly-once: each micro-batch owns the partition directory
+    ``batch_id=<id>`` under ``output_path`` and OVERWRITES it — a batch
+    retried after a crash mid/post write replaces its own partial files
+    instead of blindly appending, so the sink is idempotent (a plain
+    checkpointed append would only be at-least-once). Readers of the sink
+    see ``batch_id`` as a discovered partition column — useful lineage,
+    and dropping it restores the batch pipeline's schema exactly.
     """
     from .pipeline import CleaningPipeline
 
@@ -275,7 +280,9 @@ def clean_stream(
         if batch_df.isEmpty():
             return
         out, _ = pipe.run(batch_df, operations)
-        out.write.mode("append").parquet(output_path)
+        out.write.mode("overwrite").parquet(
+            os.path.join(output_path, f"batch_id={batch_id}")
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_one_batch)

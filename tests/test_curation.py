@@ -255,6 +255,28 @@ def test_pii_redaction_replaces_typed_placeholders(spark):
     assert only[2] == rows[1][1]
 
 
+def test_pii_ip_with_3_digit_octets_beats_phone(spark):
+    """IP must be ordered before PHONE: the phone regex matches the first
+    two octets of a dotted-quad with 3-digit octets, which used to yield
+    '<PHONE>.1.100' and leave the tail unredacted."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.functions.pii import redact_pii
+
+    rows = [
+        (1, "server at 192.168.001.100 responded"),
+        (2, "host 203.120.113.195 port 80"),
+        # dotted phone must still redact as PHONE (IP needs 4 octets)
+        (3, "call 555.867.5309 now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "server at <IP> responded"
+    assert got[2] == "host <IP> port 80"
+    assert got[3] == "call <PHONE> now"
+
+
 def test_chunk_documents_covers_and_overlaps(spark):
     from dataforge_spark.curation import chunk_documents
 

@@ -176,6 +176,27 @@ def test_auto_detect_sample_elected_formats(spark):
     assert None in got and len(got) == 3  # "not a date" → NULL, two parses
 
 
+def test_datetime_election_falls_back_when_sample_is_empty(spark):
+    """A column whose sampled prefix is all-NULL (or non-digit-leading)
+    must not be permanently locked out of datetime conversion: election
+    falls back to the FULL format list and the >50% full-data gate still
+    decides whether the cast applies."""
+    from dataforge_spark.operators.type_conversion import _elect_datetime_formats
+
+    # sample window n=5 sees only NULLs; real dates live past it
+    rows = [(None,)] * 5 + [("2024-03-%02d" % d,) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "d: string").coalesce(1)
+    fmts = _elect_datetime_formats(df, ["d"], n=5)
+    assert fmts["d"], "empty sample must elect the full fallback list"
+    assert "yyyy-MM-dd" in fmts["d"]
+
+    out = convert_data_types(df, auto_detect=True)
+    # full data is 10/15 = 67% parseable > 50% gate → timestamp
+    # (works because the 10k default sample window covers all 15 rows;
+    # the n=5 election above pins the fallback itself)
+    assert dict(out.dtypes)["d"] == "timestamp"
+
+
 def test_isolation_forest_cap_noops(spark, lineitem):
     df = lineitem.select("l_quantity").limit(100)
     out = handle_outliers(df, columns=["l_quantity"], method="isolation_forest",
@@ -378,6 +399,20 @@ def test_clean_stream_matches_batch_pipeline(spark, tmp_path, lineitem):
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "out")).count() == len(a)
+    # retry safety (exactly-once, not at-least-once): wipe the checkpoint so
+    # batch 0 RE-EXECUTES — the batch_id-partitioned overwrite sink must
+    # replace its own partition, not append a second copy of every row
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q3 = clean_stream(
+        read_events_stream(spark, in_path, src.schema),
+        ops, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q3.awaitTermination()
+    replayed = spark.read.parquet(str(tmp_path / "out"))
+    assert replayed.count() == len(a)
+    assert "batch_id" in replayed.columns  # lineage partition column
 
 
 def test_dotted_and_spaced_csv_headers_flow_end_to_end(spark, tmp_path):
