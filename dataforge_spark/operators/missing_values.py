@@ -124,6 +124,25 @@ def _order_key(df: DataFrame, order_col: str):
     return None
 
 
+# Below this Catalyst size estimate a single-partition window beats the
+# sketch+buckets+carry plan (which pays ~3 extra jobs of fixed overhead).
+# 512 MiB ≈ high-single-digit-millions of typical rows — well inside what
+# one task sorts in seconds. Module-level so tests can monkeypatch.
+FAST_FILL_MAX_BYTES = 512 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated byte size of the frame — parquet footer stats
+    propagated through the optimized plan, NO job. ``None`` (→ caller must
+    assume big) if the internal surface moves."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().longValue()
+        )
+    except Exception:
+        return None
+
+
 def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str) -> DataFrame:
     """ffill (M8) / bfill (M9) in ``order_col`` order.
 
@@ -141,14 +160,25 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     order columns) or from a seeded deterministic sample (string order
     columns, where no numeric surrogate exists).
 
+    Size-gated fast path: when Catalyst's size estimate is under
+    ``FAST_FILL_MAX_BYTES`` the boundary machinery costs more than it
+    saves, so we use zero splits — one bucket, one window task — which is
+    the same code path and therefore bit-identical output. Unknown
+    estimate → assume big (the safe direction).
+
     Rows whose order key is NULL have no position in the fill order; they
     are left UNTOUCHED (not filled, never contributing carry values) —
     defined semantics instead of silently joining a broken bucket.
     """
     spark = df.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    est = _plan_size_bytes(df)
+    fast = est is not None and est <= FAST_FILL_MAX_BYTES
     key = _order_key(df, order_col)
-    if key is not None:
+    if fast:
+        splits: list = []
+        key_col = F.col(order_col)
+    elif key is not None:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         dfk = df.withColumn("_ord_key", key)
         if probs:
@@ -188,7 +218,6 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
         )
         pick = lambda c: F.last(qcol(c), ignorenulls=True).over(local_w)  # noqa: E731
         edge_agg = lambda c: F.max_by(qcol(c), F.when(qcol(c).isNotNull(), qcol(order_col)))  # noqa: E731
-        cmp_bucket = F.col("b._bucket") < F.col("_bucket")
     else:
         local_w = (
             Window.partitionBy("_bucket").orderBy(F.asc(order_col))
@@ -196,11 +225,18 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
         )
         pick = lambda c: F.first(qcol(c), ignorenulls=True).over(local_w)  # noqa: E731
         edge_agg = lambda c: F.min_by(qcol(c), F.when(qcol(c).isNotNull(), qcol(order_col)))  # noqa: E731
-        cmp_bucket = F.col("b._bucket") > F.col("_bucket")
 
     filled = dfp.select(
         "*", *[pick(c).alias(f"_f_{c}") for c in cols]
     )
+    if not splits:
+        # Single bucket (fast path, or degenerate 1-partition config): no
+        # boundaries to fix, so no edge/carry jobs at all.
+        for c in cols:
+            filled = filled.withColumn(
+                c, F.when(F.col("_bucket") == -1, qcol(c)).otherwise(F.col(f"_f_{c}"))
+            )
+        return filled.drop("_bucket", *[f"_f_{c}" for c in cols])
     # Per-bucket edge values (last non-null for ffill / first for bfill);
     # NULL-order rows (_bucket = -1) never contribute carry values.
     edges = dfp.where(F.col("_bucket") >= 0).groupBy("_bucket").agg(

@@ -109,6 +109,32 @@ def test_ffill_bfill_match_pandas(spark):
             assert (got.dropna() == exp.dropna()).all(), (direction, col)
 
 
+def test_ordered_fill_fast_and_bucketed_paths_agree(spark, monkeypatch):
+    """The size-gated fast path (single bucket, no sketch/carry jobs) must
+    be bit-identical to the scale-safe bucketed plan — including NULL-order
+    rows staying untouched."""
+    pdf = pd.DataFrame(
+        {
+            "k": [None if i % 11 == 0 else i for i in range(500)],
+            "v": [None if i % 3 == 0 else float(i) for i in range(500)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    def run(direction):
+        out = missing_values.fix_missing_values(
+            sdf, direction, columns=["v"], order_col="k"
+        ).toPandas()
+        return sorted(map(tuple, out.fillna(-1).itertuples(index=False)))
+
+    for direction in ("forward_fill", "backward_fill"):
+        fast = run(direction)
+        monkeypatch.setattr(missing_values, "FAST_FILL_MAX_BYTES", -1)
+        slow = run(direction)
+        monkeypatch.undo()
+        assert fast == slow, direction
+
+
 def test_dedup_keep_first(spark):
     pdf = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": ["x", "x", "y", "y", "z"], "tag": list("pqrst")})
     sdf = with_row_id(spark.createDataFrame(pdf).coalesce(1))
