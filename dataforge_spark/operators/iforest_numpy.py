@@ -26,7 +26,10 @@ def _c(n: float) -> float:
 
 
 class IsolationTree:
-    __slots__ = ("feature", "threshold", "left", "right", "leaf_depth_adj")
+    __slots__ = (
+        "feature", "threshold", "left", "right", "leaf_depth_adj",
+        "bounds", "leaf_path",
+    )
 
     def __init__(self, X: np.ndarray, rng: np.random.RandomState, max_depth: int):
         # flat arrays; node 0 is the root. leaf nodes have feature == -1
@@ -66,8 +69,38 @@ class IsolationTree:
         self.left = np.array(lefts, dtype=np.int32)
         self.right = np.array(rights, dtype=np.int32)
         self.leaf_depth_adj = np.array(adjs, dtype=np.float64)
+        # 1-D fast path: the tree's comparisons are a BST over one axis, so
+        # its leaves partition the line into intervals whose boundaries are
+        # the internal thresholds IN-ORDER (non-decreasing by construction).
+        # Scoring then becomes one searchsorted per tree instead of a
+        # level-by-level masked walk — same depths bit-for-bit, ~50x faster.
+        self.bounds: np.ndarray | None = None
+        self.leaf_path: np.ndarray | None = None
+        if X.shape[1] == 1:
+            bnds: list[float] = []
+            leaf_d: list[float] = []
+            stack: list[tuple[int, int, bool]] = [(0, 0, False)]
+            while stack:
+                node, d, visited = stack.pop()
+                if self.feature[node] < 0:
+                    leaf_d.append(d + self.leaf_depth_adj[node])
+                    continue
+                if visited:
+                    bnds.append(self.threshold[node])
+                    stack.append((self.right[node], d + 1, False))
+                else:
+                    stack.append((node, d, True))
+                    stack.append((self.left[node], d + 1, False))
+            self.bounds = np.array(bnds, dtype=np.float64)
+            self.leaf_path = np.array(leaf_d, dtype=np.float64)
 
     def path_length(self, X: np.ndarray) -> np.ndarray:
+        if self.bounds is not None and X.shape[1] == 1:
+            # side='right' counts thresholds <= v, matching the walk's
+            # "v < thr goes left / v >= thr goes right" at every node.
+            return self.leaf_path[
+                np.searchsorted(self.bounds, X[:, 0], side="right")
+            ]
         node = np.zeros(len(X), dtype=np.int32)
         depth = np.zeros(len(X), dtype=np.float64)
         active = self.feature[node] >= 0

@@ -112,3 +112,26 @@ def test_numpy_isolation_forest_algorithm():
     assert (flagged >= 950).sum() >= 40  # most of the 50 planted outliers
     scores = m.score_samples(np.array([0.0, 10.0]))
     assert scores[0] > scores[1]  # center scores as more normal
+
+
+def test_iforest_searchsorted_fast_path_bit_identical_to_walk():
+    """1-D scoring via interval searchsorted must be BIT-identical to the
+    generic level-walk — the o4 oracle pins the flagged set's checksum, so
+    any float drift here breaks the correctness gate."""
+    import numpy as np
+
+    from dataforge_spark.operators.iforest_numpy import NumpyIsolationForest
+
+    rng = np.random.RandomState(7)
+    X = np.concatenate(
+        [rng.normal(0, 1, 20_000), rng.normal(50, 3, 500),
+         np.array([1e12, -1e12, 0.0, 0.0])]  # far points + exact duplicates
+    ).reshape(-1, 1)
+    m = NumpyIsolationForest(random_state=3).fit(X)
+    assert all(t.bounds is not None for t in m.trees)
+    fast_scores = m.score_samples(X)
+    fast_pred = m.predict(X)
+    for t in m.trees:  # disable the fast path -> generic walk
+        t.bounds = None
+    assert np.array_equal(fast_scores, m.score_samples(X))
+    assert np.array_equal(fast_pred, m.predict(X))
