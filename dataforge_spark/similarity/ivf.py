@@ -181,9 +181,14 @@ def write_ivf_index(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
         centroids, "_cvec",
     )
-    bucketed.write.mode("overwrite").partitionBy("_ivf_bucket").parquet(
-        f"{path}/vectors"
-    )
+    # Shuffle to one task per bucket before the partitioned write:
+    # without it every map task writes a sliver into every bucket dir
+    # (tasks x buckets small files — slow to list, slow to schedule).
+    # One parquet file per bucket stays read-parallel at scale because
+    # scans split on row groups (spark.sql.files.maxPartitionBytes).
+    bucketed.repartition(len(centroids), "_ivf_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("_ivf_bucket").parquet(f"{path}/vectors")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "bucket int, centroid array<double>",
