@@ -40,6 +40,7 @@ engine's other modules don't cover:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -137,6 +138,75 @@ def stratified_sample(
     return df.where(bucket < thr)
 
 
+# Bloom sizing for the oversized-eval contamination fallback: ~12 bits
+# per gram with 6 hash probes gives fpp ≈ 0.4%; the bitmap is capped at
+# 2^28 bits (32 MB broadcast) — past ~22M grams fpp degrades gracefully
+# and false positives only cost extra rows in the exact confirm join.
+_BLOOM_BITS_PER_ITEM = 12
+_BLOOM_MAX_BITS = 1 << 28
+_BLOOM_MIN_BITS = 1 << 16
+_BLOOM_HASHES = 6
+
+
+def _bloom_positions(gram: Column, m_bits: int) -> list[Column]:
+    """k int64 bit positions per gram — JVM codegen xxhash64, salted by
+    probe index (double-hashing via the seed column)."""
+    return [
+        F.pmod(F.xxhash64(gram, F.lit(i)), F.lit(m_bits)).cast("long")
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def _build_gram_bloom(eval_grams: DataFrame, m_bits: int):
+    """Distributed bloom build: every gram's k positions become
+    (word_index, bit) pairs, OR-aggregated per 64-bit word JVM-side
+    (``bit_or`` — partial map-side combine), and only the touched words
+    (≤ m/64 rows) reach the driver. Returns a broadcast numpy uint64
+    bitmap."""
+    import numpy as np
+
+    words = (
+        eval_grams.select(
+            F.explode(F.array(*_bloom_positions(F.col("g"), m_bits))).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    pdf = words.toPandas()
+    bm = np.zeros(m_bits // 64, dtype=np.uint64)
+    bm[pdf["w"].to_numpy(dtype=np.int64)] = (
+        pdf["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+    )
+    return eval_grams.sparkSession.sparkContext.broadcast(bm)
+
+
+def _bloom_might_contain(bitmap_bc, gram: Column, m_bits: int) -> Column:
+    """Arrow-vectorized membership test over the broadcast bitmap; the k
+    hash positions are computed JVM-side so Python only does numpy bit
+    lookups per batch."""
+    # fixed arity = _BLOOM_HASHES (pandas_udf can't infer varargs hints)
+    @F.pandas_udf("boolean")
+    def bloom_probe(
+        c0: pd.Series, c1: pd.Series, c2: pd.Series,
+        c3: pd.Series, c4: pd.Series, c5: pd.Series,
+    ) -> pd.Series:
+        import numpy as np
+
+        bm = bitmap_bc.value
+        ok = np.ones(len(c0), dtype=bool)
+        for s in (c0, c1, c2, c3, c4, c5):
+            p = s.to_numpy(dtype=np.int64)
+            hit = (bm[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1)
+            ok &= hit.astype(bool)
+        return pd.Series(ok)
+
+    return bloom_probe(*_bloom_positions(gram, m_bits))
+
+
 def contamination(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -156,9 +226,16 @@ def contamination(
     over-limit set never pays a full count) — BROADCAST: the corpus side
     is then a map-only explode into a broadcast hash join, never shuffled
     by gram, and the one real exchange is the per-doc partial-aggregated
-    count. A pathologically large eval set (many snapshots at once) falls
-    back to an unhinted join so AQE picks the strategy instead of forcing
-    a driver-OOM broadcast (same gate pattern as dedup/intercorpus).
+    count.
+
+    A pathologically large eval set (many snapshots at once) takes the
+    BLOOM fallback: a bitmap over eval gram hashes is built with a
+    JVM-side ``bit_or`` aggregation, broadcast (≤ 32 MB), and applied as
+    a map-only prefilter on corpus grams; only the surviving candidates
+    (true hits + ~0.4% false positives) travel into an exact semi-join,
+    so the full exploded corpus is never shuffled by gram at ANY eval
+    size and the result stays exact. The corpus is scanned twice in this
+    mode (per-doc gram counts; candidate confirm) — both map-side-partial.
     Docs with < n words have zero grams and are kept with n_grams = 0
     (explode_outer).
     """
@@ -173,18 +250,40 @@ def contamination(
         .localCheckpoint(eager=False)
     )
     small = eval_grams.limit(broadcast_grams + 1).count() <= broadcast_grams
-    right = F.broadcast(eval_grams) if small else eval_grams
     doc_grams = corpus.select(
         F.col(id_col).alias("id"),
         F.explode_outer(word_shingles(F.col(text_col), n)).alias("g"),
     )
-    joined = doc_grams.join(right, "g", "left")
-    return (
-        joined.groupBy("id")
-        .agg(
-            F.count(F.col("g")).alias("n_grams"),
-            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+    if small:
+        joined = doc_grams.join(F.broadcast(eval_grams), "g", "left")
+        return (
+            joined.groupBy("id")
+            .agg(
+                F.count(F.col("g")).alias("n_grams"),
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+            )
+            .withColumn("contaminated", F.col("n_hits") > 0)
         )
+    # Bloom fallback: exact count of the (over-gate) gram set is one cheap
+    # aggregate over the checkpointed grams; it sizes the bitmap.
+    n_eval = eval_grams.count()
+    m_bits = 1 << min(
+        _BLOOM_MAX_BITS.bit_length() - 1,
+        max(_BLOOM_MIN_BITS.bit_length() - 1,
+            (_BLOOM_BITS_PER_ITEM * n_eval).bit_length()),
+    )
+    bitmap_bc = _build_gram_bloom(eval_grams, m_bits)
+    per_doc = doc_grams.groupBy("id").agg(F.count(F.col("g")).alias("n_grams"))
+    cand = doc_grams.where(F.col("g").isNotNull()).where(
+        _bloom_might_contain(bitmap_bc, F.col("g"), m_bits)
+    )
+    hits = cand.join(eval_grams.select("g"), "g", "left_semi")
+    hit_counts = hits.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        per_doc.join(hit_counts, "id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint"))
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
 

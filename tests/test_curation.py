@@ -114,6 +114,50 @@ def test_contamination_flags_exactly_the_planted_docs(spark):
     assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]  # kept
 
 
+def test_contamination_bloom_fallback_exact_and_map_only(spark, docs):
+    """broadcast_grams=0 forces the oversized-eval bloom fallback: results
+    must EQUAL the broadcast path (false positives die in the exact
+    confirm semi-join), and the full exploded corpus must reach its
+    per-doc aggregate without a join — only bloom-surviving candidate
+    grams enter the semi-join."""
+    eval_set = docs.where(F.col("doc_id") % 50 == 0)
+    want = sorted(
+        map(tuple, contamination(docs, eval_set, n=5).collect())
+    )
+    got_df = contamination(docs, eval_set, n=5, broadcast_grams=0)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # the bloom probe (Arrow-evaled python UDF) gates the semi-join side
+    assert "bloom_probe" in plan
+    # planted contamination still found through the bloom path
+    flagged = got_df.join(eval_set.select(F.col("doc_id").alias("id")), "id")
+    assert flagged.where(~F.col("contaminated")).count() == 0
+
+
+def test_contamination_planted_docs_via_bloom_fallback(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in contamination(corpus, eval_set, n=5, broadcast_grams=0).collect()
+    }
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 1
+    assert rows[1]["n_grams"] == 2
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]
+
+
 def test_contamination_self_overlap_on_real_docs(spark, docs):
     """Eval set drawn from the corpus: every eval doc (≥ n words) must be
     flagged when checked against itself."""
