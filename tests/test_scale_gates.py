@@ -114,6 +114,113 @@ def test_numpy_isolation_forest_algorithm():
     assert scores[0] > scores[1]  # center scores as more normal
 
 
+def _timed(df) -> float:
+    import time
+
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def test_minhash_banding_bounded_under_90pct_hot_key(spark):
+    """90% of docs share one text → every band bucket for that text holds
+    0.9·N members. The max_bucket prune must keep the self-join bounded
+    (no 0.81·N² pair blow-up): wall-time stays within a small factor of
+    the uniform-key run and the prune is REPORTED, not silent."""
+    from dataforge_spark.dedup.minhash import minhash_dedup_pairs
+
+    n_docs = 20_000
+    base = spark.range(n_docs)
+    words = "w{} x{} y{} z{} p{} q{}"
+    uniform = base.select(
+        F.col("id").alias("doc_id"),
+        F.format_string(words, "id", "id", "id", "id", "id", "id").alias("text"),
+    )
+    hot = base.select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 < 9, F.lit("the same boilerplate text repeated here")
+        ).otherwise(
+            F.format_string(words, "id", "id", "id", "id", "id", "id")
+        ).alias("text"),
+    )
+    t_uniform = _timed(minhash_dedup_pairs(uniform, threshold=0.5))
+    stats: dict = {}
+    t_hot = _timed(minhash_dedup_pairs(hot, threshold=0.5, stats=stats))
+    # the degenerate 18k-member buckets were pruned and reported
+    assert stats["dropped_buckets"] >= 1
+    assert stats["dropped_members"] >= 10_000
+    assert t_hot < t_uniform * 6 + 5, (t_hot, t_uniform)
+
+
+def test_ordered_fill_bucketed_path_bounded_under_90pct_hot_key(spark, monkeypatch):
+    """90% of rows share one order value → they land in ONE literal
+    bucket, so a single window task sorts 90% of the data. At 100 TB the
+    cure is upstream (salting ties is semantically free: fill among equal
+    order keys is tie-ambiguous anyway); here we pin that the plan
+    completes within a small factor of the uniform-key run instead of
+    cliffing. Fast path is disabled to exercise the bucketed plan."""
+    from dataforge_spark.operators import missing_values
+
+    monkeypatch.setattr(missing_values, "FAST_FILL_MAX_BYTES", -1)
+    n = 2_000_000
+    base = spark.range(n).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id").cast("double")).alias("v"),
+    )
+    uniform = base.withColumn("k", F.col("id"))
+    hot = base.withColumn(
+        "k", F.when(F.col("id") % 10 < 9, F.lit(42)).otherwise(F.col("id"))
+    )
+    t_uniform = _timed(
+        missing_values.fix_missing_values(
+            uniform, "forward_fill", columns=["v"], order_col="k"
+        )
+    )
+    t_hot = _timed(
+        missing_values.fix_missing_values(
+            hot, "forward_fill", columns=["v"], order_col="k"
+        )
+    )
+    assert t_hot < t_uniform * 6 + 5, (t_hot, t_uniform)
+
+
+def test_per_query_topk_window_bounded_under_hot_query(spark):
+    """The per-query top-k row_number window (similarity/ivf.py
+    _probe_and_score tail): a hot query with a huge candidate set makes
+    one window partition giant. AQE + the rows-to-sort bound must keep
+    wall-time within a small factor of the uniform distribution on the
+    SAME total row count."""
+    from pyspark.sql import Window
+
+    n = 2_000_000
+    scored = spark.range(n).select(
+        F.col("id"),
+        (F.rand(seed=7)).alias("cos_sim"),
+    )
+    uniform = scored.withColumn("query_id", F.col("id") % 2000)
+    hot = scored.withColumn(
+        "query_id", F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 2000)
+    )
+
+    def topk(df):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("id")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= 10)
+            .drop("_rn")
+        )
+
+    t_uniform = _timed(topk(uniform))
+    t_hot = _timed(topk(hot))
+    assert t_hot < t_uniform * 6 + 5, (t_hot, t_uniform)
+    # correctness under skew: the hot query still returns exactly k rows
+    assert topk(hot).where(F.col("query_id") == 0).count() == 10
+
+
 def test_iforest_searchsorted_fast_path_bit_identical_to_walk():
     """1-D scoring via interval searchsorted must be BIT-identical to the
     generic level-walk — the o4 oracle pins the flagged set's checksum, so
