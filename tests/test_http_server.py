@@ -207,3 +207,17 @@ def test_missing_value_chart_report_and_svg_nodes(server):
                  'id="chart-svg"', "renderPreview", "sample_data",
                  'id="preview-rows"'):
         assert node in html, f"frontend chart/preview machinery missing: {node}"
+
+
+def test_client_side_pre_upload_preview_wired(server):
+    """Round-5 UI parity (reference frontend/index.html:8 bundles
+    PapaParse for a pre-upload preview): the served UI must carry the
+    zero-dependency client-side preview — File.slice + quote-aware CSV
+    chunk parser — and call it from BOTH file pickers (change + drop)
+    before the upload round-trips."""
+    r, body = _get(server, "/ui")
+    html = body.decode()
+    for node in ("localCsvPreview", "parseCsvChunk", ".slice(0, 16384)",
+                 'id="preview-note"', "renderPreviewTable"):
+        assert node in html, f"pre-upload preview machinery missing: {node}"
+    assert html.count("localCsvPreview(f)") == 2  # change + drop handlers
