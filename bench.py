@@ -160,6 +160,135 @@ def crossover_bench(spark, n_rows: int) -> dict:
     }
 
 
+# sf1 correctness spot rows: one per operator family with a non-trivial
+# plan. Results are compared as engine-side FOLDS (see _sf1_fold_check) —
+# the full row-by-row gate runs at sf0.01 where fetch cost is trivial.
+SF1_SPOT_QUERIES = [
+    "m8_m9_ordered_fill",
+    "o6_o7_outlier_actions",
+    "dedup_minhash_verified",
+    "pipeline_e2e",
+    "sessionize_native",
+    "curation_split",
+    "t234_auto_convert",
+]
+
+_DUCK_NUM = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "FLOAT", "REAL", "DOUBLE", "DECIMAL"}
+_SPARK_NUM = {"tinyint", "smallint", "int", "bigint", "long",
+              "float", "double", "decimal"}
+
+
+def _sf1_fold_check(spark, con, qfn, sql, sf1_dir) -> dict:
+    """Order-independent engine-side reduction of a query result, computed
+    by Spark on the DataFrame and by DuckDB on the oracle SQL: row count,
+    per-numeric-column sum of CAST(round(c*1000) AS BIGINT) (exact integer
+    arithmetic — no float-order drift), per-string-column length sum +
+    distinct count, booleans as 0/1 sums, anything else as a distinct
+    count. Catches wrong rows/values/cardinalities without fetching
+    millions of rows through Python."""
+    from pyspark.sql import functions as F
+
+    df = qfn(spark, sf1_dir)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    duck_parts = ["CAST(count(*) AS BIGINT) AS n"]
+    for c, t in df.dtypes:
+        base = t.split("(")[0]
+        qc = f'"{c}"'
+        if base in _SPARK_NUM:
+            aggs.append(
+                F.sum(F.round(F.col(c).cast("double") * 1000).cast("long"))
+                .alias(f"s_{c}")
+            )
+            duck_parts.append(
+                f'sum(CAST(round(CAST({qc} AS DOUBLE)*1000) AS BIGINT)) AS "s_{c}"'
+            )
+        elif base == "string":
+            aggs.append(F.sum(F.length(F.col(c)).cast("long")).alias(f"l_{c}"))
+            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"d_{c}"))
+            duck_parts.append(f'sum(CAST(length({qc}) AS BIGINT)) AS "l_{c}"')
+            duck_parts.append(f'CAST(count(DISTINCT {qc}) AS BIGINT) AS "d_{c}"')
+        elif base == "boolean":
+            aggs.append(
+                F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long").alias(f"s_{c}")
+            )
+            duck_parts.append(
+                f'sum(CASE WHEN {qc} THEN 1 ELSE 0 END) AS "s_{c}"'
+            )
+        else:
+            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"d_{c}"))
+            duck_parts.append(f'CAST(count(DISTINCT {qc}) AS BIGINT) AS "d_{c}"')
+    got = {k: (None if v is None else int(v))
+           for k, v in df.agg(*aggs).collect()[0].asDict().items()}
+    duck_sql = f"SELECT {', '.join(duck_parts)} FROM ({sql}) __q"
+    row = con.execute(duck_sql).fetchone()
+    cols = [d[0] for d in con.description]
+    want = {k: (None if v is None else int(v)) for k, v in zip(cols, row)}
+    return {
+        "match": got == want,
+        "spark": got,
+        "oracle": want,
+    }
+
+
+def sf1_block(spark, sf1_dir: str) -> dict:
+    """The sf1 (10x sf0.1) gate: full headline bench spark-vs-pandas at
+    the scale where BASELINE.md's crossover shows engine design matters,
+    plus fold-compared correctness spot rows."""
+    import subprocess
+
+    import duckdb
+
+    qs = dict(entry.queries())
+    qs["s4_profile_approx"] = _s4_profile_approx
+    # prewarm the sf1 read paths + stream input copies
+    entry._events(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+    entry.prewarm_stream_inputs(spark, sf1_dir)
+    _, ivf_build = entry.build_ivf_disk_index(spark, sf1_dir)
+
+    spark_sec: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _noop(qs[name](spark, sf1_dir))
+        spark_sec[name] = round(time.time() - t0, 3)
+
+    pandas_sec: dict[str, float] = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "tools", "pandas_baseline.py"), sf1_dir],
+            capture_output=True, text=True, timeout=1800,
+        )
+        pandas_sec = json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
+    except Exception as e:  # baseline failure shouldn't kill the bench
+        pandas_sec = {"error": str(e)}  # type: ignore[assignment]
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf1_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    oracles = entry.oracle_sql()
+    correctness: dict[str, dict] = {}
+    for name in SF1_SPOT_QUERIES:
+        try:
+            correctness[name] = _sf1_fold_check(
+                spark, con, qs[name], oracles[name], sf1_dir
+            )
+        except Exception as e:
+            correctness[name] = {"match": False, "error": str(e)}
+
+    return {
+        "dir": sf1_dir,
+        "runs_per_query": 1,
+        "ivf_index_build_sec": ivf_build,
+        "spark_sec": spark_sec,
+        "pandas_sec": pandas_sec,
+        "correctness": correctness,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -242,6 +371,13 @@ def main() -> None:
     xbig = int(os.environ.get("SPARK_GRAFT_XROWS_BIG", "60000000"))
     if xbig > 0:
         out["crossover_60m"] = crossover_bench(spark, xbig)
+    # sf1 gate (10x sf0.1, generated+cached by tools/make_sf1.py):
+    # the primary scale point — per-query spark-vs-pandas pairs and
+    # fold-compared correctness spot rows. SPARK_GRAFT_SF1=0 to skip.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
+        from tools.make_sf1 import ensure_sf1
+
+        out["sf1"] = sf1_block(spark, ensure_sf1(spark, sf_dir))
     print(json.dumps(out), flush=True)
 
 

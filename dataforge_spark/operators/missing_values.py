@@ -136,9 +136,8 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     propagated through the optimized plan, NO job. ``None`` (→ caller must
     assume big) if the internal surface moves."""
     try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().longValue()
-        )
+        # py4j auto-converts the scala BigInt to a Python int
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return None
 
@@ -219,11 +218,21 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
         pick = lambda c: F.last(qcol(c), ignorenulls=True).over(local_w)  # noqa: E731
         edge_agg = lambda c: F.max_by(qcol(c), F.when(qcol(c).isNotNull(), qcol(order_col)))  # noqa: E731
     else:
+        # bfill = DESC order + a RUNNING frame, NOT ASC + (currentRow,
+        # unboundedFollowing): Spark's UnboundedFollowingWindowFunctionFrame
+        # re-evaluates the aggregate from scratch per row — O(rows²) per
+        # window partition (measured: 1M rows in one bucket never finishes;
+        # ~100 s spread across 32 buckets at sf1). The running DESC frame is
+        # incremental O(rows) and selects the same value: last non-null
+        # at-or-before current in DESC order == first non-null at-or-after
+        # current in ASC order. (For TIED order keys either formulation
+        # picks an arbitrary tie member — order among ties is not part of
+        # the contract.)
         local_w = (
-            Window.partitionBy("_bucket").orderBy(F.asc(order_col))
-            .rowsBetween(0, Window.unboundedFollowing)
+            Window.partitionBy("_bucket").orderBy(F.desc(order_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: F.first(qcol(c), ignorenulls=True).over(local_w)  # noqa: E731
+        pick = lambda c: F.last(qcol(c), ignorenulls=True).over(local_w)  # noqa: E731
         edge_agg = lambda c: F.min_by(qcol(c), F.when(qcol(c).isNotNull(), qcol(order_col)))  # noqa: E731
 
     filled = dfp.select(
@@ -255,11 +264,13 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
         )
         carry_pick = lambda c: F.last(qcol(c), ignorenulls=True).over(carry_w)  # noqa: E731
     else:
+        # same running-frame-in-DESC trick as the bucket window (the edges
+        # frame is tiny, but no reason to keep the O(n²) frame shape)
         carry_w = (
-            Window.orderBy("_bucket")
-            .rowsBetween(1, Window.unboundedFollowing)
+            Window.orderBy(F.desc("_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        carry_pick = lambda c: F.first(qcol(c), ignorenulls=True).over(carry_w)  # noqa: E731
+        carry_pick = lambda c: F.last(qcol(c), ignorenulls=True).over(carry_w)  # noqa: E731
     carry_df = edges.select(
         "_bucket", *[carry_pick(c).alias(f"_c_{c}") for c in cols]
     )

@@ -120,6 +120,9 @@ def test_ordered_fill_fast_and_bucketed_paths_agree(spark, monkeypatch):
         }
     )
     sdf = spark.createDataFrame(pdf).repartition(8)
+    # the gate must actually fire: a known (non-None) small estimate
+    est = missing_values._plan_size_bytes(sdf)
+    assert est is not None and est <= missing_values.FAST_FILL_MAX_BYTES
 
     def run(direction):
         out = missing_values.fix_missing_values(
