@@ -221,6 +221,35 @@ def test_per_query_topk_window_bounded_under_hot_query(spark):
     assert topk(hot).where(F.col("query_id") == 0).count() == 10
 
 
+def test_bfill_single_bucket_is_linear_not_quadratic(spark, monkeypatch):
+    """Regression gate for the round-5 scale-killer: backward fill
+    expressed as first_value over (currentRow, unboundedFollowing) makes
+    Spark re-evaluate the aggregate per row — O(rows²) per window
+    partition (500k rows in one bucket ran for MINUTES). The DESC-ordered
+    running-frame formulation must stay linear: one 500k-row bucket
+    completes in seconds."""
+    import time
+
+    from dataforge_spark.operators import missing_values
+
+    n = 500_000
+    df = spark.range(n).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id").cast("double")).alias("v"),
+    ).coalesce(1)
+    t0 = time.time()
+    out = missing_values.fix_missing_values(
+        df, "backward_fill", columns=["v"], order_col="id"
+    )
+    out.write.format("noop").mode("overwrite").save()
+    took = time.time() - t0
+    assert took < 60, f"single-bucket bfill took {took:.0f}s — quadratic frame?"
+    # spot semantic check: id=0 (null) backfills from id=1
+    row = out.where(F.col("id") == 0).collect()[0]
+    assert row["v"] == 1.0
+
+
 def test_iforest_searchsorted_fast_path_bit_identical_to_walk():
     """1-D scoring via interval searchsorted must be BIT-identical to the
     generic level-walk — the o4 oracle pins the flagged set's checksum, so
