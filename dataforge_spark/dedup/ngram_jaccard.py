@@ -14,12 +14,50 @@ generation at corpus scale.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Java-regex parity: Spark's split(col, "\\s+") uses Java \s = ASCII
+# [ \t\n\x0B\f\r]; Python must NOT use its default Unicode \s here.
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of ``col`` (array<string>); [] when < n words.
+    """Distinct word n-grams of ``col`` (array<string>); [] when < n
+    words or NULL input.
+
+    Arrow-batched pandas UDF, not the transform/slice/concat_ws
+    higher-order-function formulation (kept as ``word_shingles_hof``):
+    Spark HOFs are interpreted per element, and on 50k real documents the
+    HOF explode measured 21 s vs 3 s for the Arrow batch — the same
+    reason minhash_signatures avoids HOF transforms. Semantics replicate
+    the HOF exactly (differential test pins it): F.trim strips spaces
+    only, Java-ASCII whitespace split keeping leading/trailing empty
+    tokens, first-occurrence-order distinct.
+    """
+    @F.pandas_udf("array<string>")
+    def shingles(s: pd.Series) -> pd.Series:
+        def sh(t):
+            if t is None:
+                return []
+            toks = _WS_ASCII.split(t.strip(" "))
+            if len(toks) < n:
+                return []
+            return list(dict.fromkeys(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            ))
+        return s.map(sh)
+
+    return shingles(col)
+
+
+def word_shingles_hof(col: Column, n: int = 3) -> Column:
+    """Pure-expression formulation of ``word_shingles`` — interpreted
+    (HOFs don't codegen) and ~7x slower on real documents, retained as
+    the semantic reference the UDF is differentially tested against.
 
     Guarded with ``when(size >= n)`` because ``sequence(0, -1)`` in Spark
     auto-descends to [0, -1] (never empty) and ``slice(toks, 0, n)`` then

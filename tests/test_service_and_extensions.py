@@ -124,6 +124,34 @@ def test_word_shingles_short_doc(spark):
     assert rows[1]["s"] == ["a b c", "b c d"]
 
 
+def test_word_shingles_udf_matches_hof_reference(spark):
+    """The Arrow-batched shingle UDF must be semantically identical to
+    the pure-expression HOF it replaced — including Java-ASCII whitespace
+    (NOT Python's Unicode \\s: NBSP is a word char to Java), space-only
+    trim, leading/trailing empty tokens, repeated-shingle dedup order,
+    NULL -> []."""
+    from dataforge_spark.dedup.ngram_jaccard import word_shingles_hof
+
+    rows = [
+        ("plain one two three four five",),
+        ("tabs\tand\nnewlines split  runs   collapse",),
+        ("\tleading tab keeps empty token a b",),
+        ("trailing tab a b c\t",),
+        ("nbsp is not a separator here ok",),
+        ("dup dup dup dup dup dup",),
+        ("  spaces trimmed a b c  ",),
+        ("", ),
+        (None,),
+        ("two words",),
+    ]
+    df = spark.createDataFrame(rows, "t: string")
+    for n in (2, 3, 5):
+        got = df.select(word_shingles(F.col("t"), n).alias("s")).collect()
+        want = df.select(word_shingles_hof(F.col("t"), n).alias("s")).collect()
+        for g, w, src in zip(got, want, rows):
+            assert g["s"] == w["s"], (n, src)
+
+
 def test_modes_numeric_tie_breaks_numerically(spark):
     # ties between 9 and 10: string order picks '10', numeric order picks 9
     df = spark.createDataFrame([(9.0,), (9.0,), (10.0,), (10.0,)], "x: double")
