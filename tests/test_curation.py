@@ -239,6 +239,49 @@ def test_repetition_metrics_flags_templated_text(spark):
     assert rows[3]["n_ngrams"] == 0 and rows[3]["rep_top_frac"] == 0.0
 
 
+def test_stopword_regex_matches_token_filter_reference(spark):
+    """stopword_hits' lookaround regexp_count must count exactly the
+    whitespace-delimited tokens the old F.filter+isin formulation
+    counted: punctuation-attached words don't hit, substrings don't hit,
+    multiplicity counts, case-insensitive, NBSP is not a delimiter."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.functions.text_analysis import (
+        STOPWORDS, stopword_hits, tokens,
+    )
+
+    rows = [
+        (1, "the cat and the hat"),          # 'the' x2, 'and' x1
+        (2, "The THE the,"),                 # case folds; 'the,' is no hit
+        (3, "weather lather bandit"),        # substrings never hit
+        (4, "the\tand\nof to"),              # tab/newline delimit
+        (5, "the cat"),                 # NBSP glues: zero hits
+        (6, ""),
+        (7, None),
+        (8, "  the  "),                      # leading/trailing spaces
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    def reference(col, lang):  # the pre-round-5 interpreted formulation
+        return F.size(F.filter(tokens(F.lower(col)), lambda x: x.isin(STOPWORDS[lang])))
+
+    for lang in STOPWORDS:
+        got = {r["id"]: r["h"] for r in df.select(
+            "id", stopword_hits(F.col("text"), lang).alias("h")).collect()}
+        want = {r["id"]: r["h"] for r in df.select(
+            "id", reference(F.col("text"), lang).alias("h")).collect()}
+        # NULL text: new form yields NULL where old yielded -1; both are
+        # masked by every caller — normalize for the comparison
+        norm = lambda v: None if v in (None, -1) else v  # noqa: E731
+        assert {k: norm(v) for k, v in got.items()} == \
+               {k: norm(v) for k, v in want.items()}, lang
+    # spot values
+    en = {r["id"]: r["h"] for r in df.select(
+        "id", stopword_hits(F.col("text"), "en").alias("h")).collect()}
+    assert en[1] == 3 and en[2] == 2 and en[3] == 0 and en[4] == 4
+    assert en[5] == 0 and en[6] == 0 and en[8] == 1
+
+
 def test_compression_ratio_orders_redundancy(spark):
     """Repetitive text must compress well below natural-ish prose, and
     high-entropy text must barely compress; NULL/empty stay NULL."""
