@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.text_analysis import token_count
-from .dedup.ngram_jaccard import word_shingles
+from .dedup.ngram_jaccard import shingles_for
 
 # Bucket space for hash splits: md5's first 8 hex digits give 32 uniform
 # bits; mod 1e6 keeps fraction resolution at 1e-6 while staying exactly
@@ -240,7 +240,7 @@ def contamination(
     (explode_outer).
     """
     eval_grams = (
-        eval_set.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        eval_set.select(F.explode(shingles_for(eval_set, F.col(text_col), n)).alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
         # lazy localCheckpoint: the gate count below materializes the
@@ -252,7 +252,7 @@ def contamination(
     small = eval_grams.limit(broadcast_grams + 1).count() <= broadcast_grams
     doc_grams = corpus.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(word_shingles(F.col(text_col), n)).alias("g"),
+        F.explode_outer(shingles_for(corpus, F.col(text_col), n)).alias("g"),
     )
     if small:
         joined = doc_grams.join(F.broadcast(eval_grams), "g", "left")

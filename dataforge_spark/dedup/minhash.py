@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ngram_jaccard import word_shingles
+from .ngram_jaccard import shingles_for
 
 # Fixed seeds: deterministic across runs/partitionings (NOT Python's
 # hash() — Spark's xxhash64 is stable and seedable).
@@ -51,9 +51,10 @@ def minhash_signatures(
     # aggregates — 16 s; this formulation — see BENCH.)
     from ..partitioning import ensure_parallelism
 
-    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+    base = ensure_parallelism(df.select(id_col, text_col))
+    sh = base.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+        F.explode(shingles_for(base, F.col(text_col), n)).alias("s"),
     ).select("id", F.xxhash64("s").alias("h"))
     mins = sh.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_perm)]
@@ -151,9 +152,10 @@ def minhash_dedup_pairs(
 
     from ..partitioning import ensure_parallelism
 
-    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+    vbase = ensure_parallelism(df.select(id_col, text_col))
+    sh = vbase.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
+        shingles_for(vbase, F.col(text_col), n).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -54,6 +54,24 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return shingles(col)
 
 
+# Below this many documents the interpreted HOF beats the Arrow UDF
+# (Python-worker startup + Arrow transfer dominate at a few thousand
+# docs; the UDF wins ~7x from tens of thousands up). A bounded
+# limit-count decides — Catalyst's size estimate is compressed bytes,
+# a poor proxy for per-doc CPU work on text.
+UDF_MIN_DOCS = 20_000
+
+
+def shingles_for(df: DataFrame, col: Column, n: int = 3) -> Column:
+    """Size-adaptive shingles: the Arrow UDF for frames past
+    ``UDF_MIN_DOCS`` rows, the codegen HOF below. The gate is a
+    ``limit(n+1).count()`` so a huge frame never pays a full count.
+    Both implementations produce identical arrays (differential test),
+    so callers may switch freely."""
+    small = df.limit(UDF_MIN_DOCS + 1).count() <= UDF_MIN_DOCS
+    return word_shingles_hof(col, n) if small else word_shingles(col, n)
+
+
 def word_shingles_hof(col: Column, n: int = 3) -> Column:
     """Pure-expression formulation of ``word_shingles`` — interpreted
     (HOFs don't codegen) and ~7x slower on real documents, retained as
@@ -87,9 +105,10 @@ def jaccard_pairs(
     (id_a < id_b), jaccard rounded to 6dp."""
     from ..partitioning import ensure_parallelism
 
-    sh = (
-        ensure_parallelism(df.select(id_col, text_col))
-        .select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    base = ensure_parallelism(df.select(id_col, text_col))
+    sh = base.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_for(base, F.col(text_col), n)).alias("s"),
     )
     if max_df is not None:
         # Unhinted anti-join: the hot-shingle set is the head of the

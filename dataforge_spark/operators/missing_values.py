@@ -132,14 +132,9 @@ FAST_FILL_MAX_BYTES = 512 * 1024 * 1024
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's estimated byte size of the frame — parquet footer stats
-    propagated through the optimized plan, NO job. ``None`` (→ caller must
-    assume big) if the internal surface moves."""
-    try:
-        # py4j auto-converts the scala BigInt to a Python int
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return None
+    from ..partitioning import plan_size_bytes
+
+    return plan_size_bytes(df)
 
 
 def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str) -> DataFrame:

@@ -25,6 +25,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated byte size of the frame — parquet footer stats
+    propagated through the optimized plan, NO job. ``None`` (→ caller
+    must assume big) if the internal surface moves. py4j already converts
+    the scala BigInt to a Python int."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     """Rebalance an under-partitioned input to cluster parallelism before
     CPU-bound per-row work (shingling, hashing, Arrow matmuls).
