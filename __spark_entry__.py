@@ -36,6 +36,7 @@ from dataforge_spark.dedup.components import connected_components
 from dataforge_spark.dedup.minhash import minhash_dedup_pairs
 from dataforge_spark.dedup.ngram_jaccard import jaccard_pairs
 from dataforge_spark.dedup.simhash import simhash_pairs
+from dataforge_spark.dedup.spans import span_dedup
 from dataforge_spark.functions.text_analysis import (
     fingerprint,
     language_id,
@@ -684,8 +685,34 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b")
 
 
-def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_exact(_docs_with_dups(spark, sf_dir), text_col="text", id_col="doc_id")
+def q_dedup_exact_intercorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two digest-keyed exact-dedup shapes (slot
+    freed round 5 for span dedup): WITHIN-corpus keep-first
+    (dedup/exact.py) on the duplicated-docs frame, and INTER-corpus
+    anti-join (dedup/intercorpus.py) of documents against a reference
+    snapshot (every 5th doc). Only md5 digests shuffle in either leg."""
+    from dataforge_spark.dedup.intercorpus import intercorpus_dedup
+
+    a = dedup_exact(
+        _docs_with_dups(spark, sf_dir), text_col="text", id_col="doc_id"
+    ).select(F.lit("exact").alias("variant"), "doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 5 == 0).select(F.col("text").alias("rtext"))
+    b = intercorpus_dedup(docs, ref, text_col="text", ref_text_col="rtext").select(
+        F.lit("intercorpus").alias("variant"), "doc_id", "text"
+    )
+    return a.unionByName(b)
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style span-level exact dedup (dedup/spans.py): every
+    repeated 5-word span across the corpus removed except its first
+    (doc_id, span_idx) occurrence, documents rebuilt from surviving
+    spans. ~6% of this corpus's spans are global repeats, so the row is
+    a real removal, not a pass-through."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = span_dedup(docs, text_col="text", id_col="doc_id", span_words=5)
+    return out.select("doc_id", "text", "n_spans_kept")
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,35 +885,27 @@ def q_sim_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             id_col="vec_id", vec_col="embedding")
 
 
-def q_dedup_intercorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-corpus exact dedup (dedup/intercorpus.py): the documents
-    "crawl" deduped against a reference snapshot (every 5th doc). Only
-    md5 digests travel to the anti-join; bodies never shuffle by digest.
-    The small reference takes the broadcast path (limit-gated)."""
-    from dataforge_spark.dedup.intercorpus import intercorpus_dedup
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed sliding-window aggregation (streaming.sliding_counts): 1 h
+    windows sliding every 30 min per event_type over the events STREAM —
+    each event lands in two overlapping windows, maintained by the
+    streaming state store behind a 2 h watermark. Drained with a
+    complete-mode memory sink (aggregate streams can't append until the
+    watermark closes a window)."""
+    from dataforge_spark.streaming import run_aggregate_to_memory, sliding_counts
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ref = docs.where(F.col("doc_id") % 5 == 0).select(F.col("text").alias("rtext"))
-    return intercorpus_dedup(docs, ref, text_col="text", ref_text_col="rtext")
-
-
-def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in ``session_window`` sessionization on the batch events
-    frame (streaming.sessionize_native) — the pure-JVM twin of the
-    stateful ``stream_sessionize`` row. Native window end is EXCLUSIVE
-    (last event + gap) and an exactly-gap-sized quiet period starts a new
-    session (strict <), both encoded in the oracle."""
     _utc(spark)
-    from dataforge_spark.streaming import sessionize_native
-
-    ev = _events(spark, sf_dir).select("user_id", "ts")
-    out = sessionize_native(ev, user_col="user_id", ts_col="ts", gap_minutes=30)
-    return out.select(
-        "user_id",
-        F.col("session_id").cast("bigint").alias("session_id"),
+    ev = _events(spark, sf_dir)
+    path = _stream_input_path(spark, sf_dir, "ev", lambda: ev)
+    stream = read_events_stream(spark, path, ev.schema)
+    agg = sliding_counts(stream, ts_col="ts", key_col="event_type",
+                         window="1 hour", slide="30 minutes", watermark="2 hours")
+    got = run_aggregate_to_memory(agg)
+    return got.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        F.round("sum_value", 4).alias("sum_value"),
     )
 
 
@@ -1042,8 +1061,13 @@ def q_stream_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState)."""
-    from dataforge_spark.streaming import sessionize_stream
+    """Both sessionizers as one tagged union (slot freed round 5 for the
+    sliding-window row): the custom stateful streaming operator
+    (applyInPandasWithState) and the built-in ``session_window`` batch
+    twin (pure JVM). Pinned semantic differences live in the oracle:
+    native end is EXCLUSIVE (last event + gap) and an exactly-gap quiet
+    period starts a new session there (strict <)."""
+    from dataforge_spark.streaming import sessionize_native, sessionize_stream
 
     _utc(spark)
     ev = _events(spark, sf_dir)
@@ -1052,11 +1076,17 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(stream, user_col="user_id", ts_col="ts",
                                  gap_minutes=30)
     got = run_to_memory(sessions)
-    return got.select(
-        "user_id", "session_id", "n_events",
+    sel = lambda d, v: d.select(  # noqa: E731
+        F.lit(v).alias("variant"), "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
     )
+    native = sessionize_native(
+        ev.select("user_id", "ts"), user_col="user_id", ts_col="ts", gap_minutes=30
+    )
+    return sel(got, "stateful").unionByName(sel(native, "native"))
 
 
 def q_boundary_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,9 +1229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     spent them on the previously pytest-only components: intercorpus
     dedup, native sessionize, isolation forest."""
     return {
-        # --- round-4 new driver rows first ---
-        "dedup_intercorpus": q_dedup_intercorpus,
-        "sessionize_native": q_sessionize_native,
+        # --- round-5 new driver rows first (slots freed by merging the
+        # exact/intercorpus dedup legs and the two sessionizers) ---
+        "dedup_spans": q_dedup_spans,
+        "stream_window_agg": q_stream_window_agg,
+        # --- round-4 driver rows ---
+        "dedup_exact_intercorpus": q_dedup_exact_intercorpus,
         "o4_isolation_forest": q_o4_isolation_forest,
         "sim_ivf_disk_topk": q_sim_ivf_disk_topk,
         # --- round-2/3 queries ---
@@ -1249,7 +1282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n1_n5_standard_roundtrip": q_n1_n5_standard_roundtrip,
         "n2_n3_n4_scale": q_n2_n3_n4_scale,
         "n6_scaling_stats": q_n6_scaling_stats,
-        "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
     }
@@ -1689,8 +1721,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, min(r) AS component FROM reach GROUP BY id
     """
 
-    sql["dedup_exact_docs"] = """
-        SELECT doc_id, text FROM documents
+    # exact leg: the duplicated copies (doc_id+100000 of every 5th doc)
+    # all lose keep-min-id, so the survivors are exactly `documents`;
+    # intercorpus leg: anti-join against the every-5th-doc snapshot.
+    sql["dedup_exact_intercorpus"] = """
+        SELECT 'exact' AS variant, doc_id, text FROM documents
+        UNION ALL
+        SELECT 'intercorpus' AS variant, d.doc_id, d.text
+        FROM documents d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM documents r
+          WHERE r.doc_id % 5 = 0 AND r.text = d.text
+        )
+    """
+
+    # Span-level exact dedup: consecutive 5-word spans, first global
+    # (doc_id, span_idx) occurrence survives, documents rebuilt from
+    # surviving spans (single-space joined; fully-deduped docs -> '').
+    sql["dedup_spans"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        spans AS (
+          SELECT doc_id, i AS span_idx,
+                 array_to_string(w[(i*5+1):(i*5+5)], ' ') AS span
+          FROM toks, UNNEST(generate_series(
+                 0, CAST(ceil(len(w)/5.0) AS BIGINT) - 1)) AS u(i)
+        ),
+        kept AS (
+          SELECT doc_id, span_idx, span, row_number() OVER (
+                   PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM spans
+        )
+        SELECT t.doc_id,
+               coalesce(string_agg(k.span, ' ' ORDER BY k.span_idx), '') AS text,
+               CAST(count(k.span) AS BIGINT) AS n_spans_kept
+        FROM toks t LEFT JOIN (SELECT * FROM kept WHERE rn = 1) k
+          ON t.doc_id = k.doc_id
+        GROUP BY t.doc_id
     """
 
     sql["dedup_jaccard_pairs"] = r"""
@@ -2078,12 +2147,20 @@ def oracle_sql() -> dict[str, str]:
     # gaps-and-islands oracle for the stateful sessionizer (30-min gap);
     # timestamps truncated to micros on the Spark side, so compare at
     # second precision via strftime
+    # Tagged union of the two sessionizers. Native session_window
+    # semantics differ from the stateful operator in two pinned ways: a
+    # quiet period of EXACTLY the gap starts a new session (strict <,
+    # hence >= in brk), and the emitted end is exclusive (last event +
+    # gap).
     sql["stream_sessionize"] = """
         WITH g AS (
           SELECT user_id, ts,
             CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                 THEN 1 ELSE 0 END AS brk
+                 THEN 1 ELSE 0 END AS brk,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk_n
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ),
@@ -2091,39 +2168,40 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, ts,
             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS session_id
+                 AS BIGINT) AS session_id,
+            CAST(sum(brk_n) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id_n
           FROM g
         )
-        SELECT user_id, session_id, count(*) AS n_events,
+        SELECT 'stateful' AS variant, user_id, session_id,
+          count(*) AS n_events,
           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end
         FROM s GROUP BY user_id, session_id
-    """
-
-    # Native session_window semantics differ from the stateful operator in
-    # two pinned ways: a quiet period of EXACTLY the gap starts a new
-    # session (strict <, hence >= in brk), and the emitted end is
-    # exclusive (last event + gap).
-    sql["sessionize_native"] = """
-        WITH g AS (
-          SELECT user_id, ts,
-            CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                 THEN 1 ELSE 0 END AS brk
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ),
-        s AS (
-          SELECT user_id, ts,
-            CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS session_id
-          FROM g
-        )
-        SELECT user_id, session_id, count(*) AS n_events,
+        UNION ALL
+        SELECT 'native' AS variant, user_id, session_id_n AS session_id,
+          count(*) AS n_events,
           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end
-        FROM s GROUP BY user_id, session_id
+        FROM s GROUP BY user_id, session_id_n
+    """
+
+    # Sliding windows in plain SQL: each event belongs to window starts
+    # {30-min-grid-floor(ts) - k*30min : k in 0..1} for the 1h/30min
+    # window/slide pair (window start is naive-UTC epoch-aligned, same
+    # as Spark's window() on a UTC session).
+    sql["stream_window_agg"] = """
+        WITH wins AS (
+          SELECT event_type, value,
+            make_timestamp((CAST(floor(epoch(ts)/1800) AS BIGINT)*1800
+                            - k*1800) * 1000000) AS w_start
+          FROM events, UNNEST([0, 1]) AS u(k)
+        )
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+          event_type, count(*) AS n_events,
+          round(sum(value), 4) AS sum_value
+        FROM wins GROUP BY 1, 2
     """
 
     # Deterministic model output (seeded RNG + sorted fit values → the
@@ -2134,15 +2212,6 @@ def oracle_sql() -> dict[str, str]:
     sql["o4_isolation_forest"] = """
         SELECT CAST(9001 AS BIGINT) AS n_kept,
                CAST(44965329 AS BIGINT) AS kept_id_sum
-    """
-
-    sql["dedup_intercorpus"] = """
-        SELECT d.doc_id, d.text
-        FROM documents d
-        WHERE NOT EXISTS (
-          SELECT 1 FROM documents r
-          WHERE r.doc_id % 5 = 0 AND r.text = d.text
-        )
     """
 
     sql["pipeline_e2e"] = f"""

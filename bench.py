@@ -51,7 +51,8 @@ BENCH_QUERIES = [
     "e2_onehot_encode",
     "y1_common_typos",
     "n1_n5_standard_roundtrip",
-    "dedup_exact_docs",
+    "dedup_exact_intercorpus",
+    "dedup_spans",
     "dedup_minhash_verified",
     "dedup_jaccard_pairs",
     "sim_cosine_topk",
@@ -64,9 +65,8 @@ BENCH_QUERIES = [
     "curation_split",
     "curation_contamination",
     "curation_pack",
-    # round-4 driver rows
-    "dedup_intercorpus",
-    "sessionize_native",
+    # round-4/5 driver rows
+    "stream_window_agg",
     "o4_isolation_forest",
     "sim_ivf_disk_topk",
 ]
@@ -168,7 +168,8 @@ SF1_SPOT_QUERIES = [
     "o6_o7_outlier_actions",
     "dedup_minhash_verified",
     "pipeline_e2e",
-    "sessionize_native",
+    "stream_sessionize",
+    "dedup_spans",
     "curation_split",
     "t234_auto_convert",
 ]

@@ -76,6 +76,41 @@ def profile_stream(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Keyed SLIDING-window aggregation — the rate/trend monitor shape
+    (``window(ts, window, slide)``): each event lands in
+    ``window/slide`` overlapping windows, all maintained incrementally
+    by the streaming aggregation state store and evicted once the
+    watermark passes the window end. Works identically on batch frames
+    (Spark expands the same window buckets). Tumbling windows are the
+    ``slide == window`` special case (see ``profile_stream``); the
+    overlap is what the built-in operator gives that a GROUP BY
+    date_trunc cannot."""
+    v = F.col(value_col)
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_id bigint, n_events bigint, "
     "session_start timestamp, session_end timestamp"

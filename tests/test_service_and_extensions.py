@@ -345,6 +345,62 @@ def test_sessionize_native_streaming_mode(spark, tmp_path, events):
     assert got.agg({"n_events": "sum"}).collect()[0][0] == events.count()
 
 
+def test_sliding_counts_batch_matches_manual_expansion(spark, events):
+    """Each event belongs to exactly window/slide = 2 overlapping 1 h
+    windows on the 30-min grid; the manual two-shift expansion is the
+    closed form."""
+    from dataforge_spark.streaming import sliding_counts
+
+    got = sliding_counts(events, ts_col="ts", key_col="event_type",
+                         window="1 hour", slide="30 minutes")
+    grid = (F.floor(F.unix_timestamp("ts") / 1800) * 1800).cast("long")
+    manual = (
+        events.select(
+            "event_type", "value",
+            F.explode(F.array(grid, grid - 1800)).alias("ws"),
+        )
+        .groupBy(F.timestamp_seconds("ws").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    a = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in got.collect()
+    )
+    b = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in manual.collect()
+    )
+    assert a == b
+    assert len(a) > 0
+
+
+def test_sliding_counts_streaming_matches_batch(spark, tmp_path, events):
+    from dataforge_spark.streaming import (
+        read_events_stream, run_aggregate_to_memory, sliding_counts,
+    )
+
+    path = str(tmp_path / "slide_in")
+    events.coalesce(2).write.mode("overwrite").parquet(path)
+    stream = read_events_stream(spark, path, events.schema)
+    got = run_aggregate_to_memory(
+        sliding_counts(stream, ts_col="ts", key_col="event_type",
+                       window="1 hour", slide="30 minutes", watermark="2 hours")
+    )
+    batch = sliding_counts(events, ts_col="ts", key_col="event_type",
+                           window="1 hour", slide="30 minutes")
+    a = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in got.collect()
+    )
+    b = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    )
+    assert a == b
+    # every event is double-counted across the overlapping windows
+    assert sum(r[2] for r in a) == 2 * events.count()
+
+
 def test_multimodal_features_shape(spark, documents):
     from dataforge_spark.multimodal import attach_binary, extract_features
 

@@ -414,6 +414,48 @@ def b_sessionize_native():
     return agg.shape
 
 
+def b_dedup_exact_intercorpus():
+    return (b_dedup_exact_docs(), b_dedup_intercorpus())
+
+
+def b_sessionize_both():
+    return (b_sessionize(), b_sessionize_native())
+
+
+def b_dedup_spans():
+    # C4-style span dedup: global keep-first of consecutive 5-word spans
+    d = load("documents")[["doc_id", "text"]].sort_values("doc_id")
+    seen: set[str] = set()
+    kept_counts = []
+    texts = []
+    for t in d["text"]:
+        w = t.split()
+        kept = []
+        for i in range(0, len(w), 5):
+            s = " ".join(w[i:i + 5])
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        kept_counts.append(len(kept))
+        texts.append(" ".join(kept))
+    return (len(texts), int(np.sum(kept_counts)))
+
+
+def b_stream_window_agg():
+    # sliding 1h/30min keyed window counts: two-shift expansion
+    ev = load("events")[["ts", "event_type", "value"]]
+    # normalize to epoch seconds regardless of the loaded datetime unit
+    sec = ev["ts"].astype("datetime64[us]").astype("int64") // 10**6
+    grid = (sec // 1800) * 1800
+    a = pd.DataFrame({"ws": grid, "event_type": ev["event_type"], "value": ev["value"]})
+    b = pd.DataFrame({"ws": grid - 1800, "event_type": ev["event_type"], "value": ev["value"]})
+    both = pd.concat([a, b])
+    agg = both.groupby(["ws", "event_type"]).agg(
+        n=("value", "size"), sv=("value", "sum")
+    )
+    return agg.shape
+
+
 def b_o4_isolation_forest():
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
     from dataforge_spark.operators.iforest_numpy import NumpyIsolationForest
@@ -468,21 +510,21 @@ BENCHES = {
     "e2_onehot_encode": b_e2_onehot,
     "y1_common_typos": b_y1_common_typos,
     "n1_n5_standard_roundtrip": b_n1_n5_roundtrip,
-    "dedup_exact_docs": b_dedup_exact_docs,
+    "dedup_exact_intercorpus": b_dedup_exact_intercorpus,
+    "dedup_spans": b_dedup_spans,
     "dedup_minhash_verified": b_minhash_pairs,
     "dedup_jaccard_pairs": b_jaccard_pairs,
     "sim_cosine_topk": b_cosine_topk,
     "sim_ivf_topk": b_ivf_topk,
     "txt_metrics": b_txt_metrics,
-    "stream_sessionize": b_sessionize,
+    "stream_sessionize": b_sessionize_both,
+    "stream_window_agg": b_stream_window_agg,
     "pipeline_e2e": b_pipeline_e2e,
     "join_asof": b_join_asof,
     "join_range": b_join_range,
     "curation_split": b_curation_split,
     "curation_contamination": b_curation_contamination,
     "curation_pack": b_curation_pack,
-    "dedup_intercorpus": b_dedup_intercorpus,
-    "sessionize_native": b_sessionize_native,
     "o4_isolation_forest": b_o4_isolation_forest,
     "sim_ivf_disk_topk": b_ivf_disk_topk,
 }
