@@ -1140,13 +1140,16 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-interval range join (relational.range_join): every event
-    value joined into ±2 bands around anchor events, bucketized to a
-    cell-grid equi-join instead of the BroadcastNestedLoopJoin Catalyst
-    would plan for a bare inequality condition. Aggregated per interval
-    (count + point-id sum) so any pair-set difference flips the row hash.
-    The DuckDB oracle runs the naive BETWEEN join."""
-    from dataforge_spark.relational import range_join
+    """Per-interval point aggregation (relational.range_aggregate): every
+    event value counted/summed into ±2 bands around anchor events via
+    the distributed prefix-sum formulation — the pair set here is
+    O(|P|·|I|·density) (~7.8M at sf0.1, ~10⁸ at sf1), so the
+    pair-materializing cell-grid join (relational.range_join, kept for
+    genuine pair production and pytest-covered) collapses exactly the
+    rows this computes directly in O((|P|+|I|) log). The DuckDB oracle
+    runs the naive BETWEEN join + GROUP BY; every band contains its own
+    anchor point, so inner-join semantics agree."""
+    from dataforge_spark.relational import range_aggregate
 
     ev = _events(spark, sf_dir).select("event_id", "value")
     intervals = (
@@ -1157,10 +1160,11 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") + 2).alias("hi"),
         )
     )
-    pairs = range_join(ev, intervals, point_col="value", lo_col="lo", hi_col="hi")
-    return pairs.groupBy("iid").agg(
-        F.count(F.lit(1)).alias("n_pts"),
-        F.sum("event_id").alias("sum_pid"),
+    out = range_aggregate(ev, intervals, point_col="value", lo_col="lo",
+                          hi_col="hi", sum_cols=["event_id"])
+    return out.where(F.col("n_pts") > 0).select(
+        "iid", "n_pts",
+        F.col("sum_event_id").cast("bigint").alias("sum_pid"),
     )
 
 

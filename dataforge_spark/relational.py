@@ -125,6 +125,144 @@ def asof_join(
     return carried.select(*[F.col(c) for c in left.columns], *sel)
 
 
+def range_aggregate(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    sum_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Per-interval aggregates over the points inside it (``lo <= point
+    <= hi``, inclusive) WITHOUT materializing the point-interval pairs.
+
+    Returns one row per interval: every interval column, plus ``n_pts``
+    and ``sum_<c>`` for each ``sum_cols`` entry. Intervals with lo > hi
+    are dropped (they can match nothing); empty intervals report 0s.
+
+    Why not ``range_join`` + groupBy: the pair set is O(|P|·|I|·density)
+    — counting 1M points against 20k dense bands materializes ~10⁸
+    joined rows only to collapse them again. The aggregate answer is a
+    PREFIX-SUM difference: with F = running (count, sums) over points
+    ordered by value, each interval is F(hi⁺) − F(lo⁻). Cost is
+    O((|P|+|I|) log) like the serial sort+searchsorted algorithm:
+
+    1. union points (weight rows) with two probe rows per interval
+       (lo, exclusive / hi, inclusive — encoded by a kind that sorts
+       probes before/after equal-valued points),
+    2. bucket the value axis by a quantile sketch of the points
+       (equi-depth, pure function of the value → deterministic under
+       retries), run the running sums WITHIN each bucket in parallel,
+    3. per-bucket point totals (≤ n_buckets rows) become cumulative
+       offsets on the driver, broadcast back — the same two-phase
+       global-prefix-sum the sequence packer uses,
+    4. probes pivot back to one row per interval: hi-prefix − lo-prefix.
+
+    Shuffles: one hash exchange into buckets + the final per-interval
+    groupBy (|I| rows). Nothing is ever O(pairs).
+    """
+    sum_cols = list(sum_cols or [])
+    iv_cols = intervals.columns
+    reserved = {"__v", "__kind", "__b", "__sign", "__cnt", "__local_cnt",
+                "__off_cnt"}
+    clash = reserved & set(iv_cols)
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} are reserved")
+
+    if n_buckets is None:
+        n_buckets = int(
+            points.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    from .functions.quantiles import sketch_quantiles
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    sk = sketch_quantiles(
+        points.select(F.col(point_col).cast("double").alias("__v")),
+        ["__v"], probs, 0.01,
+    )["__v"]
+    bounds = sorted(set(sk.values()))
+
+    def bucket_of(v):  # codegen'd comparison chain, pure function of v
+        b = F.lit(0)
+        for x in bounds:
+            b = b + (v >= F.lit(x)).cast("int")
+        return b
+
+    # kind orders equal values: lo-probes (0) see only points strictly
+    # below lo; points (1); hi-probes (2) see points at exactly hi too.
+    pts = points.select(
+        F.col(point_col).cast("double").alias("__v"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast("bigint").alias("__iid"),
+        F.lit(0).alias("__sign"),
+        F.lit(1).cast("bigint").alias("__cnt"),
+        *[F.col(c).cast("double").alias(f"__s_{c}") for c in sum_cols],
+    )
+    iv = intervals.where(F.col(lo_col) <= F.col(hi_col)).withColumn(
+        "__iid", F.monotonically_increasing_id()
+    )
+    probe = lambda col, kind, sign: iv.select(  # noqa: E731
+        F.col(col).cast("double").alias("__v"),
+        F.lit(kind).alias("__kind"),
+        F.col("__iid"),
+        F.lit(sign).alias("__sign"),
+        F.lit(0).cast("bigint").alias("__cnt"),
+        *[F.lit(0.0).alias(f"__s_{c}") for c in sum_cols],
+    )
+    unioned = pts.unionByName(probe(lo_col, 0, -1)).unionByName(
+        probe(hi_col, 2, 1)
+    ).withColumn("__b", bucket_of(F.col("__v")))
+
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("__v", "__kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = unioned.select(
+        "__b", "__iid", "__sign",
+        F.sum("__cnt").over(w).alias("__local_cnt"),
+        *[F.sum(f"__s_{c}").over(w).alias(f"__local_{c}") for c in sum_cols],
+    ).where(F.col("__sign") != 0)
+
+    totals = sorted(
+        unioned.groupBy("__b").agg(
+            F.sum("__cnt").alias("c"),
+            *[F.sum(f"__s_{c}").alias(f"s_{c}") for c in sum_cols],
+        ).collect(),
+        key=lambda r: r["__b"],
+    )
+    offs, acc = [], [0] + [0.0] * len(sum_cols)
+    for r in totals:
+        offs.append((int(r["__b"]), int(acc[0]),
+                     *[float(a) for a in acc[1:]]))
+        acc = [acc[0] + int(r["c"] or 0)] + [
+            acc[1 + i] + float(r[f"s_{c}"] or 0.0)
+            for i, c in enumerate(sum_cols)
+        ]
+    off_schema = "__b bigint, __off_cnt bigint" + "".join(
+        f", __off_{c} double" for c in sum_cols
+    )
+    off = points.sparkSession.createDataFrame(offs, off_schema)
+
+    per_probe = local.join(F.broadcast(off), "__b").select(
+        "__iid",
+        (F.col("__sign") * (F.col("__local_cnt") + F.col("__off_cnt")))
+        .alias("__d_cnt"),
+        *[
+            (F.col("__sign") * (F.col(f"__local_{c}") + F.col(f"__off_{c}")))
+            .alias(f"__d_{c}")
+            for c in sum_cols
+        ],
+    )
+    agg = per_probe.groupBy("__iid").agg(
+        F.sum("__d_cnt").cast("bigint").alias("n_pts"),
+        *[F.sum(f"__d_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+    return iv.join(agg, "__iid").select(*iv_cols, "n_pts",
+                                        *[f"sum_{c}" for c in sum_cols])
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

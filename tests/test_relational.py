@@ -181,3 +181,85 @@ def test_asof_on_real_events(spark, sf_dir):
             # status ids only move forward in time within a user
             assert last.get(r["user_id"], -1) <= sid or True
             last[r["user_id"]] = sid
+
+
+def test_range_aggregate_matches_brute_force(spark):
+    import random
+
+    rnd = random.Random(11)
+    pts = [(i, rnd.uniform(0, 100)) for i in range(400)]
+    ivs = []
+    for j in range(70):
+        lo = rnd.uniform(0, 95)
+        ivs.append((j, lo, lo + rnd.uniform(0, 10)))
+    ivs.append((70, 50.0, 40.0))   # degenerate lo > hi: dropped
+    ivs.append((71, 200.0, 210.0)) # beyond every point: n_pts = 0
+    # boundary-inclusive: interval exactly equal to a point value
+    ivs.append((72, pts[5][1], pts[5][1]))
+    points = spark.createDataFrame(pts, "pid long, x double")
+    intervals = spark.createDataFrame(ivs, "iid long, lo double, hi double")
+
+    from dataforge_spark.relational import range_aggregate
+
+    got = {
+        r["iid"]: (r["n_pts"], round(r["sum_pid"], 6))
+        for r in range_aggregate(
+            points, intervals, "x", "lo", "hi", sum_cols=["pid"], n_buckets=8
+        ).withColumnRenamed("sum_pid", "sum_pid").collect()
+    }
+    exp = {}
+    for iid, lo, hi in ivs:
+        if lo > hi:
+            continue
+        inside = [(pid, x) for pid, x in pts if lo <= x <= hi]
+        exp[iid] = (len(inside), round(float(sum(p for p, _ in inside)), 6))
+    assert got == exp
+
+
+def test_range_aggregate_agrees_with_range_join(spark, events):
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.relational import range_aggregate, range_join
+
+    ev = events.select("event_id", "value")
+    iv = ev.where(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("iid"),
+        (F.col("value") - 3).alias("lo"),
+        (F.col("value") + 3).alias("hi"),
+    )
+    via_pairs = {
+        r["iid"]: (r["n"], int(r["s"]))
+        for r in range_join(ev, iv, "value", "lo", "hi")
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    via_prefix = {
+        r["iid"]: (r["n_pts"], int(r["sum_event_id"]))
+        for r in range_aggregate(ev, iv, "value", "lo", "hi",
+                                 sum_cols=["event_id"]).collect()
+        if r["n_pts"] > 0
+    }
+    assert via_pairs == via_prefix
+
+
+def test_range_aggregate_no_pair_blowup_in_plan(spark):
+    """The executed plan must contain no join between the point and
+    interval sides before aggregation (the probe union + window is the
+    whole algorithm); only the broadcast offset join and the final
+    per-interval join appear."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.relational import range_aggregate
+
+    points = spark.range(10000).select(
+        F.col("id").alias("pid"), (F.col("id") % 997).cast("double").alias("x")
+    )
+    iv = spark.range(50).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 19.0).alias("lo"),
+        (F.col("id") * 19.0 + 40).alias("hi"),
+    )
+    out = range_aggregate(points, iv, "x", "lo", "hi", sum_cols=["pid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
