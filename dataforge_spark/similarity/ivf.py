@@ -11,11 +11,13 @@ Spark mapping:
 - **assign**: one Arrow-vectorized pandas UDF computing
   ``argmax(centroids · v)`` per batch (a matmul per Arrow batch — the
   legitimate Python-UDF case: dense linear algebra batched via numpy).
-- **search**: corpus filtered to probed buckets via a broadcast
-  (query_id, bucket) table, exact cosine on the survivors, per-query
-  top-k window. With ``nprobe == n_centroids`` the result equals the
-  brute-force scan (used as a correctness oracle); with small ``nprobe``
-  only ~nprobe/k of the corpus is scored.
+- **search**: corpus filtered to the union of probed buckets (a
+  PartitionFilter on the on-disk index), then ONE ``mapInPandas`` matmul
+  pass against the broadcast query matrix with a per-query bucket mask,
+  emitting batch-local top-k — no pair join, no corpus-sized shuffle.
+  With ``nprobe == n_centroids`` the result equals the brute-force scan
+  (used as a correctness oracle); with small ``nprobe`` only ~nprobe/k
+  of the corpus is scored.
 
 At 100 TB: the assign stage is a single map over the corpus (done once,
 persisted alongside the data); the search touches only probed buckets —
@@ -29,24 +31,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import batch_cosine_udf, to_matrix
+from ..functions.vectors import to_matrix
 
 
 def fit_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     k: int = 16,
-    sample_rows: int = 100_000,
+    sample_rows: int = 25_000,
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd k-means on a driver-side sample; rows normalized so the
-    assignment metric (max dot) is cosine. Deterministic via fixed seed."""
+    assignment metric (max dot) is cosine. Deterministic via fixed seed.
+    ``sample_rows`` defaults to ~1500 points per centroid at k=16 —
+    plenty for a coarse quantizer; the sample reaches the driver through
+    one Arrow ``toPandas`` transfer (py4j row decoding of array columns
+    measured ~10× slower at 100k vectors)."""
     n = df.count()
     s = df.select(vec_col)
     if n > sample_rows:
         s = s.sample(fraction=sample_rows / n, seed=seed)
-    X = np.array([r[0] for r in s.collect()], dtype=np.float64)
+    pdf = s.toPandas()
+    vals = [v for v in pdf[pdf.columns[0]] if v is not None and len(v) > 0]
+    dim = len(vals[0]) if vals else 0
+    # ragged sample vectors are skipped here exactly like the assign UDF
+    # NULL-buckets them later
+    X = np.array([v for v in vals if len(v) == dim], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
@@ -92,42 +103,83 @@ def _probe_and_score(
     nprobe: int,
     id_col: str,
     vec_col: str,
-    prune_buckets: bool = False,
 ) -> DataFrame:
     """Shared probe/score tail for the in-memory and on-disk index paths.
-    ``c`` must have (neighbor_id, _cvec, _ivf_bucket). With
-    ``prune_buckets`` the union of probed buckets is applied as an
-    ``isin`` filter FIRST — on a bucket-partitioned index read that is a
-    partition-pruning predicate, so unprobed buckets are never scanned."""
-    nprobe = min(nprobe, len(centroids))
-    # Probed buckets per query: tiny driver-side matmul (queries are the
-    # small side by construction), broadcast back as (query_id, bucket).
-    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
-    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]
-    spark = c.sparkSession
-    probes = spark.createDataFrame(
-        [(int(r[0]), int(b)) for r, row in zip(q_rows, order) for b in row],
-        "query_id bigint, _ivf_bucket int",
-    )
-    if prune_buckets:
-        probed = sorted({int(b) for row in order for b in row})
-        c = c.where(F.col("_ivf_bucket").isin(probed))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    ``c`` must have (neighbor_id, _cvec, _ivf_bucket). The union of
+    probed buckets is applied as an ``isin`` filter FIRST — map-side on
+    the in-memory path, and a partition-pruning PartitionFilter on a
+    bucket-partitioned index read, so unprobed buckets are never
+    scanned.
 
-    joined = (
-        c.join(F.broadcast(probes), "_ivf_bucket")
-        .join(F.broadcast(qv), "query_id")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-    )
-    # Arrow-batched pair cosine (vectorized numpy per batch) — the HOF
-    # Column formulation is interpreted per element and ~100× slower here.
-    cos = batch_cosine_udf()
-    scored = joined.select(
-        "query_id", "neighbor_id",
-        F.round(cos(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
-    )
+    Scoring shape: the query matrix AND the per-query probed-bucket mask
+    are broadcast; ONE ``mapInPandas`` pass over the (pruned) corpus does
+    a batch matmul against all queries, masks pairs whose bucket the
+    query did not probe, and emits only each Arrow batch's LOCAL top-k
+    per query. No pair join, no corpus-sized shuffle — the global top-k
+    window then sorts ≤ batches × queries × k tiny rows. (The previous
+    formulation joined a (query, bucket) probe table onto the corpus and
+    shipped |corpus|·|queries| rows, each carrying BOTH vectors, through
+    Python — measured 10× slower at 500k vectors.)"""
+    nprobe = min(nprobe, len(centroids))
+    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)).collect()
+    q_rows = [r for r in q_rows if r[1] is not None]
+    spark = c.sparkSession
+    id_type = c.schema["neighbor_id"].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+    if not q_rows:
+        return spark.createDataFrame([], out_schema)
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # Probed buckets per query: tiny driver-side matmul (queries are the
+    # small side by construction) → boolean mask (bucket, query).
+    order = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]
+    mask = np.zeros((len(centroids), len(qids)), dtype=bool)
+    for qi, row in enumerate(order):
+        mask[row, qi] = True
+    probed = sorted({int(b) for row in order for b in row})
+    # The isin filter is map-side in-memory; on the partitioned index
+    # read it is additionally a PartitionFilter (directories skipped).
+    c = c.where(F.col("_ivf_bucket").isin(probed))
+    bc = spark.sparkContext.broadcast((qids, Qn, mask))
+    dim = Qn.shape[1]
+
+    def score_batches(it):
+        qids_, Qn_, mask_ = bc.value
+        nq = len(qids_)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            X, bad = to_matrix(pdf["_cvec"].tolist(), dim)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = np.divide(X, norms, out=np.zeros_like(X), where=norms > 0)
+            # round BEFORE the local top-k so local and global selection
+            # use the identical comparator (ties at 6dp break on id)
+            S = np.round(Xn @ Qn_.T, 6)
+            ids = pdf["neighbor_id"].to_numpy()
+            allowed = mask_[pdf["_ivf_bucket"].to_numpy(dtype=np.int64)]
+            if bad is not None:
+                allowed[np.asarray(bad, dtype=bool)] = False
+            out = []
+            for qi in range(nq):
+                ok = allowed[:, qi] & (ids != qids_[qi])
+                idx = np.flatnonzero(ok)
+                if idx.size == 0:
+                    continue
+                sel = idx[np.lexsort((ids[idx], -S[idx, qi]))[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_[qi],
+                            "neighbor_id": ids[sel],
+                            "cos_sim": S[sel, qi],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = c.mapInPandas(score_batches, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -218,5 +270,5 @@ def search_ivf_index(
     centroids = read_ivf_centroids(spark, path)
     c = spark.read.parquet(f"{path}/vectors")
     return _probe_and_score(
-        c, queries, centroids, k, nprobe, id_col, vec_col, prune_buckets=True
+        c, queries, centroids, k, nprobe, id_col, vec_col
     )
