@@ -46,6 +46,18 @@ def drop_duplicates(
     if keep == "any" or not extra or order_col not in df.columns:
         # No surviving column depends on WHICH row we keep → cheapest plan.
         return df.dropDuplicates(cols)
+    if keep in ("first", "last") and extra == [order_col]:
+        # The ONLY carried column is the order key itself (the whole-row
+        # dedup the pipeline runs): keep-first is exactly min(order) per
+        # group — a hash aggregate with map-side partial min, no
+        # per-group sort. The window below pays a full-width sort per
+        # partition; measured 24 s vs 7 s at 6M mostly-unique rows.
+        agg = F.min if keep == "first" else F.max
+        return (
+            df.groupBy(*[F.col(c) for c in cols])
+            .agg(agg(order_col).alias(order_col))
+            .select(*df.columns)
+        )
     w = Window.partitionBy(*cols).orderBy(F.asc(order_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -337,3 +337,28 @@ def test_quantile_binning_mass_at_minimum_matches_qcut(spark):
     want = dict(zip(pdf["x"], pdf["b"]))
     assert got == want          # q25 == min edge dropped, labels align
     assert len(edges["x"]) == 2  # only the two interior edges above min
+
+
+def test_drop_duplicates_agg_and_window_paths_agree(spark):
+    """Whole-row dedup (extra == [_row_id]) takes the hash-agg min path;
+    it must match the window formulation row for row, keep=first and
+    keep=last."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.operators.duplicates import drop_duplicates
+
+    rows = [(i % 50, float(i % 7), "abcde"[i % 5], i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "a bigint, b double, c string, _row_id bigint")
+    for keep, pick in (("first", F.asc), ("last", F.desc)):
+        got = sorted(map(tuple, drop_duplicates(df, keep=keep).collect()))
+        w = Window.partitionBy("a", "b", "c").orderBy(pick("_row_id"))
+        want = sorted(
+            map(
+                tuple,
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn")
+                .select(*df.columns).collect(),
+            )
+        )
+        assert got == want

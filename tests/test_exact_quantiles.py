@@ -107,3 +107,29 @@ def test_chunked_collect_many_pairs(spark):
     for c in cols:
         ref = _reference(df, c, probs)
         assert got[c] == [float(r) for r in ref]
+
+
+def test_three_tiers_bit_identical(spark):
+    """small-input percentile(), driver-sort numpy, and the bracketed
+    sketch path must all return the SAME bits for the same input."""
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([
+        rng.standard_normal(8000) * 1e6,
+        rng.randint(-3, 3, 4000).astype(float),
+        [np.nan] * 50,
+    ])
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    small = exact_quantiles(df, ["x"], probs)  # parquet-free frame: tiny est
+    drv = exact_quantiles(df, ["x"], probs, small_input_bytes=None,
+                          driver_sort_bytes=1 << 40)
+    brk = exact_quantiles(df, ["x"], probs, small_input_bytes=None,
+                          driver_sort_bytes=None)
+    assert small == drv == brk
+
+
+def test_driver_sort_tier_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    got = exact_quantiles(df, ["x"], [0.5], small_input_bytes=None,
+                          driver_sort_bytes=1 << 40)
+    assert got == {"x": [None]}
