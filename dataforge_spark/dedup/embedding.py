@@ -72,14 +72,22 @@ def lsh_neardup_pairs(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), "_t", "_b"
     )
     cos = batch_cosine_udf()
+    # Score and threshold-filter IMMEDIATELY after the bucket join (both
+    # map-side on the join output), THEN dedup across tables: a pair
+    # colliding in several tables is scored once per collision (cheap
+    # vectorized dot), but the cross-table dropDuplicates shuffle moves
+    # only the bare (id_a, id_b, cos_sim) triples of pairs that already
+    # passed the threshold — not every candidate carrying both vectors.
+    # Identical output: duplicate collisions score identically, so
+    # filter-then-dedup ≡ dedup-then-filter.
     return (
         a.join(b, ["_t", "_b"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
             F.round(cos(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
