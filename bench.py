@@ -331,6 +331,25 @@ def main() -> None:
     qs = dict(qs)
     qs["s4_profile_approx"] = _s4_profile_approx
 
+    # JIT pre-compilation: run every headline query once at sf0.001 (tiny
+    # data, the SAME plan shapes) before the clock starts. The text rows
+    # generate codegen methods large enough that the JVM's C2 compiler
+    # needs ~60-90 s of background work before they run compiled — until
+    # then they execute interpreted at ~6-8x, and the backlog delays
+    # OTHER queries' compiles too (measured fresh-JVM txt_metrics:
+    # 81 s / 92 s / 12.7 s across three identical runs). A 100 TB job
+    # compiles once and runs for hours; pre-compiling at toy scale makes
+    # the timed runs measure the operator, not the compiler.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        entry.prewarm_stream_inputs(spark, warm_dir)
+        entry.build_ivf_disk_index(spark, warm_dir)
+        for name in BENCH_QUERIES:
+            try:
+                _noop(qs[name](spark, warm_dir))
+            except Exception:
+                pass
+
     # Build the on-disk IVF index up front and report its cost as a
     # separate number: an on-disk index is a once-per-corpus amortized
     # write, so the sim_ivf_disk_topk row below times the SEARCH only

@@ -271,3 +271,48 @@ def test_iforest_searchsorted_fast_path_bit_identical_to_walk():
         t.bounds = None
     assert np.array_equal(fast_scores, m.score_samples(X))
     assert np.array_equal(fast_pred, m.predict(X))
+
+
+def test_range_aggregate_bounded_under_hot_value(spark):
+    """90% of points share ONE value: quantile boundaries cannot split an
+    equal-value run, so one bucket holds the hot mass — but the running
+    frame is incremental (linear, not quadratic), so the hot run must
+    stay within a small factor of the uniform run and the answer exact."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.relational import range_aggregate
+
+    n = 2_000_000
+    uniform = spark.range(n).select(
+        F.col("id").alias("pid"), (F.col("id") % 9973).cast("double").alias("x")
+    )
+    hot = spark.range(n).select(
+        F.col("id").alias("pid"),
+        F.when(F.col("id") % 10 != 0, 42.0)
+        .otherwise((F.col("id") % 9973).cast("double"))
+        .alias("x"),
+    )
+    iv = spark.range(40).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 250.0).alias("lo"),
+        (F.col("id") * 250.0 + 400.0).alias("hi"),
+    )
+
+    def run(points):
+        t0 = time.time()
+        rows = range_aggregate(points, iv, "x", "lo", "hi",
+                               sum_cols=["pid"]).collect()
+        return time.time() - t0, rows
+
+    t_u, _ = run(uniform)
+    t_h, rows_h = run(hot)
+    # exactness under the hot value: interval 0 covers [0, 400] ∋ 42
+    got = {r["iid"]: r["n_pts"] for r in rows_h}
+    want_hot = spark.range(n).where(
+        (F.when(F.col("id") % 10 != 0, 42.0)
+         .otherwise((F.col("id") % 9973).cast("double"))).between(0.0, 400.0)
+    ).count()
+    assert got[0] == want_hot
+    assert t_h < max(4.0 * t_u, t_u + 20.0), (t_u, t_h)
