@@ -926,7 +926,10 @@ def q_o4_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dataforge_spark.functions.text_analysis import repetition_metrics
+    from dataforge_spark.functions.text_analysis import (
+        repetition_metrics,
+        unigram_logprob,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -944,7 +947,13 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rep_top_frac", 6).alias("rep_top_frac"),
         F.round("rep_dup_frac", 6).alias("rep_dup_frac"),
     )
-    return base.join(rep, "doc_id")
+    # CCNet-style unigram LM signal (round 5): corpus-fitted, Laplace-1;
+    # min_count=1 → the corpus IS the vocabulary, no OOV branch.
+    lm = unigram_logprob(docs, text_col="text", id_col="doc_id").select(
+        F.col("id").alias("doc_id"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
+    return base.join(rep, "doc_id").join(lm, "doc_id")
 
 
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1931,8 +1940,23 @@ def oracle_sql() -> dict[str, str]:
               s -> CAST(7 * length(s) + ascii(substr(s, 1, 1)) AS BIGINT)),
             (acc, v) -> (acc * 31 + v) % 1000000007) AS rfp,
           round(coalesce(r.rep_top_frac, 0.0), 6) AS rep_top_frac,
-          round(coalesce(r.rep_dup_frac, 0.0), 6) AS rep_dup_frac
+          round(coalesce(r.rep_dup_frac, 0.0), 6) AS rep_dup_frac,
+          lm.avg_logprob
         FROM h
+        LEFT JOIN (
+          WITH lm_w AS (
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+          ),
+          lm_v AS (SELECT w, count(*) AS cnt FROM lm_w GROUP BY w),
+          lm_s AS (SELECT sum(cnt) AS n, count(*) AS v FROM lm_v)
+          SELECT t.doc_id,
+                 round(avg(ln((v.cnt + 1.0) / (s.n + s.v + 1.0))), 6)
+                   AS avg_logprob
+          FROM lm_w t JOIN lm_v v USING (w), lm_s s
+          GROUP BY t.doc_id
+        ) lm ON lm.doc_id = h.doc_id
         LEFT JOIN (
           WITH toks2 AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

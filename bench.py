@@ -247,11 +247,18 @@ def sf1_block(spark, sf1_dir: str) -> dict:
     entry.prewarm_stream_inputs(spark, sf1_dir)
     _, ivf_build = entry.build_ivf_disk_index(spark, sf1_dir)
 
+    # best-of-2 like the sf0.1 block: single-shot sf1 numbers swing 5-8x
+    # with co-tenant load on this shared host (same query measured 12 s
+    # steady and 99 s in one unlucky window); the min of two runs is the
+    # honest steady-state proxy a long job would see.
     spark_sec: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _noop(qs[name](spark, sf1_dir))
-        spark_sec[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _noop(qs[name](spark, sf1_dir))
+            best = min(best, time.time() - t0)
+        spark_sec[name] = round(best, 3)
 
     pandas_sec: dict[str, float] = {}
     try:
@@ -282,7 +289,7 @@ def sf1_block(spark, sf1_dir: str) -> dict:
 
     return {
         "dir": sf1_dir,
-        "runs_per_query": 1,
+        "runs_per_query": 2,
         "ivf_index_build_sec": ivf_build,
         "spark_sec": spark_sec,
         "pandas_sec": pandas_sec,

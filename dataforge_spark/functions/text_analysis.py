@@ -256,3 +256,72 @@ def compression_ratio(col: Column, level: int = 6) -> Column:
         return s.map(one)
 
     return _ratio(col)
+
+
+def unigram_logprob(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_vocab: int = 5_000_000,
+    alpha: float = 1.0,
+):
+    """CCNet-style unigram language-model score: per document, the mean
+    log-probability of its whitespace tokens under a unigram LM fitted
+    on the corpus itself (Wenzek et al. 2020 filter by LM perplexity;
+    the unigram model is the join-friendly degenerate case — no
+    KenLM-style n-gram state, so it distributes as one count aggregate
+    plus one lookup join).
+
+    Returns (id, n_tokens, avg_logprob): Laplace-``alpha`` smoothed,
+    natural log; out-of-vocabulary tokens (below ``min_count``) score
+    the smoothed-unseen probability ``log(alpha / (N + alpha*(V+1)))``.
+    Documents with zero tokens get NULL avg_logprob. Lower (more
+    negative) = less like the corpus — the filtering signal.
+
+    Scale: token explode → ONE map-side-combined count aggregate
+    (shuffle bounded by the distinct vocabulary, not corpus tokens);
+    vocabulary joined back to the exploded tokens — broadcast when it
+    fits under ``max_vocab`` (gated by limit-count, never a full count
+    of an oversized vocab), AQE-planned shuffle join otherwise; one
+    final per-document aggregate. The corpus text itself never shuffles.
+    """
+    import math
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.when(F.trim(F.col(text_col)) == "", F.array())
+            .otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("w"),
+    )
+    vocab = (
+        toks.where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    stats = vocab.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_total, v_size = int(stats["n"]), int(stats["v"])
+    denom = n_total + alpha * (v_size + 1)
+    unseen = math.log(alpha / denom) if denom > 0 else 0.0
+
+    scored_vocab = vocab.select(
+        "w", F.log((F.col("cnt") + alpha) / F.lit(denom)).alias("lp")
+    )
+    small = scored_vocab.limit(max_vocab + 1).count() <= max_vocab
+    v = F.broadcast(scored_vocab) if small else scored_vocab
+    return (
+        toks.join(v, "w", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("w")).cast("bigint").alias("n_tokens"),
+            F.avg(
+                F.when(F.col("w").isNotNull(),
+                       F.coalesce(F.col("lp"), F.lit(unseen)))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -518,3 +518,38 @@ def test_dotted_and_spaced_csv_headers_flow_end_to_end(spark, tmp_path):
     mv = res["result"]["operations"]["missing_values"]
     assert mv["status"] == "success"
     assert mv["missing_after"]["score pct"] == 0
+
+
+def test_unigram_logprob_matches_closed_form(spark):
+    import math
+
+    from dataforge_spark.functions.text_analysis import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    # corpus tokens: a a b a c -> counts a=3 b=1 c=1; N=5 V=3
+    # P(w) = (cnt+1)/(5+1*(3+1)) = (cnt+1)/9
+    got = {r["id"]: (r["n_tokens"], r["avg_logprob"])
+           for r in unigram_logprob(df).collect()}
+    lp = {w: math.log((c + 1) / 9.0) for w, c in {"a": 3, "b": 1, "c": 1}.items()}
+    assert got[1][0] == 3
+    assert abs(got[1][1] - (2 * lp["a"] + lp["b"]) / 3) < 1e-12
+    assert abs(got[2][1] - (lp["a"] + lp["c"]) / 2) < 1e-12
+    assert got[3] == (0, None) and got[4] == (0, None)
+
+
+def test_unigram_logprob_min_count_oov(spark):
+    import math
+
+    from dataforge_spark.functions.text_analysis import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a a rare")], "doc_id bigint, text string"
+    )
+    # min_count=2 drops 'rare' from the vocab: N=3, V=1,
+    # P(a) = 4/(3+2) ... denom = N + alpha*(V+1) = 5; unseen = 1/5
+    got = unigram_logprob(df, min_count=2).collect()[0]
+    want = (3 * math.log(4 / 5.0) + math.log(1 / 5.0)) / 4
+    assert abs(got["avg_logprob"] - want) < 1e-12
