@@ -1734,11 +1734,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, min(r) AS component FROM reach GROUP BY id
     """
 
-    # exact leg: the duplicated copies (doc_id+100000 of every 5th doc)
-    # all lose keep-min-id, so the survivors are exactly `documents`;
+    # exact leg: keep-min-id per distinct text over documents ∪ the
+    # planted copies; every planted copy (doc_id+100000) loses to its
+    # original, and natural duplicate texts WITHIN documents (they exist
+    # at sf1) also resolve to the smallest id — the general window, not
+    # the all-texts-distinct shortcut.
     # intercorpus leg: anti-join against the every-5th-doc snapshot.
     sql["dedup_exact_intercorpus"] = """
-        SELECT 'exact' AS variant, doc_id, text FROM documents
+        SELECT 'exact' AS variant, doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1
         UNION ALL
         SELECT 'intercorpus' AS variant, d.doc_id, d.text
         FROM documents d

@@ -172,6 +172,12 @@ SF1_SPOT_QUERIES = [
     "dedup_spans",
     "curation_split",
     "t234_auto_convert",
+    # round-5 additions: the prefix-sum range aggregation, the unigram-LM
+    # extended text row, the merged dedup legs, and a scaler roundtrip
+    "join_range",
+    "txt_metrics",
+    "dedup_exact_intercorpus",
+    "n1_n5_standard_roundtrip",
 ]
 
 _DUCK_NUM = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
@@ -191,6 +197,12 @@ def _sf1_fold_check(spark, con, qfn, sql, sf1_dir) -> dict:
     from pyspark.sql import functions as F
 
     df = qfn(spark, sf1_dir)
+    # Numeric sums fold MODULO a prime: sum(round(c*1000)) overflows
+    # int64 when |c| ~ 1e12 over 1e4+ rows (the interval id-sum column
+    # did, under ANSI) — summing per-row residues in [0, P) keeps the
+    # aggregate < 1e17 at 1e8 rows and stays an exact integer fingerprint
+    # on both engines (identical residue on identical values).
+    P = 1_000_000_007
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     duck_parts = ["CAST(count(*) AS BIGINT) AS n"]
     for c, t in df.dtypes:
@@ -198,11 +210,19 @@ def _sf1_fold_check(spark, con, qfn, sql, sf1_dir) -> dict:
         qc = f'"{c}"'
         if base in _SPARK_NUM:
             aggs.append(
-                F.sum(F.round(F.col(c).cast("double") * 1000).cast("long"))
-                .alias(f"s_{c}")
+                F.pmod(
+                    F.sum(
+                        F.pmod(
+                            F.round(F.col(c).cast("double") * 1000).cast("long"),
+                            F.lit(P),
+                        )
+                    ),
+                    F.lit(P),
+                ).alias(f"s_{c}")
             )
             duck_parts.append(
-                f'sum(CAST(round(CAST({qc} AS DOUBLE)*1000) AS BIGINT)) AS "s_{c}"'
+                f"CAST(sum(((CAST(round(CAST({qc} AS DOUBLE)*1000) AS BIGINT)"
+                f" % {P}) + {P}) % {P}) % {P} AS BIGINT) AS \"s_{c}\""
             )
         elif base == "string":
             aggs.append(F.sum(F.length(F.col(c)).cast("long")).alias(f"l_{c}"))
