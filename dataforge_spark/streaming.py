@@ -141,43 +141,54 @@ def sessionize_stream(
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdfs, state):
+        import numpy as np
+
         last_us, sid = state.get if state.exists else (None, 0)
         (uid,) = key
-        events_us: list[int] = []
+        parts = []
         for pdf in pdfs:
             # normalize to epoch MICROseconds regardless of the incoming
             # pandas datetime resolution (ns under arrow, us under pandas 2)
-            ts = pd.to_datetime(pdf[ts_col]).astype("datetime64[us]").astype("int64")
-            events_us.extend(int(v) for v in ts)
-        events_us.sort()
-        out: list[tuple] = []
-        cur: list[int] = []
-
-        def close(cur_sid, us_list):
-            out.append(
-                (
-                    int(uid), int(cur_sid), len(us_list),
-                    pd.Timestamp(us_list[0] * 1000),
-                    pd.Timestamp(us_list[-1] * 1000),
-                )
+            parts.append(
+                pd.to_datetime(pdf[ts_col]).astype("datetime64[us]")
+                .astype("int64").to_numpy()
             )
-
-        for us in events_us:
-            if last_us is None or us - last_us > gap_us:
-                if cur:
-                    close(sid, cur)
-                sid += 1
-                cur = [us]
-            else:
-                cur.append(us)
-            last_us = us
-        if cur:
-            close(sid, cur)
-        state.update((last_us, sid))
-        yield pd.DataFrame(
-            out,
-            columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+        us = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        if us.size == 0:
+            state.update((last_us, sid))
+            yield pd.DataFrame(
+                columns=["user_id", "session_id", "n_events",
+                         "session_start", "session_end"],
+            )
+            return
+        # vectorized gaps-and-islands: a session break before event i iff
+        # the gap from the previous event (carried state for i=0) exceeds
+        # gap_us — the per-event Python loop this replaces was the batch's
+        # O(events) hot path at 1M+ rows
+        if last_us is not None:
+            prev = np.concatenate(([last_us], us[:-1]))
+            brk = us - prev > gap_us
+        else:
+            brk = np.concatenate(([True], us[1:] - us[:-1] > gap_us))
+        # session id = carried ordinal + running count of breaks; an
+        # unbroken index 0 CONTINUES session `sid` but still starts this
+        # batch's first emission island (the stateful contract re-emits a
+        # continued session with its batch-local events, like the
+        # per-event loop this replaces did)
+        sess = sid + np.cumsum(brk)
+        starts = np.flatnonzero(np.concatenate(([True], brk[1:])))
+        ends = np.append(starts[1:], us.size) - 1
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(starts.size, int(uid), dtype=np.int64),
+                "session_id": sess[starts].astype(np.int64),
+                "n_events": (ends - starts + 1).astype(np.int64),
+                "session_start": pd.to_datetime(us[starts], unit="us"),
+                "session_end": pd.to_datetime(us[ends], unit="us"),
+            }
         )
+        state.update((int(us[-1]), int(sess[-1])))
+        yield out
 
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
