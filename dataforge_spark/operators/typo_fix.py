@@ -57,18 +57,36 @@ def _text_cols(df: DataFrame, columns: list[str] | None) -> list[str]:
 
 
 _MAX_REGEX_CHAIN = 50
+_MIN_ALTERNATION = 8
 
 
 def replace_words_expr(col: Column, mapping: dict[str, str]) -> Column:
     """Case-insensitive whole-word replacement.
 
-    Small maps → a chain of JVM ``regexp_replace`` (codegen'd). Large
-    maps → ONE Arrow-batched pandas UDF with a single compiled
-    alternation regex + dict lookup: a chain of N nested expressions
-    overflows the JVM analyzer stack around N≈300 and costs N regex
-    passes per row, while the alternation does one pass total.
+    Preferred plan: ONE Arrow-batched pandas UDF with a single compiled
+    alternation regex + dict lookup — one pass per row, measured 2x the
+    26-entry JVM chain at 50k docs (each chained ``regexp_replace`` is a
+    full scan-and-rebuild of the string; ~300 nested expressions also
+    overflow the JVM analyzer stack).
+
+    The sequential JVM chain is kept for two cases where it is the right
+    plan: tiny maps (≤ ``_MIN_ALTERNATION`` — codegen beats a Python
+    round-trip), and CASCADING maps where some fix introduces a word
+    that is itself a typo key — there the chain's apply-in-order
+    semantics (later entries re-process earlier fixes) differ from
+    single-pass, so the chain is authoritative up to
+    ``_MAX_REGEX_CHAIN``; past that an alternation map is applied
+    single-pass (documented semantics for oversized cascading maps).
     """
-    if len(mapping) <= _MAX_REGEX_CHAIN:
+    lowered_keys = {k.lower() for k in mapping}
+    cascades = any(
+        w in lowered_keys
+        for fix in mapping.values()
+        for w in str(fix).lower().split()
+    )
+    if len(mapping) <= _MIN_ALTERNATION or (
+        cascades and len(mapping) <= _MAX_REGEX_CHAIN
+    ):
         c = col
         for typo, fix in mapping.items():
             c = F.regexp_replace(c, f"(?i)\\b{re.escape(typo)}\\b", fix)

@@ -362,3 +362,32 @@ def test_drop_duplicates_agg_and_window_paths_agree(spark):
             )
         )
         assert got == want
+
+
+def test_replace_words_cascading_map_keeps_chain_semantics(spark):
+    """A fix that introduces another typo key must be re-processed by
+    later chain entries (apply-in-order semantics) — the cascade check
+    must route such maps to the sequential chain, while an acyclic map
+    larger than the alternation floor takes the single-pass path with
+    identical output."""
+    from pyspark.sql import functions as F
+
+    import dataforge_spark.operators.typo_fix as tf
+
+    df = spark.createDataFrame([("start xx here",)], "t string")
+    cascading = {"xx": "yy", "yy": "zz"}  # 'yy' fix is itself a key
+    got = df.select(
+        tf.replace_words_expr(F.col("t"), cascading).alias("t")
+    ).collect()[0]["t"]
+    assert got == "start zz here"  # chain: xx -> yy, then yy -> zz
+
+    acyclic = {f"t{i}": f"w{i}" for i in range(12)} | {"xx": "yy"}
+    txt = "t0 T3 xx t11 plain"
+    one_pass = df.select(
+        tf.replace_words_expr(F.lit(txt), acyclic).alias("t")
+    ).collect()[0]["t"]
+    chain = txt
+    import re as _re
+    for k, v in acyclic.items():
+        chain = _re.sub(rf"(?i)\b{k}\b", v, chain)
+    assert one_pass == chain == "w0 w3 yy w11 plain"
