@@ -141,20 +141,28 @@ def convert_data_types(
     fmts = _elect_datetime_formats(out, str_cols)
 
     # ONE full-data aggregate pass: per column — non-null count,
-    # numeric-parse count, integral count, min/max (≥2-distinct test),
-    # bool-vocab count, and (elected-format) datetime-parse count. All
-    # plain partial+final aggregates: map-side combined, no Expand, no
-    # shuffle beyond one row per partition.
+    # numeric-parse count, integral count, hash-min/max (≥2-distinct
+    # test), bool-vocab count, and (elected-format) datetime-parse
+    # count. All plain partial+final aggregates: map-side combined, no
+    # Expand, no shuffle beyond one row per partition. The distinctness
+    # probe is min/max over xxhash64 of the NON-NULL values, not over
+    # the strings themselves: a string min/max buffer is not
+    # HashAggregate-compatible, so ONE of them demotes the whole
+    # multi-column aggregate to an interpreted SortAggregate — measured
+    # 7.7 s vs 1.6 s on 4 columns x 1M rows. (Two distinct values
+    # hash-colliding would misread as one — 2^-64, acceptable for a
+    # conversion gate.)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in str_cols:
         v = qcol(c)
         num = v.try_cast("double")
+        h = F.when(v.isNotNull(), F.xxhash64(v))
         aggs += [
             F.count(v).alias(f"nn_{c}"),
             F.count(num).alias(f"num_{c}"),
             F.sum(((num.isNotNull()) & (num == F.floor(num))).cast("long")).alias(f"int_{c}"),
-            F.min(v).alias(f"mn_{c}"),
-            F.max(v).alias(f"mx_{c}"),
+            F.min(h).alias(f"mn_{c}"),
+            F.max(h).alias(f"mx_{c}"),
             F.sum(F.lower(F.trim(v)).isin(sorted(_BOOL_VOCAB)).cast("long")).alias(f"bool_{c}"),
         ]
         if fmts[c]:
