@@ -249,20 +249,27 @@ def contamination(
         # frequency table) — without it the distinct would run twice.
         .localCheckpoint(eager=False)
     )
-    small = eval_grams.limit(broadcast_grams + 1).count() <= broadcast_grams
+    # Tiered by eval-gram cardinality (both gates limit-counted, so an
+    # oversized set never pays a full count): a PYTHON set broadcast is
+    # the fastest probe but pickles every gram onto the driver and each
+    # worker, so it is capped well below the JVM broadcast-join gate.
+    py_set_cap = min(2_000_000, broadcast_grams)
+    n_probe = eval_grams.limit(broadcast_grams + 1).count()
+    tiny = n_probe <= py_set_cap
+    small = n_probe <= broadcast_grams
     doc_grams = corpus.select(
         F.col(id_col).alias("id"),
         F.explode_outer(shingles_for(corpus, F.col(text_col), n)).alias("g"),
     )
-    if small:
+    if tiny:
         # Set-membership in ONE Arrow pass over the per-doc shingle
         # ARRAYS: the gram set is a Python broadcast and each doc's
         # (n_grams, n_hits) comes straight off its array — no explode,
-        # no join, no shuffle at all (the previous broadcast-join path
-        # pushed |corpus|·|grams per doc| exploded rows through the join
-        # and a per-doc aggregate; measured 4.7 s → ~1.5 s at 50k docs).
+        # no join, no shuffle at all (the broadcast-join path below
+        # pushes |corpus|·|grams per doc| exploded rows through the join
+        # and a per-doc aggregate; measured 4.7 s → ~3.3 s at 50k docs).
         # Identical counts: shingles_for arrays are already per-doc
-        # DISTINCT, exactly the rows the explode produced.
+        # DISTINCT, exactly the rows the explode produces.
         ev_set = {r["g"] for r in eval_grams.select("g").collect()}
         bc = corpus.sparkSession.sparkContext.broadcast(ev_set)
 
@@ -289,6 +296,18 @@ def contamination(
                 "id",
                 F.col("__c.n_grams").alias("n_grams"),
                 F.col("__c.n_hits").alias("n_hits"),
+            )
+            .withColumn("contaminated", F.col("n_hits") > 0)
+        )
+    if small:
+        # Mid-size eval sets: compact JVM broadcast-hash join on the
+        # exploded grams — no Python materialization of the gram set.
+        joined = doc_grams.join(F.broadcast(eval_grams), "g", "left")
+        return (
+            joined.groupBy("id")
+            .agg(
+                F.count(F.col("g")).alias("n_grams"),
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hits"),
             )
             .withColumn("contaminated", F.col("n_hits") > 0)
         )

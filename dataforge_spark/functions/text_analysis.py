@@ -281,10 +281,10 @@ def unigram_logprob(
 
     Scale: token explode → ONE map-side-combined count aggregate
     (shuffle bounded by the distinct vocabulary, not corpus tokens);
-    vocabulary joined back to the exploded tokens — broadcast when it
-    fits under ``max_vocab`` (gated by limit-count, never a full count
-    of an oversized vocab), AQE-planned shuffle join otherwise; one
-    final per-document aggregate. The corpus text itself never shuffles.
+    vocabulary joined back to the exploded tokens — broadcast when its
+    (already-computed) size fits ``max_vocab``, AQE-planned shuffle
+    join otherwise; one final per-document aggregate. The corpus text
+    itself never shuffles.
     """
     import math
 
@@ -312,8 +312,9 @@ def unigram_logprob(
     scored_vocab = vocab.select(
         "w", F.log((F.col("cnt") + alpha) / F.lit(denom)).alias("lp")
     )
-    small = scored_vocab.limit(max_vocab + 1).count() <= max_vocab
-    v = F.broadcast(scored_vocab) if small else scored_vocab
+    # v_size from the stats aggregate above IS the exact vocabulary
+    # count — no extra pass needed for the broadcast gate
+    v = F.broadcast(scored_vocab) if v_size <= max_vocab else scored_vocab
     return (
         toks.join(v, "w", "left")
         .groupBy("id")

@@ -41,24 +41,36 @@ def drop_duplicates(
     keep: str = "first",
     order_col: str = ROW_ID,
 ) -> DataFrame:
+    if keep not in ("first", "last", "any"):
+        raise ValueError(f"keep must be first|last|any, got {keep!r}")
     cols = subset or [c for c in df.columns if c != ROW_ID]
     extra = [c for c in df.columns if c not in cols]
     if keep == "any" or not extra or order_col not in df.columns:
         # No surviving column depends on WHICH row we keep → cheapest plan.
         return df.dropDuplicates(cols)
-    if keep in ("first", "last") and extra == [order_col]:
+    if extra == [order_col]:
         # The ONLY carried column is the order key itself (the whole-row
         # dedup the pipeline runs): keep-first is exactly min(order) per
         # group — a hash aggregate with map-side partial min, no
         # per-group sort. The window below pays a full-width sort per
         # partition; measured 24 s vs 7 s at 6M mostly-unique rows.
-        agg = F.min if keep == "first" else F.max
+        # NULL parity with the window paths (asc = nulls FIRST, desc =
+        # nulls LAST): keep-first selects NULL when the group has any
+        # NULL order value (min() alone would skip it); keep-last's
+        # max() skips NULLs exactly like the desc sort does.
+        if keep == "first":
+            agg = F.when(
+                F.count(F.lit(1)) > F.count(order_col), F.lit(None)
+            ).otherwise(F.min(order_col))
+        else:
+            agg = F.max(order_col)
         return (
             df.groupBy(*[F.col(c) for c in cols])
-            .agg(agg(order_col).alias(order_col))
+            .agg(agg.alias(order_col))
             .select(*df.columns)
         )
-    w = Window.partitionBy(*cols).orderBy(F.asc(order_col))
+    order = F.asc(order_col) if keep == "first" else F.desc(order_col)
+    w = Window.partitionBy(*cols).orderBy(order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

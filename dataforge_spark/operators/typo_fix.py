@@ -78,11 +78,18 @@ def replace_words_expr(col: Column, mapping: dict[str, str]) -> Column:
     ``_MAX_REGEX_CHAIN``; past that an alternation map is applied
     single-pass (documented semantics for oversized cascading maps).
     """
-    lowered_keys = {k.lower() for k in mapping}
-    cascades = any(
-        w in lowered_keys
-        for fix in mapping.values()
-        for w in str(fix).lower().split()
+    # Cascade = some fix TEXT matches another key's \b-delimited regex —
+    # tested with the actual pattern, not a whitespace split, so keys
+    # adjacent to punctuation in a fix ('anti-bug' vs key 'bug') and
+    # multi-word keys are caught. Only evaluated for maps small enough
+    # that the chain is even an option (≤ _MAX_REGEX_CHAIN → ≤ 2.5k
+    # pattern probes); larger maps are single-pass by construction.
+    # (a key inside its OWN fix is not a cascade: a single
+    # regexp_replace never reprocesses its output, only LATER entries do)
+    cascades = len(mapping) <= _MAX_REGEX_CHAIN and any(
+        k != src and re.search(rf"(?i)\b{re.escape(k)}\b", str(fix))
+        for src, fix in mapping.items()
+        for k in mapping
     )
     if len(mapping) <= _MIN_ALTERNATION or (
         cascades and len(mapping) <= _MAX_REGEX_CHAIN

@@ -140,6 +140,10 @@ def range_aggregate(
     Returns one row per interval: every interval column, plus ``n_pts``
     and ``sum_<c>`` for each ``sum_cols`` entry. Intervals with lo > hi
     are dropped (they can match nothing); empty intervals report 0s.
+    NULL and NaN points are excluded (they are inside no interval —
+    the same rows ``range_join``'s BETWEEN predicate never matched;
+    the prefix machinery below works on the double cast, so the filter
+    uses it too).
 
     Why not ``range_join`` + groupBy: the pair set is O(|P|·|I|·density)
     — counting 1M points against 20k dense bands materializes ~10⁸
@@ -165,10 +169,12 @@ def range_aggregate(
     sum_cols = list(sum_cols or [])
     iv_cols = intervals.columns
     reserved = {"__v", "__kind", "__b", "__sign", "__cnt", "__local_cnt",
-                "__off_cnt"}
+                "__off_cnt", "__iid"}
     clash = reserved & set(iv_cols)
     if clash:
         raise ValueError(f"columns {sorted(clash)} are reserved")
+    pv = F.col(point_col).cast("double")
+    points = points.where(pv.isNotNull() & ~F.isnan(pv))
 
     if n_buckets is None:
         n_buckets = int(
@@ -199,9 +205,14 @@ def range_aggregate(
         F.lit(1).cast("bigint").alias("__cnt"),
         *[F.col(c).cast("double").alias(f"__s_{c}") for c in sum_cols],
     )
+    # lazy localCheckpoint pins the generated ids: monotonically_
+    # increasing_id is a function of the partition layout, and this
+    # frame is referenced by THREE plan subtrees (both probe legs + the
+    # final join) — an unstable interval source (repartition/sample/
+    # task retry) could otherwise hand each leg different ids.
     iv = intervals.where(F.col(lo_col) <= F.col(hi_col)).withColumn(
         "__iid", F.monotonically_increasing_id()
-    )
+    ).localCheckpoint(eager=False)
     probe = lambda col, kind, sign: iv.select(  # noqa: E731
         F.col(col).cast("double").alias("__v"),
         F.lit(kind).alias("__kind"),

@@ -54,7 +54,15 @@ def fit_centroids(
         s = s.sample(fraction=sample_rows / n, seed=seed)
     pdf = s.toPandas()
     vals = [v for v in pdf[pdf.columns[0]] if v is not None and len(v) > 0]
-    dim = len(vals[0]) if vals else 0
+    if vals:
+        # elect the MODAL length, not the first row's — one anomalous
+        # leading vector must not silently discard the whole sample
+        lens: dict[int, int] = {}
+        for v in vals:
+            lens[len(v)] = lens.get(len(v), 0) + 1
+        dim = max(lens, key=lambda k: (lens[k], -k))
+    else:
+        dim = 0
     # ragged sample vectors are skipped here exactly like the assign UDF
     # NULL-buckets them later
     X = np.array([v for v in vals if len(v) == dim], dtype=np.float64)

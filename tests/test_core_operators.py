@@ -391,3 +391,43 @@ def test_replace_words_cascading_map_keeps_chain_semantics(spark):
     for k, v in acyclic.items():
         chain = _re.sub(rf"(?i)\b{k}\b", v, chain)
     assert one_pass == chain == "w0 w3 yy w11 plain"
+
+
+def test_drop_duplicates_null_order_and_keep_last_parity(spark):
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.operators.duplicates import drop_duplicates
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 5), ("b", 2), ("b", 7), ("c", None)],
+        "k string, _row_id bigint",
+    )
+    # keep='first': asc sort places NULL first -> NULL survives for 'a'
+    first = {r["k"]: r["_row_id"] for r in drop_duplicates(df, keep="first").collect()}
+    assert first == {"a": None, "b": 2, "c": None}
+    # keep='last': desc sort places NULL last -> max non-null survives
+    last = {r["k"]: r["_row_id"] for r in drop_duplicates(df, keep="last").collect()}
+    assert last == {"a": 5, "b": 7, "c": None}
+    # keep='last' must also be honored on the WINDOW path (extra cols)
+    df2 = df.withColumn("v", F.col("_row_id") * 10)
+    last2 = {r["k"]: (r["_row_id"], r["v"])
+             for r in drop_duplicates(df2, subset=["k"], keep="last").collect()}
+    assert last2["b"] == (7, 70)
+
+
+def test_replace_words_detects_punctuation_adjacent_cascade(spark):
+    from pyspark.sql import functions as F
+
+    import dataforge_spark.operators.typo_fix as tf
+
+    # 'anti-bug' contains key 'bug' at a \b boundary (hyphen): the chain
+    # would rewrite it; the cascade detector must force the chain even
+    # though a whitespace split would miss it
+    mapping = {f"t{i}": f"w{i}" for i in range(10)} | {
+        "x": "anti-bug", "bug": "insect"
+    }
+    df = spark.createDataFrame([("x here",)], "t string")
+    got = df.select(
+        tf.replace_words_expr(F.col("t"), mapping).alias("t")
+    ).collect()[0]["t"]
+    assert got == "anti-insect here"

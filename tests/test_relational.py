@@ -263,3 +263,31 @@ def test_range_aggregate_no_pair_blowup_in_plan(spark):
     out = range_aggregate(points, iv, "x", "lo", "hi", sum_cols=["pid"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_aggregate_null_and_nan_points_excluded(spark):
+    import math
+
+    from dataforge_spark.relational import range_aggregate
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, float("nan")), (4, 6.0)],
+        "pid long, x double",
+    )
+    iv = spark.createDataFrame([(1, 4.0, 7.0)], "iid long, lo double, hi double")
+    rows = range_aggregate(points, iv, "x", "lo", "hi", sum_cols=["pid"],
+                           n_buckets=4).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_pts"] == 2 and int(rows[0]["sum_pid"]) == 5
+
+
+def test_range_aggregate_rejects_reserved_iid(spark):
+    import pytest as _pytest
+
+    from dataforge_spark.relational import range_aggregate
+
+    points = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    iv = spark.createDataFrame([(1, 4.0, 7.0, 9)],
+                               "iid long, lo double, hi double, __iid long")
+    with _pytest.raises(ValueError):
+        range_aggregate(points, iv, "x", "lo", "hi")
