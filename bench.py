@@ -317,6 +317,57 @@ def sf1_block(spark, sf1_dir: str) -> dict:
     }
 
 
+def recall_block(spark, sf_dir: str) -> dict:
+    """Measured recall of the approximate paths against exact ground truth
+    at bench scale (VERDICT r5 task 7). Two rows:
+
+    - ``sim_ivf_topk`` at nprobe=4/16 (the genuinely approximate setting —
+      the bench row itself runs full-probe, which is exact by construction):
+      recall@5 = |approx ∩ exact top-k pairs| / |exact top-k pairs|.
+    - ``dedup_minhash`` at the shipped (64 perm, 16 bands, t=0.9): pair
+      recall vs the exact-Jaccard ≥ 0.9 pair set. The banding collision
+      bound says ≥ 1−4e-8 per pair; this measures it instead of citing it.
+    """
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from dataforge_spark.dedup.minhash import minhash_dedup_pairs
+    from dataforge_spark.dedup.ngram_jaccard import jaccard_pairs
+    from dataforge_spark.similarity.brute_force import cosine_topk
+    from dataforge_spark.similarity.ivf import ivf_cosine_topk
+
+    emb = e._t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 50)
+    pair = lambda df: df.select("query_id", "neighbor_id")  # noqa: E731
+    exact = pair(cosine_topk(corpus=emb, queries=q, k=5,
+                             id_col="vec_id", vec_col="embedding"))
+    approx = pair(ivf_cosine_topk(corpus=emb, queries=q, k=5, id_col="vec_id",
+                                  vec_col="embedding", n_centroids=16, nprobe=4))
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+
+    docs = e._t(spark, sf_dir, "documents")
+    ex_pairs = jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3,
+                             threshold=0.9).select("id_a", "id_b")
+    mh_pairs = minhash_dedup_pairs(docs, text_col="text", id_col="doc_id",
+                                   n=3, num_perm=64, bands=16,
+                                   threshold=0.9).select("id_a", "id_b")
+    n_ex_pairs = ex_pairs.count()
+    n_mh_hit = ex_pairs.join(mh_pairs, ["id_a", "id_b"], "left_semi").count()
+    return {
+        "sim_ivf_topk_nprobe4_recall_at_5": (
+            round(n_hit / n_exact, 4) if n_exact else None
+        ),
+        "sim_ivf_topk_nprobe4_pairs": [n_hit, n_exact],
+        "dedup_minhash_t0.9_pair_recall": (
+            round(n_mh_hit / n_ex_pairs, 4) if n_ex_pairs else None
+        ),
+        "dedup_minhash_t0.9_pairs": [n_mh_hit, n_ex_pairs],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -409,22 +460,76 @@ def main() -> None:
         # the sim_ivf_disk_topk row
         "ivf_index_build_sec": ivf_build_sec,
     }
+    # Measured recall of the approximate paths (off the timed clock).
+    try:
+        out["recall"] = recall_block(spark, sf_dir)
+    except Exception as exc:  # recall is reporting, not a gate
+        out["recall"] = {"error": str(exc)}
+
+    # ------------------------------------------------------------------
+    # Output contract (VERDICT r5 task 1): the FINAL stdout line is a
+    # compact (<2 KB) JSON object the driver can always capture whole.
+    # Bulky sections (crossover pairs, the full sf1 block with per-query
+    # spark/pandas pairs and fold-check dicts) go to bench_detail.json
+    # next to this script AND to a labeled earlier stdout line. Round 5's
+    # line embedded the whole sf1 block and outgrew the driver's tail
+    # capture → "parsed": null.
+    # ------------------------------------------------------------------
+    detail: dict = {}
     xrows = int(os.environ.get("SPARK_GRAFT_XROWS", "6000000"))
     if xrows > 0:
-        out["crossover"] = crossover_bench(spark, xrows)
+        detail["crossover"] = crossover_bench(spark, xrows)
     # sf10-scale block (60 M rows ≈ lineitem at sf10): past the measured
     # crossover, where the engine-design argument is made with numbers —
     # Spark should beat the pandas baseline outright here.
     xbig = int(os.environ.get("SPARK_GRAFT_XROWS_BIG", "60000000"))
     if xbig > 0:
-        out["crossover_60m"] = crossover_bench(spark, xbig)
+        detail["crossover_60m"] = crossover_bench(spark, xbig)
     # sf1 gate (10x sf0.1, generated+cached by tools/make_sf1.py):
     # the primary scale point — per-query spark-vs-pandas pairs and
     # fold-compared correctness spot rows. SPARK_GRAFT_SF1=0 to skip.
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
         from tools.make_sf1 import ensure_sf1
 
-        out["sf1"] = sf1_block(spark, ensure_sf1(spark, sf_dir))
+        detail["sf1"] = sf1_block(spark, ensure_sf1(spark, sf_dir))
+
+    # Compact summaries of the bulky sections ride in the final line.
+    for key in ("crossover", "crossover_60m"):
+        if key in detail:
+            sp = detail[key]["spark_sec"]
+            pdt = detail[key]["pandas_sec"]
+            out[key] = {
+                "rows": detail[key]["rows"],
+                "spark_total_sec": round(sum(sp.values()), 3),
+                "pandas_total_sec": round(sum(pdt.values()), 3),
+            }
+    if "sf1" in detail:
+        s1 = detail["sf1"]
+        sp_total = round(sum(s1["spark_sec"].values()), 3)
+        pd_q = s1["pandas_sec"]
+        pd_total = (
+            round(sum(v for v in pd_q.values() if isinstance(v, (int, float))), 3)
+            if isinstance(pd_q, dict) and "error" not in pd_q
+            else None
+        )
+        folds = s1["correctness"]
+        out["sf1"] = {
+            "spark_total_sec": sp_total,
+            "pandas_total_sec": pd_total,
+            "ratio": (round(sp_total / pd_total, 3) if pd_total else None),
+            "fold_checks_pass": sum(1 for v in folds.values() if v.get("match")),
+            "fold_checks_total": len(folds),
+        }
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh)
+        out["detail_file"] = os.path.basename(detail_path)
+    except OSError as exc:
+        out["detail_file_error"] = str(exc)
+    print("BENCH_DETAIL " + json.dumps(detail), flush=True)
     print(json.dumps(out), flush=True)
 
 
