@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import string
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -74,6 +75,89 @@ def clean_text_expr(
     return F.when(c == "", None).otherwise(c)  # reference :145, X12
 
 
+# Ops implemented as a JVM regexp_replace pass (each rescans the string).
+_REGEX_OPS = {
+    "remove_whitespace", "remove_extra_spaces", "remove_numbers",
+    "remove_special_chars", "remove_html", "remove_urls", "remove_emails",
+}
+# Route to the Arrow kernel when the chain would otherwise pay this many
+# full-string JVM regex rescans (VERDICT r5 task 2: the x_text_suite chain
+# was 5.4x pandas at sf1 because ~10 chained regexp_replace passes each
+# rescan + reallocate the whole string; one Arrow transfer applying the
+# whole compiled chain per row costs ~1 scan + the serialization).
+_KERNEL_MIN_REGEX_OPS = 2
+
+
+def _compile_chain(operations: list[str]):
+    """The op chain as compiled Python callables — SAME sequential
+    semantics as ``_apply_op`` (patterns compiled with re.ASCII so \\s/\\d
+    match Java's ASCII-only classes; the built-in patterns are the
+    dialect-neutral subset, see module docstring)."""
+    import re
+
+    a = re.ASCII
+    ws = re.compile(r"\s+", a)
+    steps = []
+    for op in operations:
+        if op == "lowercase":
+            steps.append(str.lower)
+        elif op == "uppercase":
+            steps.append(str.upper)
+        elif op in ("remove_whitespace", "remove_extra_spaces"):
+            # collapse first, then strip spaces — mirrors
+            # trim(regexp_replace(c, '\s+', ' ')) exactly (F.trim strips
+            # 0x20 only, sufficient after the collapse).
+            steps.append(lambda x, _ws=ws: _ws.sub(" ", x).strip(" "))
+        elif op == "remove_punctuation":
+            tbl = str.maketrans("", "", string.punctuation)
+            steps.append(lambda x, _t=tbl: x.translate(_t))
+        elif op == "remove_numbers":
+            p = re.compile(r"\d+", a)
+            steps.append(lambda x, _p=p: _p.sub("", x))
+        elif op == "remove_special_chars":
+            p = re.compile(r"[^a-zA-Z0-9\s]", a)
+            steps.append(lambda x, _p=p: _p.sub("", x))
+        elif op == "remove_html":
+            p = re.compile(r"<[^>]+>", a)
+            steps.append(lambda x, _p=p: _p.sub("", x))
+        elif op == "remove_urls":
+            p = re.compile(_URL_RE, a)
+            steps.append(lambda x, _p=p: _p.sub("", x))
+        elif op == "remove_emails":
+            p = re.compile(_EMAIL_RE, a)
+            steps.append(lambda x, _p=p: _p.sub("", x))
+        else:  # pragma: no cover - guarded by clean_text_columns
+            raise ValueError(f"unknown text op {op!r}")
+    return steps
+
+
+def clean_text_kernel(col: Column, operations: list[str]) -> Column:
+    """The full X-pipeline as ONE Arrow-batched pass: every op applied
+    per row by compiled Python regexes inside a pandas UDF, so the string
+    crosses the JVM↔Python boundary once instead of being rescanned and
+    reallocated by each chained ``regexp_replace``. Semantics are
+    identical to ``clean_text_expr`` for the built-in ops (pinned by the
+    kernel-vs-expr property test); user ``custom_patterns`` are documented
+    as Java regex and therefore never routed here."""
+    steps = _compile_chain(operations)
+
+    @F.pandas_udf("string")
+    def kernel(s: pd.Series) -> pd.Series:
+        out = []
+        for x in s:
+            if x is None or x is pd.NA or (isinstance(x, float)):
+                out.append(None)
+                continue
+            if x == "nan":  # reference :68-69 pre-pass
+                x = ""
+            for step in steps:
+                x = step(x)
+            out.append(x if x != "" else None)  # reference :145, X12
+        return pd.Series(out, dtype=object)
+
+    return kernel(col.cast("string"))
+
+
 def clean_text_columns(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -90,11 +174,14 @@ def clean_text_columns(
             for f in df.schema.fields
             if isinstance(f.dataType, T.StringType) and f.name != ROW_ID
         ]
+    n_regex = sum(op in _REGEX_OPS for op in operations)
+    use_kernel = n_regex >= _KERNEL_MIN_REGEX_OPS and not custom_patterns
+
+    def clean(c: str) -> Column:
+        if use_kernel:
+            return clean_text_kernel(qcol(c), operations).alias(c)
+        return clean_text_expr(qcol(c), operations, custom_patterns).alias(c)
+
     return df.select(
-        *[
-            clean_text_expr(qcol(c), operations, custom_patterns).alias(c)
-            if c in columns
-            else qcol(c)
-            for c in df.columns
-        ]
+        *[clean(c) if c in columns else qcol(c) for c in df.columns]
     )

@@ -76,3 +76,34 @@ def test_text_clean_idempotent(spark, texts):
     assert sorted((r["t"] or "") for r in once.collect()) == sorted(
         (r["t"] or "") for r in twice.collect()
     )
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.sampled_from(["nan", "", "  <b>Hi</b> see http://x.io/a?b=1 ",
+                             "a.b@ex.com 42 cats!", "tab\there", "ALL CAPS 99"]),
+            st.text(alphabet=" aB.!3\t<>@/:#néö中", min_size=0, max_size=30),
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_text_kernel_matches_expr(spark, texts):
+    """The Arrow kernel (multi-regex-op route) must be cell-identical to
+    the chained-regexp_replace expression it replaces."""
+    from dataforge_spark.operators.text_cleaning import (
+        clean_text_expr,
+        clean_text_kernel,
+    )
+
+    ops = ["lowercase", "remove_html", "remove_urls", "remove_emails",
+           "remove_numbers", "remove_punctuation", "remove_extra_spaces"]
+    df = spark.createDataFrame([(t,) for t in texts], "t: string")
+    both = df.select(
+        clean_text_expr(F.col("t"), ops).alias("e"),
+        clean_text_kernel(F.col("t"), ops).alias("k"),
+    ).collect()
+    for r in both:
+        assert r["e"] == r["k"], (r["e"], r["k"])
