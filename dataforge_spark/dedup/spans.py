@@ -31,7 +31,7 @@ all-pairs comparison anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,13 +44,15 @@ def explode_spans(
     """(id, span_idx, span) — consecutive ``span_words``-word chunks of
     each document (last chunk may be shorter). NULL text yields no rows.
     Codegen-only: no shuffle, no Python."""
+    from ..partitioning import ensure_parallelism
+
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     k = F.lit(span_words)
     spans = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size(words) / k).cast("int") - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, span_words)),
     )
-    return df.where(F.col(text_col).isNotNull()).select(
+    return ensure_parallelism(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
     )
 
@@ -65,35 +67,88 @@ def span_dedup(
     across the corpus, keeping the first ``(id, span_idx)``; returns one
     row per input document: ``(id, text, n_spans_kept)`` with the text
     rebuilt from its surviving spans (single-space joined).
+
+    Shape (r6, was window + groupBy + restore-join = 3 exchanges with a
+    per-span sort): TWO hash aggregates, both with map-side partial
+    combine, nothing else.
+
+    1. keep-first = ``groupBy(span-key).agg(min(struct(id, span_idx)))``
+       — an aggregate, not a window: duplicate spans collapse map-side
+       BEFORE the shuffle (a window must move every occurrence), the span
+       text travels once as the grouping key, and no sort is needed.
+    2. rebuild = ``groupBy(id)`` over the winners. The round-5 version
+       needed a third exchange (left join against the input id set) to
+       restore fully-deduplicated documents; instead every document now
+       emits one SENTINEL row (span_idx = −1, key disjoint from every
+       real span by construction) that always survives keep-first, so the
+       rebuild aggregate sees every document and emits its ``(id, '', 0)``
+       row directly.
     """
-    sp = explode_spans(df, text_col, id_col, span_words)
-    # Keep-first over the 128-bit digest: the window shuffles
-    # (id, span_idx, span) hashed by digest — ~36 bytes of key per row on
-    # the exchange, and the span body rides along exactly once because
-    # the rebuild below needs it anyway.
-    w = Window.partitionBy(F.md5(F.col("span"))).orderBy(id_col, "span_idx")
-    kept = sp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-    rebuilt = kept.groupBy(id_col).agg(
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.lit(span_words)
+    spans = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / k).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, span_words)),
+    )
+    # Sentinel prepended as span_idx −1: posexplode gives 0-based
+    # positions over [sentinel, span_0, span_1, ...], shifted back by 1.
+    # The grouping key is (is_sentinel, text) — a STRUCT, so sentinel keys
+    # (true, id) can never collide with real span text.
+    #
+    # The keep-first winner is picked by min() over (id, span_idx) PACKED
+    # into one decimal(33,0) = id·10¹⁰ + (span_idx+1): a min over a
+    # fixed-width mutable buffer stays in whole-stage-codegen
+    # HashAggregate — min(struct(id, span_idx)) has an immutable buffer
+    # and silently degrades the whole stage to Sort + SortAggregate
+    # (measured 8.0 s vs 4.4 s at sf1). Packing is order-preserving for
+    # the FULL bigint id range (decimal headroom, no 2^k bound) and any
+    # span count below 10¹⁰ − 1 per document.
+    from ..partitioning import ensure_parallelism
+
+    TEN10 = F.lit(10_000_000_000).cast("decimal(11,0)")
+    sp = (
+        ensure_parallelism(df.where(F.col(text_col).isNotNull()))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.concat(F.array(F.lit(None).cast("string")), spans)
+            ).alias("_pos", "span"),
+        )
+        .select(
+            F.struct(
+                F.col("span").isNull().alias("s"),
+                F.coalesce(F.col("span"), F.col(id_col).cast("string")).alias("k"),
+            ).alias("_gk"),
+            (F.col(id_col).cast("decimal(20,0)") * TEN10
+             + F.col("_pos").cast("decimal(20,0)")).alias("_packed"),
+        )
+    )
+    kept = sp.groupBy("_gk").agg(F.min("_packed").alias("_p"))
+    rem = F.pmod(F.col("_p"), TEN10)
+    winners = kept.select(
+        "_gk",
+        ((F.col("_p") - rem) / TEN10).cast("long").alias(id_col),
+        (rem.cast("long") - 1).alias("span_idx"),
+    )
+    rebuilt = winners.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_gk.s"),
+                            F.struct(F.col("span_idx"),
+                                     F.col("_gk.k").alias("span")),
+                        )
+                    )
+                ),
                 lambda s: s["span"],
             ),
             " ",
         ).alias(text_col),
-        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+        F.sum(F.when(~F.col("_gk.s"), 1).otherwise(0)).cast("long").alias("n_spans_kept"),
     )
-    # Fully-deduplicated documents drop out of the groupBy; restore them
-    # as empty rows so the output is total over the input id set.
-    ids = df.where(F.col(text_col).isNotNull()).select(id_col)
-    return (
-        ids.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-            F.coalesce(F.col("n_spans_kept"), F.lit(0)).alias("n_spans_kept"),
-        )
-    )
+    return rebuilt.select(id_col, text_col, "n_spans_kept")
 
 
 def repeated_spans(
