@@ -270,7 +270,10 @@ def contamination(
         # and a per-doc aggregate; measured 4.7 s → ~3.3 s at 50k docs).
         # Identical counts: shingles_for arrays are already per-doc
         # DISTINCT, exactly the rows the explode produces.
-        ev_set = {r["g"] for r in eval_grams.select("g").collect()}
+        # One Arrow transfer (toPandas) instead of row-by-row py4j decode
+        # — the same ~10x fetch-path win fit_centroids measured; at the
+        # 2M-gram cap the py4j path was eating the tier's advantage.
+        ev_set = set(eval_grams.select("g").toPandas()["g"])
         bc = corpus.sparkSession.sparkContext.broadcast(ev_set)
 
         @F.pandas_udf("n_grams bigint, n_hits bigint")

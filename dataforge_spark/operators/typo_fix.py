@@ -71,12 +71,14 @@ def replace_words_expr(col: Column, mapping: dict[str, str]) -> Column:
 
     The sequential JVM chain is kept for two cases where it is the right
     plan: tiny maps (≤ ``_MIN_ALTERNATION`` — codegen beats a Python
-    round-trip), and CASCADING maps where some fix introduces a word
-    that is itself a typo key — there the chain's apply-in-order
-    semantics (later entries re-process earlier fixes) differ from
-    single-pass, so the chain is authoritative up to
-    ``_MAX_REGEX_CHAIN``; past that an alternation map is applied
-    single-pass (documented semantics for oversized cascading maps).
+    round-trip), and CASCADING or KEY-OVERLAPPING maps — some fix
+    introduces a word that is itself a typo key, or two keys share a
+    word and can claim overlapping text regions — there the chain's
+    apply-in-order semantics (later entries re-process earlier fixes;
+    earlier entries win contested regions) differ from single-pass, so
+    the chain is authoritative up to ``_MAX_REGEX_CHAIN``; past that an
+    alternation map is applied single-pass with leftmost-longest match
+    (documented semantics for oversized cascading/overlapping maps).
     """
     # Cascade = some fix TEXT matches another key's \b-delimited regex —
     # tested with the actual pattern, not a whitespace split, so keys
@@ -86,14 +88,27 @@ def replace_words_expr(col: Column, mapping: dict[str, str]) -> Column:
     # pattern probes); larger maps are single-pass by construction.
     # (a key inside its OWN fix is not a cascade: a single
     # regexp_replace never reprocesses its output, only LATER entries do)
-    cascades = len(mapping) <= _MAX_REGEX_CHAIN and any(
+    small = len(mapping) <= _MAX_REGEX_CHAIN
+    cascades = small and any(
         k != src and re.search(rf"(?i)\b{re.escape(k)}\b", str(fix))
         for src, fix in mapping.items()
         for k in mapping
     )
-    if len(mapping) <= _MIN_ALTERNATION or (
-        cascades and len(mapping) <= _MAX_REGEX_CHAIN
-    ):
+    # Key-vs-key overlap: two keys sharing a word can claim overlapping
+    # text regions, where the chain's apply-in-order result differs from
+    # a single leftmost-longest pass ({'b c': 'Y', 'a b': 'X'} on
+    # 'a b c': chain → 'a Y', alternation → 'X c'). Route those through
+    # the chain too; oversized overlapping maps (> _MAX_REGEX_CHAIN) get
+    # the documented single-pass leftmost-longest semantics.
+    overlaps = False
+    if small and not cascades:
+        words = [set(re.findall(r"\w+", k.lower())) for k in mapping]
+        overlaps = any(
+            words[i] & words[j]
+            for i in range(len(words))
+            for j in range(i + 1, len(words))
+        )
+    if len(mapping) <= _MIN_ALTERNATION or ((cascades or overlaps) and small):
         c = col
         for typo, fix in mapping.items():
             c = F.regexp_replace(c, f"(?i)\\b{re.escape(typo)}\\b", fix)

@@ -165,8 +165,21 @@ def range_aggregate(
 
     Shuffles: one hash exchange into buckets + the final per-interval
     groupBy (|I| rows). Nothing is ever O(pairs).
+
+    Numeric contract: INTEGRAL ``sum_cols`` accumulate as decimal(38,0)
+    end to end (prefix sums are cumulative — double accumulation loses
+    integer exactness once a running total passes 2^53, unlike the
+    pair-materializing range_join+groupBy this replaces) and come back
+    as ``decimal(38,0)``; float columns accumulate as double, so their
+    sums carry the usual last-ulp, order-dependent float error.
     """
     sum_cols = list(sum_cols or [])
+    _pt_types = dict(points.dtypes)
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+    def _acc_type(c: str) -> str:
+        base = _pt_types.get(c, "double").split("(")[0]
+        return "decimal(38,0)" if base in _INTEGRAL else "double"
     iv_cols = intervals.columns
     reserved = {"__v", "__kind", "__b", "__sign", "__cnt", "__local_cnt",
                 "__off_cnt", "__iid"}
@@ -203,7 +216,7 @@ def range_aggregate(
         F.lit(None).cast("bigint").alias("__iid"),
         F.lit(0).alias("__sign"),
         F.lit(1).cast("bigint").alias("__cnt"),
-        *[F.col(c).cast("double").alias(f"__s_{c}") for c in sum_cols],
+        *[F.col(c).cast(_acc_type(c)).alias(f"__s_{c}") for c in sum_cols],
     )
     # lazy localCheckpoint pins the generated ids: monotonically_
     # increasing_id is a function of the partition layout, and this
@@ -219,7 +232,7 @@ def range_aggregate(
         F.col("__iid"),
         F.lit(sign).alias("__sign"),
         F.lit(0).cast("bigint").alias("__cnt"),
-        *[F.lit(0.0).alias(f"__s_{c}") for c in sum_cols],
+        *[F.lit(0).cast(_acc_type(c)).alias(f"__s_{c}") for c in sum_cols],
     )
     unioned = pts.unionByName(probe(lo_col, 0, -1)).unionByName(
         probe(hi_col, 2, 1)
@@ -243,16 +256,26 @@ def range_aggregate(
         ).collect(),
         key=lambda r: r["__b"],
     )
-    offs, acc = [], [0] + [0.0] * len(sum_cols)
+    from decimal import Decimal
+
+    def _is_dec(c: str) -> bool:
+        return _acc_type(c).startswith("decimal")
+
+    # integral columns accumulate in exact Python ints driver-side
+    offs, acc = [], [0] + [0 if _is_dec(c) else 0.0 for c in sum_cols]
     for r in totals:
-        offs.append((int(r["__b"]), int(acc[0]),
-                     *[float(a) for a in acc[1:]]))
+        offs.append((
+            int(r["__b"]), int(acc[0]),
+            *[Decimal(a) if _is_dec(c) else float(a)
+              for c, a in zip(sum_cols, acc[1:])],
+        ))
         acc = [acc[0] + int(r["c"] or 0)] + [
-            acc[1 + i] + float(r[f"s_{c}"] or 0.0)
+            acc[1 + i] + ((int(r[f"s_{c}"] or 0)) if _is_dec(c)
+                          else float(r[f"s_{c}"] or 0.0))
             for i, c in enumerate(sum_cols)
         ]
     off_schema = "__b bigint, __off_cnt bigint" + "".join(
-        f", __off_{c} double" for c in sum_cols
+        f", __off_{c} {_acc_type(c)}" for c in sum_cols
     )
     off = points.sparkSession.createDataFrame(offs, off_schema)
 

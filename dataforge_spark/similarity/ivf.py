@@ -47,7 +47,16 @@ def fit_centroids(
     ``sample_rows`` defaults to ~1500 points per centroid at k=16 —
     plenty for a coarse quantizer; the sample reaches the driver through
     one Arrow ``toPandas`` transfer (py4j row decoding of array columns
-    measured ~10× slower at 100k vectors)."""
+    measured ~10× slower at 100k vectors).
+
+    COMPATIBILITY NOTE (r5→r6): the default ``sample_rows`` changed
+    100_000 → 25_000. Same seed now yields DIFFERENT centroids, hence
+    different bucket assignments and different small-``nprobe`` recall,
+    for corpora over 25k vectors; persisted indexes built under the old
+    default keep working (centroids are stored with the index). Results
+    are exact regardless of centroids whenever ``nprobe >=
+    n_centroids``; pass ``sample_rows=100_000`` explicitly to reproduce
+    pre-r6 bucket layouts."""
     n = df.count()
     s = df.select(vec_col)
     if n > sample_rows:

@@ -431,3 +431,21 @@ def test_replace_words_detects_punctuation_adjacent_cascade(spark):
         tf.replace_words_expr(F.col("t"), mapping).alias("t")
     ).collect()[0]["t"]
     assert got == "anti-insect here"
+
+
+def test_replace_words_detects_key_vs_key_overlap(spark):
+    """Two keys sharing a word ('a b' / 'b c') can claim overlapping text
+    regions; the chain's apply-in-order result ('a b c' -> first entry
+    wins its region) must be preserved — the overlap detector routes such
+    maps to the chain even though no FIX contains a key."""
+    from pyspark.sql import functions as F
+
+    import dataforge_spark.operators.typo_fix as tf
+
+    # > _MIN_ALTERNATION entries so only the overlap check forces the chain
+    mapping = {"b c": "Y", "a b": "X"} | {f"t{i}": f"w{i}" for i in range(10)}
+    df = spark.createDataFrame([("a b c",)], "t string")
+    got = df.select(
+        tf.replace_words_expr(F.col("t"), mapping).alias("t")
+    ).collect()[0]["t"]
+    assert got == "a Y"  # chain: 'b c' -> Y first; alternation would give 'X c'

@@ -291,3 +291,19 @@ def test_range_aggregate_rejects_reserved_iid(spark):
                                "iid long, lo double, hi double, __iid long")
     with _pytest.raises(ValueError):
         range_aggregate(points, iv, "x", "lo", "hi")
+
+
+def test_range_aggregate_integral_sums_stay_exact_past_2_53(spark):
+    """Integral sum columns accumulate as decimal(38,0): a cumulative
+    prefix sum past 2^53 in double would round to the nearest ulp (8 at
+    ~4.5e16) and the interval differences would inherit the error."""
+    from dataforge_spark.relational import range_aggregate
+
+    big = 1 << 53
+    pts = spark.createDataFrame(
+        [(float(i), big + i) for i in range(1, 6)], "v double, w bigint"
+    )
+    iv = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    out = range_aggregate(pts, iv, "v", "lo", "hi", sum_cols=["w"]).collect()[0]
+    assert out["n_pts"] == 5
+    assert int(out["sum_w"]) == sum(big + i for i in range(1, 6))
