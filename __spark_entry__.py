@@ -1075,8 +1075,16 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (applyInPandasWithState) and the built-in ``session_window`` batch
     twin (pure JVM). Pinned semantic differences live in the oracle:
     native end is EXCLUSIVE (last event + gap) and an exactly-gap quiet
-    period starts a new session there (strict <)."""
-    from dataforge_spark.streaming import sessionize_native, sessionize_stream
+    period starts a new session there (strict <). The stateful leg
+    drains through the production parquet file sink (run_to_parquet_df):
+    its output is row-proportional (~1 session/user/30min-gap), so the
+    memory sink's driver-side collect was most of the row's cost at
+    sf1."""
+    from dataforge_spark.streaming import (
+        run_to_parquet_df,
+        sessionize_native,
+        sessionize_stream,
+    )
 
     _utc(spark)
     ev = _events(spark, sf_dir)
@@ -1084,7 +1092,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, path, ev.schema)
     sessions = sessionize_stream(stream, user_col="user_id", ts_col="ts",
                                  gap_minutes=30)
-    got = run_to_memory(sessions)
+    got = run_to_parquet_df(sessions)
     sel = lambda d, v: d.select(  # noqa: E731
         F.lit(v).alias("variant"), "user_id",
         F.col("session_id").cast("bigint").alias("session_id"),

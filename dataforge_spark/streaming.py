@@ -190,7 +190,10 @@ def sessionize_stream(
         state.update((int(us[-1]), int(sess[-1])))
         yield out
 
-    return events.groupBy(user_col).applyInPandasWithState(
+    # Project to the two columns the state fn reads BEFORE the state
+    # shuffle: the grouped-map Arrow transfer otherwise ships every event
+    # column (props payloads included) into Python per micro-batch.
+    return events.select(user_col, ts_col).groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
@@ -275,6 +278,23 @@ def run_to_parquet(
         .queryName(name or f"pq_{uuid.uuid4().hex[:8]}")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def run_to_parquet_df(stream_df: DataFrame, name: str | None = None) -> DataFrame:
+    """Drain a (bounded) stream through the PRODUCTION file sink — append
+    parquet + checkpoint commit log — and return the result read back as
+    a batch frame. Prefer this over ``run_to_memory`` whenever the
+    output is row-proportional to the input: the memory sink collects
+    every output row onto the driver (~5 s of the sf1 sessionize row was
+    that collect), while the file sink keeps rows distributed end to end
+    — the same shape a real job runs."""
+    tag = name or f"sink_{uuid.uuid4().hex[:8]}"
+    base = f"/tmp/dataforge_stream_{tag}"
+    q = run_to_parquet(stream_df, f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return stream_df.sparkSession.read.schema(stream_df.schema).parquet(
+        f"{base}/out"
     )
 
 
