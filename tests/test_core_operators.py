@@ -449,3 +449,40 @@ def test_replace_words_detects_key_vs_key_overlap(spark):
         tf.replace_words_expr(F.col("t"), mapping).alias("t")
     ).collect()[0]["t"]
     assert got == "a Y"  # chain: 'b c' -> Y first; alternation would give 'X c'
+
+
+def test_detect_stats_matches_jvm_semantics(spark):
+    """The Arrow detection kernel must produce the same counts as the JVM
+    aggregate it replaced (try_cast / trim / try_to_timestamp semantics)
+    on an adversarial value battery."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.operators.type_conversion import (
+        _detect_stats,
+        parse_timestamp_expr,
+        _BOOL_VOCAB,
+    )
+
+    vals = ["123", " 123 ", "1.5e3", "-0.7", ".", "", " ", "abc", "NaN",
+            "nan", "NAN", "+nan", "inf", "-Infinity", "1,000", "0x1A",
+            "12.", ".5", "+5", "5f", "5D", "1.f", "5 f", "nanf", "1e",
+            "12.3.4", "true", " YES ", "\ttrue", "2020-01-01", "2020-1-1",
+            "2020-13-01", "2020-02-30", "2020-01-01 05:06:07", None, "42"]
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    fmts = {"c": ["yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss"]}
+    got = _detect_stats(df, ["c"], fmts)
+
+    v = F.col("c")
+    num = v.try_cast("double")
+    jvm = df.agg(
+        F.count(v).alias("nn"),
+        F.count(num).alias("num"),
+        F.sum((num.isNotNull() & (num == F.floor(num))).cast("long")).alias("int"),
+        F.min(v).alias("mn"), F.max(v).alias("mx"),
+        F.sum(F.lower(F.trim(v)).isin(sorted(_BOOL_VOCAB)).cast("long")).alias("bool"),
+        F.count(parse_timestamp_expr(v, fmts["c"])).alias("dt"),
+    ).collect()[0]
+    for k in ("nn", "num", "int", "bool", "dt"):
+        assert got[f"{k}_c"] == jvm[k], (k, got[f"{k}_c"], jvm[k])
+    # distinctness gate: only min != max matters
+    assert (got["mn_c"] != got["mx_c"]) == (jvm["mn"] != jvm["mx"])
