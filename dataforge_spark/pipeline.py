@@ -21,6 +21,8 @@ Spark-first differences (deliberate):
 
 from __future__ import annotations
 
+import logging
+import os
 import time
 from typing import Any
 
@@ -57,6 +59,35 @@ CANONICAL_ORDER = [
 
 VALID_MISSING_STRATEGIES = missing_values.STRATEGIES
 VALID_OUTLIER_METHODS = outliers.METHODS
+
+
+logger = logging.getLogger("dataforge_spark.pipeline")
+
+
+def enable_run_logging(
+    path: str | None = None, level: int = logging.INFO
+) -> logging.Handler:
+    """Persistent run logging — reference parity
+    (/root/reference/pipeline.py:38-45, which appends every run's per-op
+    lines to ``pipeline_log.txt`` next to the module via a module-level
+    ``basicConfig``). Opt-in here: a library must not write files as an
+    import side effect. Attaches an append-mode FileHandler with the
+    reference's line format to the ``dataforge_spark`` logger and returns
+    it so callers can detach (``disable_run_logging(handler)``)."""
+    path = path or os.path.join(os.getcwd(), "pipeline_log.txt")
+    handler = logging.FileHandler(path, mode="a")
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    )
+    pkg = logging.getLogger("dataforge_spark")
+    pkg.setLevel(level)
+    pkg.addHandler(handler)
+    return handler
+
+
+def disable_run_logging(handler: logging.Handler) -> None:
+    logging.getLogger("dataforge_spark").removeHandler(handler)
+    handler.close()
 
 
 def validate_operations(operations: dict[str, Any]) -> list[str]:
@@ -281,6 +312,10 @@ class CleaningPipeline:
 
         report: dict[str, Any] = {"operations": {}, "order": []}
         t0 = time.time()
+        # per-op lines mirror the reference's pipeline_log.txt vocabulary
+        # (/root/reference/pipeline.py:159,190,193) — lazily composed, so
+        # the start line logs columns, not a row count (a count is a job)
+        logger.info("Starting pipeline run (%d columns)", len(df.columns))
         current = boundary_scrub(df) if self.bug_compat else df
         persisted: list[DataFrame] = []
 
@@ -303,6 +338,7 @@ class CleaningPipeline:
             if not cfg or not cfg.get("enabled", False):
                 continue
             op_report: dict[str, Any] = {"status": "success"}
+            logger.info("Running %s operation...", name)
             try:
                 before = current.count() if self.collect_metrics else None
                 nxt = self._apply_one(current, name, cfg)
@@ -347,12 +383,18 @@ class CleaningPipeline:
                 if do_persist:
                     current = current.persist(StorageLevel.MEMORY_AND_DISK)
                     persisted.append(current)
+                logger.info("%s operation completed successfully", name)
             except Exception as e:  # error-isolated: keep previous df
                 op_report = {"status": "error", "message": str(e)}
+                logger.error("Error in %s: %s", name, e)
             report["operations"][name] = op_report
             report["order"].append(name)
 
         report["processing_time_seconds"] = round(time.time() - t0, 4)
+        logger.info(
+            "Pipeline completed in %.2fs; final columns: %d",
+            report["processing_time_seconds"], len(current.columns),
+        )
         report["final_columns"] = list(current.columns)
         # Keep only the final frame pinned; free the intermediates.
         for p in persisted[:-1]:

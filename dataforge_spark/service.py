@@ -15,6 +15,7 @@ import-gated and exercised only by its presence.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 from typing import Any
@@ -23,6 +24,10 @@ from pyspark.sql import SparkSession
 
 from . import io as dfio
 from .pipeline import CleaningPipeline, validate_operations
+
+# Shares the package logger tree: attach pipeline.enable_run_logging()
+# for the reference's persistent pipeline_log.txt behavior.
+logger = logging.getLogger("dataforge_spark.service")
 from .profile import dataset_info
 from .sanitize import sanitize_for_json
 
@@ -154,6 +159,7 @@ class DataForgeService:
         dest = os.path.join(self.upload_dir, os.path.basename(filename))
         if os.path.abspath(src_path) != os.path.abspath(dest):
             shutil.copyfile(src_path, dest)
+        logger.info("File uploaded: %s", dest)
         df = dfio.read_csv(self.spark, dest)
         info = sanitize_for_json(dataset_info(df))
         return {
@@ -180,9 +186,11 @@ class DataForgeService:
 
         base = os.path.splitext(os.path.basename(file_path))[0]
         output_path = os.path.join(self.upload_dir, f"{base}_cleaned.csv")
+        logger.info("Starting pipeline for file: %s", file_path)
         df = dfio.read_csv(self.spark, file_path)
         out, report = CleaningPipeline(collect_metrics=True).run(df, operations)
         dfio.write_csv(out, output_path, single_file=True)
+        logger.info("Final data saved to: %s", output_path)
         return {
             "status": "success",
             "message": "Data cleaning completed successfully",

@@ -94,3 +94,47 @@ def test_auto_persist_policy_counts_downstream_stat_ops():
     assert not f("data_type_conversion", {"auto_detect": False})
     assert f("data_type_conversion", {"auto_detect": False, "errors": "raise"})
     assert f("outliers", {}) and f("normalization", {}) and f("encoding", {})
+
+
+def test_run_logging_writes_per_op_lines(spark, tmp_path):
+    """Reference parity (/root/reference/pipeline.py:38-45): with the
+    opt-in handler attached, a pipeline run appends op-start / op-result
+    lines to a persistent log file; an op failure logs an error line."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.pipeline import (
+        CleaningPipeline,
+        disable_run_logging,
+        enable_run_logging,
+    )
+
+    log = tmp_path / "pipeline_log.txt"
+    h = enable_run_logging(str(log))
+    try:
+        df = spark.createDataFrame(
+            [(1, 4.0), (2, None), (2, None)], "k int, v double"
+        )
+        CleaningPipeline().run(
+            df,
+            {
+                "missing_values": {"enabled": True, "strategy": "fill_mean"},
+                "duplicates": {"enabled": True},
+            },
+        )[0].count()
+        # error isolation still logs: unknown strategy inside an op body
+        out, rep = CleaningPipeline().run(
+            df, {"outliers": {"enabled": True, "method": "iqr",
+                              "action": "cap", "columns": ["missing_col"]}},
+        )
+    finally:
+        disable_run_logging(h)
+    text = log.read_text()
+    assert "Starting pipeline run" in text
+    assert "Running missing_values operation..." in text
+    assert "missing_values operation completed successfully" in text
+    assert "Running duplicates operation..." in text
+    assert "Pipeline completed in" in text
+    # handler detached: a further run must not append
+    size = log.stat().st_size
+    CleaningPipeline().run(df, {"duplicates": {"enabled": True}})
+    assert log.stat().st_size == size
