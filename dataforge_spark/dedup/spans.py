@@ -105,31 +105,46 @@ def span_dedup(
     # span count below 10¹⁰ − 1 per document.
     from ..partitioning import ensure_parallelism
 
-    TEN10 = F.lit(10_000_000_000).cast("decimal(11,0)")
-    sp = (
-        ensure_parallelism(df.where(F.col(text_col).isNotNull()))
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.concat(F.array(F.lit(None).cast("string")), spans)
-            ).alias("_pos", "span"),
-        )
-        .select(
-            F.struct(
-                F.col("span").isNull().alias("s"),
-                F.coalesce(F.col("span"), F.col(id_col).cast("string")).alias("k"),
-            ).alias("_gk"),
+    base = ensure_parallelism(df.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col),
+        F.posexplode(
+            F.concat(F.array(F.lit(None).cast("string")), spans)
+        ).alias("_pos", "span"),
+    )
+    gk = F.struct(
+        F.col("span").isNull().alias("s"),
+        F.coalesce(F.col("span"), F.col(id_col).cast("string")).alias("k"),
+    ).alias("_gk")
+    id_base = dict(df.dtypes)[id_col].split("(")[0]
+    if id_base in ("tinyint", "smallint", "int", "bigint"):
+        TEN10 = F.lit(10_000_000_000).cast("decimal(11,0)")
+        sp = base.select(
+            gk,
             (F.col(id_col).cast("decimal(20,0)") * TEN10
              + F.col("_pos").cast("decimal(20,0)")).alias("_packed"),
         )
-    )
-    kept = sp.groupBy("_gk").agg(F.min("_packed").alias("_p"))
-    rem = F.pmod(F.col("_p"), TEN10)
-    winners = kept.select(
-        "_gk",
-        ((F.col("_p") - rem) / TEN10).cast("long").alias(id_col),
-        (rem.cast("long") - 1).alias("span_idx"),
-    )
+        kept = sp.groupBy("_gk").agg(F.min("_packed").alias("_p"))
+        rem = F.pmod(F.col("_p"), TEN10)
+        winners = kept.select(
+            "_gk",
+            ((F.col("_p") - rem) / TEN10).cast(id_base).alias(id_col),
+            (rem.cast("long") - 1).alias("span_idx"),
+        )
+    else:
+        # Non-integral id (string/binary/decimal): min over
+        # struct(id, span_idx) — correct for any orderable id type, but
+        # the immutable struct buffer demotes the stage to SortAggregate;
+        # the packed path above is the fast route for integral ids.
+        sp = base.select(gk, F.col(id_col), (F.col("_pos") - 1).alias("_si"))
+        winners = (
+            sp.groupBy("_gk")
+            .agg(F.min(F.struct(F.col(id_col), F.col("_si"))).alias("w"))
+            .select(
+                "_gk",
+                F.col(f"w.{id_col}").alias(id_col),
+                F.col("w._si").alias("span_idx"),
+            )
+        )
     rebuilt = winners.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -102,3 +102,23 @@ def test_explode_spans_no_shuffle(spark):
     df = _df(spark, [(1, "a b c d e f g")])
     plan = explode_spans(df, span_words=3)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_span_dedup_string_ids(spark):
+    """Non-integral ids take the struct-min keep-first path; semantics
+    must match the integral fast path (keep-first by (id, span_idx))."""
+    from dataforge_spark.dedup.spans import span_dedup
+
+    rows = [
+        ("a", "one two three four five six"),
+        ("b", "one two three four five six"),  # exact dup of a
+        ("c", "something else entirely here now ok"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["text"], r["n_spans_kept"])
+           for r in span_dedup(df, span_words=3).collect()}
+    assert got["a"] == ("one two three four five six", 2)
+    assert got["b"] == ("", 0)          # fully deduplicated, restored row
+    assert got["c"][1] == 2
+    assert "d" not in got               # NULL text excluded, as before
