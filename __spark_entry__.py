@@ -931,9 +931,13 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_logprob,
     )
 
+    from dataforge_spark.partitioning import ensure_parallelism
+
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    base = docs.select(
+    # the per-doc metric projection is CPU-bound string codegen; a
+    # single-row-group documents file would otherwise run it on one core
+    base = ensure_parallelism(docs).select(
         "doc_id",
         token_count(t).alias("n_tokens"),
         regex_token_count(t).alias("n_regex_tokens"),

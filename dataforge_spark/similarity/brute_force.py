@@ -77,7 +77,12 @@ def cosine_topk(
             [None if bad[i] else row for i, row in enumerate(S.tolist())]
         )
 
+    from ..partitioning import ensure_parallelism
+
     qid_arr = F.array(*[F.lit(q) for q in qids])
+    # the matmul pass is CPU-bound: rebalance a single-row-group corpus
+    # scan to cluster parallelism (gated no-op on multi-split inputs)
+    corpus = ensure_parallelism(corpus.select(id_col, vec_col))
     scored = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(scores(F.col(vec_col))).alias("_qi", "_s"),
