@@ -343,10 +343,15 @@ def recall_block(spark, sf_dir: str) -> dict:
     pair = lambda df: df.select("query_id", "neighbor_id")  # noqa: E731
     exact = pair(cosine_topk(corpus=emb, queries=q, k=5,
                              id_col="vec_id", vec_col="embedding"))
-    approx = pair(ivf_cosine_topk(corpus=emb, queries=q, k=5, id_col="vec_id",
-                                  vec_col="embedding", n_centroids=16, nprobe=4))
     n_exact = exact.count()
-    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    ivf_recall = {}
+    for nprobe in (4, 8):
+        approx = pair(ivf_cosine_topk(corpus=emb, queries=q, k=5,
+                                      id_col="vec_id", vec_col="embedding",
+                                      n_centroids=16, nprobe=nprobe))
+        n_hit = exact.join(approx, ["query_id", "neighbor_id"],
+                           "left_semi").count()
+        ivf_recall[nprobe] = round(n_hit / n_exact, 4) if n_exact else None
 
     docs = e._t(spark, sf_dir, "documents")
     ex_pairs = jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3,
@@ -357,10 +362,10 @@ def recall_block(spark, sf_dir: str) -> dict:
     n_ex_pairs = ex_pairs.count()
     n_mh_hit = ex_pairs.join(mh_pairs, ["id_a", "id_b"], "left_semi").count()
     return {
-        "sim_ivf_topk_nprobe4_recall_at_5": (
-            round(n_hit / n_exact, 4) if n_exact else None
-        ),
-        "sim_ivf_topk_nprobe4_pairs": [n_hit, n_exact],
+        "sim_ivf_topk_recall_at_5": {
+            f"nprobe{np_}": r for np_, r in ivf_recall.items()
+        },
+        "sim_ivf_topk_exact_pairs": n_exact,
         "dedup_minhash_t0.9_pair_recall": (
             round(n_mh_hit / n_ex_pairs, 4) if n_ex_pairs else None
         ),
