@@ -1322,13 +1322,21 @@ def _simhash_oracle() -> str:
     """Expected simhash pair counts, recomputed from the oracle-scale data
     with the Spark-free reference path (tools/oracle_recompute.py). Falls
     back to the sf0.01 closed-form constants only if the recompute is
-    unavailable — never silently: the fallback is wrong at other SFs and
-    exists so one harness hiccup can't error all 50 oracle rows."""
+    unavailable — with a logged warning + traceback: the fallback is
+    wrong at other SFs and exists so one harness hiccup can't error all
+    50 oracle rows."""
     try:
         from tools.oracle_recompute import oracle_sf_dir, simhash_expected
 
         n_pairs, n_brute, n_dis, n_planted = simhash_expected(oracle_sf_dir())
     except Exception:  # pragma: no cover - harness resilience
+        import logging
+
+        logging.getLogger("dataforge_spark").warning(
+            "simhash oracle recompute failed; falling back to the sf0.01 "
+            "literals (independence property LOST for this check)",
+            exc_info=True,
+        )
         n_pairs, n_brute, n_dis, n_planted = 126, 126, 0, 100
     return f"""
         SELECT CAST({n_pairs} AS BIGINT) AS n_pairs,
@@ -1347,6 +1355,13 @@ def _iforest_oracle() -> str:
 
         n_kept, kept_id_sum = iforest_expected(oracle_sf_dir())
     except Exception:  # pragma: no cover - harness resilience
+        import logging
+
+        logging.getLogger("dataforge_spark").warning(
+            "isolation-forest oracle recompute failed; falling back to the "
+            "sf0.01 literals (independence property LOST for this check)",
+            exc_info=True,
+        )
         n_kept, kept_id_sum = 9001, 44965329
     return f"""
         SELECT CAST({n_kept} AS BIGINT) AS n_kept,

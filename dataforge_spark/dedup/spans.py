@@ -35,6 +35,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _span_array(text_col: str, span_words: int):
+    """Column expression: the document's consecutive ``span_words``-word
+    chunks (last chunk may be shorter) — the ONE definition of span
+    chunking shared by extraction, dedup and the audit view, so their
+    keys can never drift."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.lit(span_words)
+    return F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / k).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, span_words)),
+    )
+
+
 def explode_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -43,17 +56,15 @@ def explode_spans(
 ) -> DataFrame:
     """(id, span_idx, span) — consecutive ``span_words``-word chunks of
     each document (last chunk may be shorter). NULL text yields no rows.
-    Codegen-only: no shuffle, no Python."""
+    Pure codegen extraction — no Python anywhere; the only possible
+    exchange is the GATED single-row-group rebalance
+    (``ensure_parallelism``), a no-op on any input already at cluster
+    parallelism (pinned by the no-shuffle pytest on such inputs)."""
     from ..partitioning import ensure_parallelism
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    k = F.lit(span_words)
-    spans = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(words) / k).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, span_words)),
-    )
     return ensure_parallelism(df.where(F.col(text_col).isNotNull())).select(
-        F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
+        F.col(id_col),
+        F.posexplode(_span_array(text_col, span_words)).alias("span_idx", "span"),
     )
 
 
@@ -84,12 +95,6 @@ def span_dedup(
        rebuild aggregate sees every document and emits its ``(id, '', 0)``
        row directly.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    k = F.lit(span_words)
-    spans = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(words) / k).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, span_words)),
-    )
     # Sentinel prepended as span_idx −1: posexplode gives 0-based
     # positions over [sentinel, span_0, span_1, ...], shifted back by 1.
     # The grouping key is (is_sentinel, text) — a STRUCT, so sentinel keys
@@ -108,7 +113,8 @@ def span_dedup(
     base = ensure_parallelism(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         F.posexplode(
-            F.concat(F.array(F.lit(None).cast("string")), spans)
+            F.concat(F.array(F.lit(None).cast("string")),
+                     _span_array(text_col, span_words))
         ).alias("_pos", "span"),
     )
     gk = F.struct(

@@ -233,12 +233,21 @@ def _detect_stats(df: DataFrame, str_cols: list[str], fmts: dict) -> dict:
         f"bool{i} long, dt{i} long"
         for i in range(n)
     )
+    import re as _re
+
+    # field-width regexes compiled ASCII so \d rejects non-ASCII digits,
+    # like Java's strict DecimalStyle
     fmt_specs = [
-        [(_PY_FORMATS[f], _FMT_RE[f]) for f in fmts.get(c) or []]
+        [(_PY_FORMATS[f], _re.compile(_FMT_RE[f], _re.ASCII))
+         for f in fmts.get(c) or []]
         for c in str_cols
     ]
     vocab = sorted(_BOOL_VOCAB)
     LONG_MAX = float(2**63 - 1)
+    # Java's parseDouble trims chars <= 0x20 (ASCII control + space),
+    # NOT Unicode whitespace — pandas' default str.strip() is wider and
+    # would count NBSP-wrapped values the JVM apply-cast then nulls.
+    JAVA_WS = "".join(map(chr, range(0x21)))
 
     def stats(batches):
         for pdf in batches:
@@ -254,7 +263,7 @@ def _detect_stats(df: DataFrame, str_cols: list[str], fmts: dict) -> dict:
                 n_nan_lit = 0
                 un = num.isna()
                 if un.any():
-                    t = ss[un].str.strip()
+                    t = ss[un].str.strip(JAVA_WS)
                     # Java float-literal suffixes ('5f'/'5d') and literal
                     # nan words (non-null NaN in Spark; to_numeric's own
                     # NaN result is indistinguishable from a parse miss,

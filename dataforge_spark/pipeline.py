@@ -80,13 +80,21 @@ def enable_run_logging(
         logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
     )
     pkg = logging.getLogger("dataforge_spark")
+    # remember the pre-enable level so disable_run_logging is a true
+    # inverse (leaving the level pinned would route per-op records to
+    # any root handler the app configures later)
+    handler._dataforge_prev_level = pkg.level  # type: ignore[attr-defined]
     pkg.setLevel(level)
     pkg.addHandler(handler)
     return handler
 
 
 def disable_run_logging(handler: logging.Handler) -> None:
-    logging.getLogger("dataforge_spark").removeHandler(handler)
+    pkg = logging.getLogger("dataforge_spark")
+    pkg.removeHandler(handler)
+    prev = getattr(handler, "_dataforge_prev_level", None)
+    if prev is not None:
+        pkg.setLevel(prev)
     handler.close()
 
 

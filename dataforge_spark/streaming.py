@@ -288,11 +288,23 @@ def run_to_parquet_df(stream_df: DataFrame, name: str | None = None) -> DataFram
     output is row-proportional to the input: the memory sink collects
     every output row onto the driver (~5 s of the sf1 sessionize row was
     that collect), while the file sink keeps rows distributed end to end
-    — the same shape a real job runs."""
-    tag = name or f"sink_{uuid.uuid4().hex[:8]}"
+    — the same shape a real job runs.
+
+    Every call gets a FRESH sink+checkpoint directory (``name`` is a
+    label prefix, not an identity): reusing a checkpoint against a
+    different input would replay/skip batches from the old commit log
+    and mix old committed files into the read-back. The checkpoint is
+    deleted once the drain completes; the output directory must outlive
+    this call (the returned frame reads it lazily) and is removed when
+    /tmp is cleared — callers wanting a durable or self-managed sink
+    should use ``run_to_parquet`` directly."""
+    import shutil
+
+    tag = f"{name or 'sink'}_{uuid.uuid4().hex[:8]}"
     base = f"/tmp/dataforge_stream_{tag}"
     q = run_to_parquet(stream_df, f"{base}/out", f"{base}/ckpt")
     q.awaitTermination()
+    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(
         f"{base}/out"
     )

@@ -99,9 +99,17 @@ def test_differential_vs_serial_on_documents(spark, documents, k):
 
 
 def test_explode_spans_no_shuffle(spark):
-    df = _df(spark, [(1, "a b c d e f g")])
+    """Extraction over an ALREADY-PARALLEL input must not shuffle — the
+    gated rebalance (for single-row-group files) has to be a no-op here.
+    The input is explicitly repartitioned to cluster parallelism so this
+    actually exercises the gate's no-op branch (a 1-row createDataFrame
+    happens to satisfy it too, but not by intent)."""
+    df = _df(spark, [(1, "a b c d e f g")]).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     plan = explode_spans(df, span_words=3)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # the only exchange is the input repartition this test itself added
+    assert plan.count("Exchange") == 1
 
 
 def test_span_dedup_string_ids(spark):
