@@ -178,6 +178,9 @@ SF1_SPOT_QUERIES = [
     "txt_metrics",
     "dedup_exact_intercorpus",
     "n1_n5_standard_roundtrip",
+    # round-6: the text-cleaning row moved to the Arrow kernel — fold-
+    # compare it at sf1 too, not only at the sf0.01 row-exact gate
+    "x_text_suite",
 ]
 
 _DUCK_NUM = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",

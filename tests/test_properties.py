@@ -107,3 +107,43 @@ def test_text_kernel_matches_expr(spark, texts):
     ).collect()
     for r in both:
         assert r["e"] == r["k"], (r["e"], r["k"])
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.from_regex(r"[0-9]{1,6}(\.[0-9]{1,4})?", fullmatch=True),
+            st.from_regex(r"[0-9]{4}-[0-9]{2}-[0-9]{2}", fullmatch=True),
+            st.sampled_from(["yes", "no", "TRUE", " false ", "nan", "inf",
+                             "5f", "1e3", "-7", "+8.5", "abc", ""]),
+            st.text(alphabet="0123456789.eE+-f na/:", min_size=0, max_size=14),
+        ),
+        min_size=1, max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_detect_stats_differential(spark, vals):
+    """Hypothesis differential: the Arrow detection kernel's counts must
+    equal the JVM try_cast/trim/try_to_timestamp formulation on arbitrary
+    numeric-ish/date-ish/bool-ish strings."""
+    from dataforge_spark.operators.type_conversion import (
+        _BOOL_VOCAB,
+        _detect_stats,
+        parse_timestamp_expr,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    fmts = {"c": ["yyyy-MM-dd"]}
+    got = _detect_stats(df, ["c"], fmts)
+    v = F.col("c")
+    num = v.try_cast("double")
+    jvm = df.agg(
+        F.count(v).alias("nn"),
+        F.count(num).alias("num"),
+        F.sum((num.isNotNull() & (num == F.floor(num))).cast("long")).alias("int"),
+        F.sum(F.lower(F.trim(v)).isin(sorted(_BOOL_VOCAB)).cast("long")).alias("bool"),
+        F.count(parse_timestamp_expr(v, fmts["c"])).alias("dt"),
+    ).collect()[0]
+    for k in ("nn", "num", "int", "bool", "dt"):
+        assert got[f"{k}_c"] == (jvm[k] or 0), (k, got[f"{k}_c"], jvm[k], vals)
