@@ -263,18 +263,31 @@ def _detect_stats(df: DataFrame, str_cols: list[str], fmts: dict) -> dict:
                 n_nan_lit = 0
                 un = num.isna()
                 if un.any():
-                    t = ss[un].str.strip(JAVA_WS)
-                    # Java float-literal suffixes ('5f'/'5d') and literal
+                    miss = ss[un]
+                    stripped = miss.str.strip(JAVA_WS)
+                    # The retry exists only for Java's extras to_numeric
+                    # rejects: float-literal suffixes ('5f'/'5d'), bare
                     # nan words (non-null NaN in Spark; to_numeric's own
-                    # NaN result is indistinguishable from a parse miss,
-                    # so nan literals are counted separately)
-                    num.loc[un] = pd.to_numeric(
-                        t.str.replace(r"(?<=[\d.])[fFdD]$", "", regex=True),
-                        errors="coerce",
+                    # NaN is indistinguishable from a parse miss), and
+                    # control-char padding (Java trims <=0x20, to_numeric
+                    # is narrower). Gate on those candidates — a column
+                    # of 'yes'/'no' or dates would otherwise pay 3 more
+                    # full string passes for nothing.
+                    low = stripped.str.lower()
+                    cand = (
+                        stripped.str[-1:].isin(["f", "F", "d", "D"])
+                        | (low == "nan")
+                        | (stripped != miss)
                     )
-                    # bare (unsigned) nan only: '+nan'/'-nan' are rejected
-                    # by Spark's string→double parse
-                    n_nan_lit = int((t.str.lower() == "nan").sum())
+                    if cand.any():
+                        t = stripped[cand]
+                        num.loc[t.index] = pd.to_numeric(
+                            t.str.replace(r"(?<=[\d.])[fFdD]$", "", regex=True),
+                            errors="coerce",
+                        )
+                        # bare (unsigned) nan only: '+nan'/'-nan' are
+                        # rejected by Spark's string→double parse
+                        n_nan_lit = int((t.str.lower() == "nan").sum())
                 v = num.to_numpy(dtype=float)
                 ok = np.isfinite(v)  # NaN (unparsed or nan-literal) is not
                 row[f"num{i}"] = int(num.notna().sum()) + n_nan_lit
