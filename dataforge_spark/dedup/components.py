@@ -45,8 +45,16 @@ def connected_components(
     import pyspark.sql.types as T
 
     dt = pairs.schema[id_a].dataType
-    numeric = isinstance(dt, T.NumericType)
-    key = (lambda c: F.col(c).cast("long")) if numeric else (lambda c: F.col(c))
+    # Only INTEGRAL ids are width-normalized to long (so int id_a unions
+    # cleanly with bigint id_b). A blanket NumericType cast would truncate
+    # fractional double ids (distinct nodes merge) and NULL decimal ids
+    # past ±2^63 — double/decimal ids are orderable as-is, so they keep
+    # their native type like strings do (same integral-only rule as
+    # spans.py's keep-first packing).
+    integral = isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    key = (lambda c: F.col(c).cast("long")) if integral else (lambda c: F.col(c))
     half = pairs.select(key(id_a).alias("u"), key(id_b).alias("v"))
     edges = (
         half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -110,13 +110,20 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingles_for(base, F.col(text_col), n)).alias("s"),
     )
+    # Set sizes come from the FULL (un-pruned) shingle sets: with the
+    # denominator fixed, max_df pruning can only shrink the numerator, so
+    # the reported Jaccard is a LOWER BOUND of the true score (pruning may
+    # hide a true near-dup pair above threshold, never invent one).
+    # Computing sizes after the prune inflated scores instead — two docs
+    # sharing only rare shingles, with all their boilerplate pruned,
+    # scored 1.0 and were falsely dropped.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         # Unhinted anti-join: the hot-shingle set is the head of the
         # corpus' shingle Zipf curve — usually tiny, but it GROWS with the
         # corpus, so the broadcast decision belongs to AQE, not a hint.
         hot = sh.groupBy("s").count().where(F.col("count") > max_df).select("s")
         sh = sh.join(hot, "s", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # Inverted index WITHOUT a self-join: collect each shingle's posting
     # list (sorted doc ids), emit all in-list pairs with a nested
     # transform, count pair occurrences = |A ∩ B|. One groupBy(s) + one
