@@ -738,10 +738,11 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal a brute-force ``bit_count(xor)`` sweep over all signature pairs
     — n_disagree must be 0, and the 100 planted exact-duplicate pairs
     must all surface at hamming 0. The pair counts are deterministic
-    (xxhash64 signatures over fixed testdata) and pinned as literals in
-    the oracle; the brute-force comparison inside the query is the actual
-    guarantee (the O(n²) sweep is the verification harness, not the
-    production path)."""
+    (xxhash64 signatures over fixed testdata) and the oracle recomputes
+    them at check time via a Spark-free pure-Python xxh64 + numpy hamming
+    sweep (``tools/oracle_recompute.py``) — no pinned literals; the
+    brute-force comparison inside the query is the actual guarantee (the
+    O(n²) sweep is the verification harness, not the production path)."""
     from dataforge_spark.dedup.simhash import hamming, simhash
 
     docs = _docs_with_dups(spark, sf_dir)

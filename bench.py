@@ -324,9 +324,11 @@ def recall_block(spark, sf_dir: str) -> dict:
     """Measured recall of the approximate paths against exact ground truth
     at bench scale (VERDICT r5 task 7). Two rows:
 
-    - ``sim_ivf_topk`` at nprobe=4/16 (the genuinely approximate setting —
-      the bench row itself runs full-probe, which is exact by construction):
-      recall@5 = |approx ∩ exact top-k pairs| / |exact top-k pairs|.
+    - ``sim_ivf_topk`` at nprobe=4 and 8 of 16 centroids (the genuinely
+      approximate settings — nprobe=16 equals n_centroids and is exact by
+      construction, so it would measure nothing; the bench row itself runs
+      full-probe): recall@5 = |approx ∩ exact top-k pairs| / |exact top-k
+      pairs|.
     - ``dedup_minhash`` at the shipped (64 perm, 16 bands, t=0.9): pair
       recall vs the exact-Jaccard ≥ 0.9 pair set. The banding collision
       bound says ≥ 1−4e-8 per pair; this measures it instead of citing it.
@@ -403,16 +405,38 @@ def main() -> None:
     # applyInPandasWithState) — measured ~5-7 s on this box. Pay it here
     # on a 10-row stream so the timed stream query measures the operator,
     # not session setup.
-    from dataforge_spark.streaming import run_to_memory, sessionize_stream
+    from dataforge_spark.streaming import (
+        run_to_memory,
+        run_to_parquet_df,
+        sessionize_stream,
+    )
 
     tiny = f"/tmp/dataforge_stream_warm_{os.getpid()}"
     ev.limit(10).coalesce(1).write.mode("overwrite").parquet(tiny)
+    t0 = time.time()
     run_to_memory(
         sessionize_stream(
             spark.readStream.schema(ev.schema).parquet(tiny),
             user_col="user_id", ts_col="ts", gap_minutes=30,
         )
     ).count()
+    # One-time session machinery cost (microbatch executor, state store,
+    # Python worker pool) — paid once per Spark session, like a cluster
+    # job pays it once per application.
+    stream_setup_sec = round(time.time() - t0, 3)
+    # Per-query FLAT micro-batch overhead through the production parquet
+    # sink (planning, state-store commit, sink commit log, read-back) on
+    # a 10-row stream: data cost ~0, so this is the constant every
+    # streaming row pays regardless of scale. steady(data-proportional)
+    # cost of a streaming row = recorded row - this.
+    t0 = time.time()
+    run_to_parquet_df(
+        sessionize_stream(
+            spark.readStream.schema(ev.schema).parquet(tiny),
+            user_col="user_id", ts_col="ts", gap_minutes=30,
+        )
+    ).count()
+    stream_overhead_sec = round(time.time() - t0, 3)
 
     qs = dict(qs)
     qs["s4_profile_approx"] = _s4_profile_approx
@@ -467,6 +491,16 @@ def main() -> None:
         # index for this testdata fingerprint); searches are timed in
         # the sim_ivf_disk_topk row
         "ivf_index_build_sec": ivf_build_sec,
+        # streaming setup-vs-steady split (VERDICT r6 task 3): setup =
+        # once-per-session machinery; overhead = flat per-query
+        # micro-batch cost measured on a 10-row stream through the
+        # production parquet sink; steady = recorded stream_sessionize
+        # row minus that flat overhead (the data-proportional part).
+        "stream_setup_sec": stream_setup_sec,
+        "stream_overhead_sec": stream_overhead_sec,
+        "stream_sessionize_steady_sec": round(
+            max(0.0, times.get("stream_sessionize", 0.0) - stream_overhead_sec), 3
+        ),
     }
     # Measured recall of the approximate paths (off the timed clock).
     try:

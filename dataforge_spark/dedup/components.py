@@ -44,16 +44,24 @@ def connected_components(
     Deterministic regardless of partitioning."""
     import pyspark.sql.types as T
 
-    dt = pairs.schema[id_a].dataType
+    dt_a = pairs.schema[id_a].dataType
+    dt_b = pairs.schema[id_b].dataType
     # Only INTEGRAL ids are width-normalized to long (so int id_a unions
     # cleanly with bigint id_b). A blanket NumericType cast would truncate
     # fractional double ids (distinct nodes merge) and NULL decimal ids
     # past ±2^63 — double/decimal ids are orderable as-is, so they keep
     # their native type like strings do (same integral-only rule as
-    # spans.py's keep-first packing).
-    integral = isinstance(
-        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    )
+    # spans.py's keep-first packing). BOTH columns must be integral: the
+    # cast is applied to both, so an integral id_a paired with a double
+    # id_b must not trigger it (truncating id_b would merge distinct
+    # nodes — the very bug the integral gate exists to prevent).
+    _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    integral = isinstance(dt_a, _INTEGRAL) and isinstance(dt_b, _INTEGRAL)
+    # The sum-based fixpoint check only needs the comp label to be
+    # summable — any numeric id type qualifies (including the double /
+    # decimal ids that keep their native type above). Distinct flag from
+    # `integral`: the cast gate is narrower than the convergence gate.
+    numeric = isinstance(dt_a, T.NumericType) and isinstance(dt_b, T.NumericType)
     key = (lambda c: F.col(c).cast("long")) if integral else (lambda c: F.col(c))
     half = pairs.select(key(id_a).alias("u"), key(id_b).alias("v"))
     edges = (

@@ -84,7 +84,7 @@ def _stopword_hits_vec(col: Column) -> Column:
     return _STOPWORD_UDF[0](col)
 
 
-def stopword_hits(col: Column, lang: str) -> Column:
+def stopword_hits(col: Column, lang: str, hits: Column | None = None) -> Column:
     """Number of tokens that are stopwords of ``lang`` (with multiplicity).
 
     element_at over the shared all-languages Arrow UDF, not ``F.filter``
@@ -93,11 +93,16 @@ def stopword_hits(col: Column, lang: str) -> Column:
     for 50k docs; one Arrow pass ~0.8 s — a lookaround regexp_count
     variant measured in between at 5 s). Tokenization in the UDF
     replicates the expression form exactly: lower, space-only trim,
-    Java-ASCII whitespace split (differential test pins parity)."""
-    return F.element_at(_stopword_hits_vec(col), _LANG_ORDER.index(lang) + 1)
+    Java-ASCII whitespace split (differential test pins parity).
+
+    ``hits`` — an already-materialized all-languages count array (e.g.
+    the ``swc`` field of :func:`doc_metrics_struct`) — skips the UDF so
+    fused callers pay ONE Python pass for every metric."""
+    vec = hits if hits is not None else _stopword_hits_vec(col)
+    return F.element_at(vec, _LANG_ORDER.index(lang) + 1)
 
 
-def language_id(col: Column) -> Column:
+def language_id(col: Column, hits: Column | None = None) -> Column:
     """Language guess: Han-script ratio first (space-delimited stopword
     votes cannot see CJK), then stopword vote with deterministic
     tie-break (first language in STOPWORDS order wins ties); 'unknown'

@@ -14,11 +14,30 @@ Patterns used:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Sink directories created by run_to_parquet_df this process. They must
+# outlive the call (the returned frame reads the parquet lazily), so
+# they are reaped at interpreter exit instead — without this, repeated
+# bench/correctness runs leak one /tmp dir per drained stream.
+_SINK_DIRS: list[str] = []
+
+
+def cleanup_stream_sinks() -> None:
+    """Remove every sink dir created by run_to_parquet_df. Safe to call
+    eagerly once all frames returned by it have been materialized;
+    also registered via atexit as the backstop."""
+    while _SINK_DIRS:
+        shutil.rmtree(_SINK_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(cleanup_stream_sinks)
 
 
 def read_events_stream(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -295,16 +314,16 @@ def run_to_parquet_df(stream_df: DataFrame, name: str | None = None) -> DataFram
     different input would replay/skip batches from the old commit log
     and mix old committed files into the read-back. The checkpoint is
     deleted once the drain completes; the output directory must outlive
-    this call (the returned frame reads it lazily) and is removed when
-    /tmp is cleared — callers wanting a durable or self-managed sink
-    should use ``run_to_parquet`` directly."""
-    import shutil
-
+    this call (the returned frame reads it lazily), so it is tracked in
+    ``_SINK_DIRS`` and reaped at interpreter exit (or eagerly via
+    ``cleanup_stream_sinks()``) — callers wanting a durable or
+    self-managed sink should use ``run_to_parquet`` directly."""
     tag = f"{name or 'sink'}_{uuid.uuid4().hex[:8]}"
     base = f"/tmp/dataforge_stream_{tag}"
     q = run_to_parquet(stream_df, f"{base}/out", f"{base}/ckpt")
     q.awaitTermination()
     shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
+    _SINK_DIRS.append(base)
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(
         f"{base}/out"
     )

@@ -83,3 +83,39 @@ def test_string_ids_preserved(spark):
     )
     kept = {r["doc_id"] for r in dedup_by_components(docs, df).collect()}
     assert kept == {"doc-a", "doc-x", "solo"}
+
+
+def test_fractional_double_ids_not_truncated(spark):
+    """Fractional double ids take the numeric-sum convergence branch but
+    must NOT be long-cast: 1.1 and 1.9 are distinct nodes, and a
+    truncating cast would merge them."""
+    edges = [(1.1, 2.5), (2.5, 3.25), (10.75, 11.5)]
+    df = spark.createDataFrame(edges, "id_a double, id_b double")
+    got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    assert got == {
+        (1.1, 1.1), (2.5, 1.1), (3.25, 1.1),
+        (10.75, 10.75), (11.5, 10.75),
+    }
+
+
+def test_mixed_integral_and_double_ids_skip_cast(spark):
+    """Integral id_a paired with fractional double id_b: the long cast
+    must be gated on BOTH columns, else id_b truncates and 7.5 / 7.25
+    collapse onto node 7."""
+    edges = [(7, 7.5), (8, 7.25)]
+    df = spark.createDataFrame(edges, "id_a int, id_b double")
+    got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    assert got == {
+        (7.0, 7.0), (7.5, 7.0),
+        (8.0, 7.25), (7.25, 7.25),
+    }
+
+
+def test_long_string_chain_uses_changed_row_branch(spark):
+    """A >1-round string-id chain forces the non-numeric convergence
+    branch through multiple iterations (guards the numeric/integral
+    flag pair against refactors breaking one branch)."""
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(16)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    assert got == {(f"n{i:03d}", "n000") for i in range(17)}
