@@ -381,19 +381,34 @@ def q_o2_o3_robust_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_o6_o7_outlier_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 (IQR cap/winsorize) + O7 (log1p transform of positives) as one
-    tagged union — both outlier ACTIONS attested in a single driver row."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
-    cap = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
-                          action="cap", threshold=1.5)
-    log = handle_outliers(li, columns=["l_extendedprice"], method="iqr",
-                          action="transform")
-    return cap.select(
-        F.lit("cap").alias("op"), "l_orderkey", "l_linenumber",
-        F.round("l_extendedprice", 4).alias("l_extendedprice"),
-    ).unionByName(log.select(
-        F.lit("log").alias("op"), "l_orderkey", "l_linenumber",
-        F.round("l_extendedprice", 6).alias("l_extendedprice"),
-    ))
+    tagged union — both outlier ACTIONS attested in a single driver row.
+
+    r7 formulation (VERDICT r6 task 5): the price column is duplicated
+    and BOTH handle_outliers actions run on one frame — cap on the
+    original, transform on the copy — then one explode emits the tagged
+    union. The old two-frame union scanned lineitem twice and Spark
+    does not merge union branches into one scan; this pays one scan and
+    one bounds job (the transform leg never needed bounds at all)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).withColumn("lep_log", F.col("l_extendedprice"))
+    both = handle_outliers(
+        handle_outliers(li, columns=["l_extendedprice"], method="iqr",
+                        action="cap", threshold=1.5),
+        columns=["lep_log"], method="iqr", action="transform",
+    )
+    return both.select(
+        "l_orderkey", "l_linenumber",
+        F.explode(F.array(
+            F.struct(F.lit("cap").alias("op"),
+                     F.round("l_extendedprice", 4).alias("v")),
+            F.struct(F.lit("log").alias("op"),
+                     F.round("lep_log", 6).alias("v")),
+        )).alias("o"),
+    ).select(
+        F.col("o.op").alias("op"), "l_orderkey", "l_linenumber",
+        F.col("o.v").alias("l_extendedprice"),
+    )
 
 
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -927,38 +942,55 @@ def q_o4_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """11-leg per-document text-metric suite, r7 fused formulation
+    (VERDICT r6 task 4): ONE Arrow pass (doc_metrics_struct) computes
+    the stopword vector, rolling fingerprint, Gopher repetition
+    fractions, and the per-doc token-count map; the JVM legs (counts,
+    md5, Han regex, language CASE) ride the same projection. The
+    projection is checkpointed WITHOUT raw text so the unigram-LM leg's
+    two consumers (vocab fit, scoring) re-read small columns + the tc
+    map instead of re-running the UDF or re-exploding corpus token
+    instances. Replaces: 3 corpus scans, 2 Python passes, 2
+    corpus-sized explodes, 2 groupBy shuffles and a doc_id restore join
+    of the unfused form (sf1: 7.3 s → ~3.4 s)."""
     from dataforge_spark.functions.text_analysis import (
-        repetition_metrics,
-        unigram_logprob,
+        doc_metrics_struct,
+        unigram_logprob_from_counts,
     )
 
     from dataforge_spark.partitioning import ensure_parallelism
 
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    # the per-doc metric projection is CPU-bound string codegen; a
-    # single-row-group documents file would otherwise run it on one core
-    base = ensure_parallelism(docs).select(
-        "doc_id",
-        token_count(t).alias("n_tokens"),
-        regex_token_count(t).alias("n_regex_tokens"),
-        language_id(t).alias("lang_guess"),
-        F.round(quality_score(t), 6).alias("quality"),
-        fingerprint(t).alias("fp"),
-        rolling_fingerprint(t).alias("rfp"),
+    m = doc_metrics_struct(t, n=2)
+    # the per-doc metric projection is CPU-bound; a single-row-group
+    # documents file would otherwise run it on one core
+    full = (
+        ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            token_count(t).alias("n_tokens"),
+            regex_token_count(t).alias("n_regex_tokens"),
+            language_id(t, hits=m["swc"]).alias("lang_guess"),
+            F.round(quality_score(t, hits=m["swc"]), 6).alias("quality"),
+            fingerprint(t).alias("fp"),
+            m["rfp"].alias("rfp"),
+            F.round(m["rep_top_frac"], 6).alias("rep_top_frac"),
+            F.round(m["rep_dup_frac"], 6).alias("rep_dup_frac"),
+            m["tc"].alias("tc"),
+        )
+        .localCheckpoint(eager=False)
     )
-    rep = repetition_metrics(docs, text_col="text", id_col="doc_id", n=2).select(
-        F.col("id").alias("doc_id"),
-        F.round("rep_top_frac", 6).alias("rep_top_frac"),
-        F.round("rep_dup_frac", 6).alias("rep_dup_frac"),
-    )
-    # CCNet-style unigram LM signal (round 5): corpus-fitted, Laplace-1;
+    # CCNet-style unigram LM signal: corpus-fitted, Laplace-1;
     # min_count=1 → the corpus IS the vocabulary, no OOV branch.
-    lm = unigram_logprob(docs, text_col="text", id_col="doc_id").select(
+    entries = full.select(
+        "doc_id", F.explode_outer("tc").alias("w", "cnt")
+    )
+    lm = unigram_logprob_from_counts(entries, id_col="doc_id").select(
         F.col("id").alias("doc_id"),
         F.round("avg_logprob", 6).alias("avg_logprob"),
     )
-    return base.join(rep, "doc_id").join(lm, "doc_id")
+    return full.drop("tc").join(lm, "doc_id")
 
 
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,7 +114,7 @@ def language_id(col: Column, hits: Column | None = None) -> Column:
     expr = F.when(
         (n_chars > 0) & (han.cast("double") / n_chars > 0.3), F.lit("zh")
     )
-    scores = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    scores = {lang: stopword_hits(col, lang, hits=hits) for lang in STOPWORDS}
     for lang in STOPWORDS:  # priority order = tie-break order (first wins)
         cond = scores[lang] > 0
         for other in STOPWORDS:
@@ -124,14 +124,16 @@ def language_id(col: Column, hits: Column | None = None) -> Column:
     return expr.otherwise(F.lit("unknown"))
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, hits: Column | None = None) -> Column:
     """Deterministic [0,1] quality heuristic: length band + alpha ratio +
     English-stopword presence (the classic Gopher/C4-style signals,
-    simplified)."""
+    simplified). ``hits`` as in :func:`stopword_hits`."""
     n_tok = token_count(col).cast("double")
     n_chars = F.length(col).cast("double")
     avg_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, stopword_hits(col, "en").cast("double") / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0, stopword_hits(col, "en", hits=hits).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
     len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
     word_ok = F.when((avg_word >= 3) & (avg_word <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
     stop_ok = F.least(F.lit(0.3), stop_ratio * 3)
@@ -231,6 +233,161 @@ def repetition_metrics(
         F.coalesce(total, F.lit(0)).cast("bigint").alias("n_ngrams"),
         F.when(total > 0, F.col("__top") / total).otherwise(0.0).alias("rep_top_frac"),
         F.when(total > 0, F.col("__dup") / total).otherwise(0.0).alias("rep_dup_frac"),
+    )
+
+
+_DOC_METRICS_UDF: dict = {}  # keyed by ngram n (lazy; pandas_udf needs a session)
+
+_DOC_METRICS_TYPE = (
+    "struct<swc:array<int>,rfp:bigint,n_ngrams:bigint,"
+    "rep_top_frac:double,rep_dup_frac:double,tc:map<string,bigint>>"
+)
+
+
+def doc_metrics_struct(col: Column, n: int = 2, modulus: int = 1_000_000_007) -> Column:
+    """ONE Arrow pass computing every per-document text signal that
+    needs Python: the all-languages stopword-hit vector (``swc``, feeds
+    :func:`language_id` / :func:`quality_score` via their ``hits``
+    param), the rolling fingerprint (``rfp``, bit-identical to
+    :func:`rolling_fingerprint`'s JVM fold), the Gopher repetition
+    fractions over word ``n``-grams (identical math to
+    :func:`repetition_metrics`, but per-doc in a Counter — no explode,
+    no two shuffles, no restore join), and the per-doc token-count map
+    (``tc``, whitespace tokens WITH multiplicity — the sufficient
+    statistic for :func:`unigram_logprob_from_counts`).
+
+    Rationale (VERDICT r6 task 4): the unfused q_txt_metrics ran the
+    corpus through two separate Python passes (stopwords, n-grams) plus
+    two corpus-sized token explodes for the LM, and the JVM fold for
+    rfp is CodegenFallback — dragging the whole metric projection out
+    of whole-stage codegen. Fusing tokenizes each document ONCE and
+    returns plain fixed-width columns + one small map.
+
+    Tokenization parity is pinned by differential tests
+    (tests/test_text_fused.py): space-only trim then Java-ASCII ``\\s+``
+    split keeping empty tokens (= the ``F.split(F.trim(col))``
+    expression form); ``swc`` lowers the text first; ``rfp`` uses the
+    lowered tokens with empties dropped (= split of the
+    whitespace-collapsed ``normalize_for_fingerprint`` form). NULL text
+    → NULL swc/rfp/tc, zero n-grams, 0.0 fractions (matching
+    ``explode_outer``'s treatment in the unfused forms)."""
+    if n not in _DOC_METRICS_UDF:
+
+        @F.pandas_udf(_DOC_METRICS_TYPE)
+        def fused(s: pd.Series) -> pd.DataFrame:
+            from collections import Counter
+
+            n_langs = len(_LANG_ORDER)
+            out = {k: [] for k in
+                   ("swc", "rfp", "n_ngrams", "rep_top_frac", "rep_dup_frac", "tc")}
+            for t in s:
+                if t is None:
+                    out["swc"].append(None)
+                    out["rfp"].append(None)
+                    out["n_ngrams"].append(0)
+                    out["rep_top_frac"].append(0.0)
+                    out["rep_dup_frac"].append(0.0)
+                    out["tc"].append(None)
+                    continue
+                raw = _WS_ASCII.split(t.strip(" "))
+                low = _WS_ASCII.split(t.lower().strip(" "))
+                # stopword hits (lowered tokens, multiplicity)
+                counts = [0] * n_langs
+                for tok in low:
+                    js = _STOPWORD_LANGS.get(tok)
+                    if js:
+                        for j in js:
+                            counts[j] += 1
+                out["swc"].append(counts)
+                # rolling fingerprint: lowered, whitespace-collapsed form
+                # == lowered tokens minus empty tokens (an all-empty doc
+                # folds the single "" token to the same 0)
+                h = 0
+                for tok in low:
+                    if tok:
+                        h = (h * 31 + 7 * len(tok) + ord(tok[0])) % modulus
+                out["rfp"].append(h)
+                # word-n-gram repetition (raw tokens, empties kept —
+                # word_ngrams parity)
+                if len(raw) < n:
+                    out["n_ngrams"].append(0)
+                    out["rep_top_frac"].append(0.0)
+                    out["rep_dup_frac"].append(0.0)
+                else:
+                    grams = Counter(
+                        " ".join(raw[i:i + n]) for i in range(len(raw) - n + 1)
+                    )
+                    total = len(raw) - n + 1
+                    top = max(grams.values())
+                    dup = sum(c for c in grams.values() if c > 1)
+                    out["n_ngrams"].append(total)
+                    out["rep_top_frac"].append(top / total)
+                    out["rep_dup_frac"].append(dup / total)
+                # token-count map: the F.split(F.trim(col)) form maps a
+                # blank doc to array() (no tokens), not [""]
+                out["tc"].append(dict(Counter(raw)) if t.strip(" ") != "" else {})
+            return pd.DataFrame(out)
+
+        _DOC_METRICS_UDF[n] = fused
+    return _DOC_METRICS_UDF[n](col)
+
+
+def unigram_logprob_from_counts(
+    entries,
+    id_col: str = "id",
+    w_col: str = "w",
+    cnt_col: str = "cnt",
+    min_count: int = 1,
+    max_vocab: int = 5_000_000,
+    alpha: float = 1.0,
+):
+    """:func:`unigram_logprob` over pre-aggregated per-document token
+    counts — ``entries`` has one row per (document, DISTINCT token) with
+    multiplicity ``cnt`` (e.g. ``explode_outer`` of
+    :func:`doc_metrics_struct`'s ``tc`` map; a NULL ``w`` row marks an
+    empty document). Identical model and smoothing; the mean
+    log-probability is computed as sum(cnt·lp)/sum(cnt), which equals
+    the per-instance mean up to double re-association (both sides of
+    the oracle already sum in different orders).
+
+    Scale: the corpus token INSTANCES never materialize — the explode
+    is bounded by distinct tokens per document, typically 2-5x smaller
+    than instance count on natural text and far smaller on templated
+    text. Same vocab-bounded shuffle + broadcast-gated join as the
+    instance form."""
+    import math
+
+    w, cnt = F.col(w_col), F.col(cnt_col)
+    vocab = (
+        entries.where(w.isNotNull())
+        .groupBy(w_col)
+        .agg(F.sum(cnt_col).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    stats = vocab.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_total, v_size = int(stats["n"]), int(stats["v"])
+    denom = n_total + alpha * (v_size + 1)
+    unseen = math.log(alpha / denom) if denom > 0 else 0.0
+
+    scored_vocab = vocab.select(
+        w_col, F.log((F.col("cnt") + alpha) / F.lit(denom)).alias("lp")
+    )
+    v = F.broadcast(scored_vocab) if v_size <= max_vocab else scored_vocab
+    tok_cnt = F.when(w.isNotNull(), cnt)
+    return (
+        entries.join(v, w_col, "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum(tok_cnt), F.lit(0)).cast("bigint").alias("n_tokens"),
+            (
+                F.sum(tok_cnt * F.coalesce(F.col("lp"), F.lit(unseen)))
+                / F.sum(tok_cnt)
+            ).alias("avg_logprob"),
+        )
+        .withColumnRenamed(id_col, "id")
     )
 
 

@@ -1,0 +1,144 @@
+"""Differential tests pinning doc_metrics_struct (the fused Arrow pass,
+r7) against the unfused expression/UDF forms it replaced — any
+tokenization or math drift between the Python kernel and the JVM
+expressions breaks the txt_metrics oracle, so every branch is pinned on
+adversarial strings: NULL, empty, whitespace-only, tab-padded (Java
+trim strips spaces only), repeated tokens, unicode (case folding,
+non-ASCII whitespace must NOT split under Java-ASCII \\s), emoji, and
+multi-language stopwords."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataforge_spark.functions.text_analysis import (
+    _stopword_hits_vec,
+    doc_metrics_struct,
+    language_id,
+    quality_score,
+    repetition_metrics,
+    rolling_fingerprint,
+    unigram_logprob,
+    unigram_logprob_from_counts,
+)
+
+TRICKY = [
+    None,
+    "",
+    " ",
+    "\t",
+    "  \t  ",
+    "\tthe  quick\tbrown fox\t",
+    "the the the the la le der",
+    "a b a b a b a b",
+    "single",
+    "café Über 漢字 €uro",
+    "a b nbsp stays one token",
+    "\U0001f680 rocket emoji first",
+    "der die das und la la la",
+    "x " * 50 + "y",
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRICKY)], "doc_id int, text string"
+    )
+    t = F.col("text")
+    m = doc_metrics_struct(t, n=2)
+    fused = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            m["swc"].alias("swc"),
+            m["rfp"].alias("rfp"),
+            m["n_ngrams"].alias("n_ngrams"),
+            m["rep_top_frac"].alias("rep_top_frac"),
+            m["rep_dup_frac"].alias("rep_dup_frac"),
+            m["tc"].alias("tc"),
+            language_id(t, hits=m["swc"]).alias("lang_hits"),
+            quality_score(t, hits=m["swc"]).alias("quality_hits"),
+        ).collect()
+    }
+    return df, fused
+
+
+def test_fused_stopword_vector_matches_udf_form(spark, frames):
+    df, fused = frames
+    ref = {
+        r["doc_id"]: r["swc"]
+        for r in df.select(
+            "doc_id", _stopword_hits_vec(F.col("text")).alias("swc")
+        ).collect()
+    }
+    for i in ref:
+        assert fused[i]["swc"] == ref[i], TRICKY[i]
+
+
+def test_fused_rolling_fingerprint_matches_jvm_fold(spark, frames):
+    df, fused = frames
+    ref = {
+        r["doc_id"]: r["rfp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint(F.col("text")).alias("rfp")
+        ).collect()
+    }
+    for i in ref:
+        assert fused[i]["rfp"] == ref[i], TRICKY[i]
+
+
+def test_fused_repetition_matches_explode_form(spark, frames):
+    df, fused = frames
+    ref = {
+        r["id"]: r.asDict()
+        for r in repetition_metrics(df, text_col="text", id_col="doc_id", n=2)
+        .collect()
+    }
+    for i in ref:
+        assert fused[i]["n_ngrams"] == ref[i]["n_ngrams"], TRICKY[i]
+        assert fused[i]["rep_top_frac"] == pytest.approx(
+            ref[i]["rep_top_frac"]), TRICKY[i]
+        assert fused[i]["rep_dup_frac"] == pytest.approx(
+            ref[i]["rep_dup_frac"]), TRICKY[i]
+
+
+def test_fused_langid_quality_match_unfused(spark, frames):
+    df, fused = frames
+    ref = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            language_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("quality"),
+        ).collect()
+    }
+    for i in ref:
+        assert fused[i]["lang_hits"] == ref[i]["lang"], TRICKY[i]
+        assert fused[i]["quality_hits"] == pytest.approx(
+            ref[i]["quality"]), TRICKY[i]
+
+
+def test_count_map_lm_matches_instance_lm(spark, frames):
+    df, fused = frames
+    t = F.col("text")
+    m = doc_metrics_struct(t, n=2)
+    entries = df.select(
+        "doc_id", m["tc"].alias("tc")
+    ).select("doc_id", F.explode_outer("tc").alias("w", "cnt"))
+    got = {
+        r["id"]: r.asDict()
+        for r in unigram_logprob_from_counts(entries, id_col="doc_id").collect()
+    }
+    ref = {
+        r["id"]: r.asDict()
+        for r in unigram_logprob(df, text_col="text", id_col="doc_id").collect()
+    }
+    assert set(got) == set(ref)
+    for i in ref:
+        assert got[i]["n_tokens"] == ref[i]["n_tokens"], TRICKY[i]
+        if ref[i]["avg_logprob"] is None:
+            assert got[i]["avg_logprob"] is None, TRICKY[i]
+        else:
+            assert got[i]["avg_logprob"] == pytest.approx(
+                ref[i]["avg_logprob"], abs=1e-9), TRICKY[i]

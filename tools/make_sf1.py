@@ -42,7 +42,15 @@ SHIFT_COLS = {
 }
 FACTOR = 10
 OFFSET = 100_000_000
-GENVER = 2  # bump when the generation logic changes (cache key)
+GENVER = 3  # bump when the generation logic changes (cache key)
+# Replicated tables are written across this many files: the 10x
+# crossJoin of a single-row-group source otherwise lands in ONE task →
+# one file with ONE 6M-row row group, and parquet cannot split a row
+# group — every sf1 scan then runs on a single core (measured: a
+# 21-split lineitem scan where 20 splits read 0 rows). A real corpus at
+# this size has many row groups; 32 files models that and matches the
+# bench box's cores.
+WRITE_PARTS = 32
 
 
 def _fingerprint(src_dir: str) -> str:
@@ -114,7 +122,7 @@ def ensure_sf1(spark, src_dir: str = "/root/testdata/sf0.1",
                     "text",
                     F.when(F.col("__copy") == 0, F.col("text")).otherwise(mutated),
                 )
-            out = rep.drop("__copy")
+            out = rep.drop("__copy").repartition(WRITE_PARTS)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
     with open(marker, "w") as f:
         json.dump({"src": src_dir, "factor": FACTOR, "offset": OFFSET}, f)
