@@ -358,6 +358,35 @@ def recall_block(spark, sf_dir: str) -> dict:
                            "left_semi").count()
         ivf_recall[nprobe] = round(n_hit / n_exact, 4) if n_exact else None
 
+    # Same index settings on a CLUSTERED corpus of the same scale
+    # (VERDICT r6 task 7): the uniform synthetic corpus has no cluster
+    # structure for IVF to exploit, so its 0.55@nprobe4 under-sells the
+    # index; real embedding corpora cluster. 32 tight planted clusters,
+    # 64-dim, seeded → deterministic.
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(32, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, 100, axis=0) + 0.08 * rng.randn(3200, 64)
+    cl = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(3200, dtype=np.int64),
+        "embedding": list(vecs.tolist()),
+    }))
+    cq = cl.where(F.col("vec_id") % 64 == 0)
+    cl_exact = pair(cosine_topk(corpus=cl, queries=cq, k=5,
+                                id_col="vec_id", vec_col="embedding"))
+    n_cl_exact = cl_exact.count()
+    cl_recall = {}
+    for nprobe in (4, 8):
+        approx = pair(ivf_cosine_topk(corpus=cl, queries=cq, k=5,
+                                      id_col="vec_id", vec_col="embedding",
+                                      n_centroids=16, nprobe=nprobe))
+        n_hit = cl_exact.join(approx, ["query_id", "neighbor_id"],
+                              "left_semi").count()
+        cl_recall[nprobe] = round(n_hit / n_cl_exact, 4) if n_cl_exact else None
+
     docs = e._t(spark, sf_dir, "documents")
     ex_pairs = jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3,
                              threshold=0.9).select("id_a", "id_b")
@@ -371,6 +400,10 @@ def recall_block(spark, sf_dir: str) -> dict:
             f"nprobe{np_}": r for np_, r in ivf_recall.items()
         },
         "sim_ivf_topk_exact_pairs": n_exact,
+        "sim_ivf_clustered_recall_at_5": {
+            f"nprobe{np_}": r for np_, r in cl_recall.items()
+        },
+        "sim_ivf_clustered_exact_pairs": n_cl_exact,
         "dedup_minhash_t0.9_pair_recall": (
             round(n_mh_hit / n_ex_pairs, 4) if n_ex_pairs else None
         ),
