@@ -274,6 +274,18 @@ def sf1_block(spark, sf1_dir: str) -> dict:
     # with co-tenant load on this shared host (same query measured 12 s
     # steady and 99 s in one unlucky window); the min of two runs is the
     # honest steady-state proxy a long job would see.
+    # same host-speed reference job as the sf0.1 block (normalizes the
+    # per-query numbers below against co-tenant contention)
+    from pyspark.sql import functions as F
+
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(200_000_000).agg(
+            F.sum((F.col("id") % 97) * (F.col("id") % 89))
+        ).collect()
+        cal = min(cal, time.time() - t0)
+
     spark_sec: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
@@ -314,6 +326,7 @@ def sf1_block(spark, sf1_dir: str) -> dict:
         "dir": sf1_dir,
         "runs_per_query": 2,
         "ivf_index_build_sec": ivf_build,
+        "calibration_sec": round(cal, 3),
         "spark_sec": spark_sec,
         "pandas_sec": pandas_sec,
         "correctness": correctness,
@@ -499,6 +512,23 @@ def main() -> None:
     # (the amortized steady state), not a full corpus rewrite per query.
     _, ivf_build_sec = entry.build_ivf_disk_index(spark, sf_dir)
 
+    # Host-speed calibration: a fixed CPU-bound reference job (no I/O, no
+    # shuffle — a 200M-row codegen'd aggregate) timed best-of-3. This box
+    # is co-tenant-noisy (documented ±2-3x swings on identical runs);
+    # this number lets a reader normalize recorded rows across rounds —
+    # a calibration much above ~0.6 s means the per-query numbers above
+    # it carry contention, not regression.
+    from pyspark.sql import functions as F
+
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(200_000_000).agg(
+            F.sum((F.col("id") % 97) * (F.col("id") % 89))
+        ).collect()
+        cal = min(cal, time.time() - t0)
+    calibration_sec = round(cal, 3)
+
     times: dict[str, float] = {}
     t_all = time.time()
     for name in BENCH_QUERIES:
@@ -524,6 +554,9 @@ def main() -> None:
         # index for this testdata fingerprint); searches are timed in
         # the sim_ivf_disk_topk row
         "ivf_index_build_sec": ivf_build_sec,
+        # fixed reference-job time (see calibration comment above):
+        # >> ~0.6 s ⇒ the rows above carry co-tenant contention
+        "calibration_sec": calibration_sec,
         # streaming setup-vs-steady split (VERDICT r6 task 3): setup =
         # once-per-session machinery; overhead = flat per-query
         # micro-batch cost measured on a 10-row stream through the

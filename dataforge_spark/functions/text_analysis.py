@@ -236,7 +236,7 @@ def repetition_metrics(
     )
 
 
-_DOC_METRICS_UDF: dict = {}  # keyed by ngram n (lazy; pandas_udf needs a session)
+_DOC_METRICS_UDF: dict = {}  # keyed by (ngram n, rfp modulus); lazy — pandas_udf needs a session
 
 _DOC_METRICS_TYPE = (
     "struct<swc:array<int>,rfp:bigint,n_ngrams:bigint,"
@@ -271,7 +271,8 @@ def doc_metrics_struct(col: Column, n: int = 2, modulus: int = 1_000_000_007) ->
     whitespace-collapsed ``normalize_for_fingerprint`` form). NULL text
     → NULL swc/rfp/tc, zero n-grams, 0.0 fractions (matching
     ``explode_outer``'s treatment in the unfused forms)."""
-    if n not in _DOC_METRICS_UDF:
+    key = (n, modulus)
+    if key not in _DOC_METRICS_UDF:
 
         @F.pandas_udf(_DOC_METRICS_TYPE)
         def fused(s: pd.Series) -> pd.DataFrame:
@@ -328,8 +329,8 @@ def doc_metrics_struct(col: Column, n: int = 2, modulus: int = 1_000_000_007) ->
                 out["tc"].append(dict(Counter(raw)) if t.strip(" ") != "" else {})
             return pd.DataFrame(out)
 
-        _DOC_METRICS_UDF[n] = fused
-    return _DOC_METRICS_UDF[n](col)
+        _DOC_METRICS_UDF[key] = fused
+    return _DOC_METRICS_UDF[key](col)
 
 
 def unigram_logprob_from_counts(
