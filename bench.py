@@ -276,15 +276,7 @@ def sf1_block(spark, sf1_dir: str) -> dict:
     # honest steady-state proxy a long job would see.
     # same host-speed reference job as the sf0.1 block (normalizes the
     # per-query numbers below against co-tenant contention)
-    from pyspark.sql import functions as F
-
-    cal = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(200_000_000).agg(
-            F.sum((F.col("id") % 97) * (F.col("id") % 89))
-        ).collect()
-        cal = min(cal, time.time() - t0)
+    cal = _calibration_sec(spark)
 
     spark_sec: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -326,11 +318,32 @@ def sf1_block(spark, sf1_dir: str) -> dict:
         "dir": sf1_dir,
         "runs_per_query": 2,
         "ivf_index_build_sec": ivf_build,
-        "calibration_sec": round(cal, 3),
+        "calibration_sec": cal,
         "spark_sec": spark_sec,
         "pandas_sec": pandas_sec,
         "correctness": correctness,
     }
+
+
+def _calibration_sec(spark) -> float:
+    """Host-speed calibration: a fixed CPU-bound reference job (no I/O,
+    no shuffle — a 200M-row codegen'd aggregate) timed best-of-3, steady
+    ~0.3 s on a quiet host. This box is co-tenant-noisy (documented
+    ±2-3x swings on identical runs); recording this next to the
+    per-query numbers lets a reader normalize rows across rounds — a
+    calibration much above ~0.6 s means the surrounding numbers carry
+    contention, not regression. Shared by the sf0.1 line and the sf1
+    block so the two stay comparable."""
+    from pyspark.sql import functions as F
+
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(200_000_000).agg(
+            F.sum((F.col("id") % 97) * (F.col("id") % 89))
+        ).collect()
+        cal = min(cal, time.time() - t0)
+    return round(cal, 3)
 
 
 def recall_block(spark, sf_dir: str) -> dict:
@@ -470,19 +483,6 @@ def main() -> None:
     # Python worker pool) — paid once per Spark session, like a cluster
     # job pays it once per application.
     stream_setup_sec = round(time.time() - t0, 3)
-    # Per-query FLAT micro-batch overhead through the production parquet
-    # sink (planning, state-store commit, sink commit log, read-back) on
-    # a 10-row stream: data cost ~0, so this is the constant every
-    # streaming row pays regardless of scale. steady(data-proportional)
-    # cost of a streaming row = recorded row - this.
-    t0 = time.time()
-    run_to_parquet_df(
-        sessionize_stream(
-            spark.readStream.schema(ev.schema).parquet(tiny),
-            user_col="user_id", ts_col="ts", gap_minutes=30,
-        )
-    ).count()
-    stream_overhead_sec = round(time.time() - t0, 3)
 
     qs = dict(qs)
     qs["s4_profile_approx"] = _s4_profile_approx
@@ -506,28 +506,33 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Per-query FLAT micro-batch overhead through the production parquet
+    # sink (planning, state-store commit, sink commit log, read-back) on
+    # a 10-row stream: data cost ~0, so this is the constant every
+    # streaming row pays regardless of scale. Measured AFTER the sf0.001
+    # pre-compile loop (which already drained parquet-sink streams), so
+    # one-time sink-class setup isn't misattributed to the per-query
+    # constant; best-of-2 like every other number on this noisy host.
+    # steady(data-proportional) cost of a streaming row = row - this.
+    stream_overhead_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_to_parquet_df(
+            sessionize_stream(
+                spark.readStream.schema(ev.schema).parquet(tiny),
+                user_col="user_id", ts_col="ts", gap_minutes=30,
+            )
+        ).count()
+        stream_overhead_sec = min(stream_overhead_sec, time.time() - t0)
+    stream_overhead_sec = round(stream_overhead_sec, 3)
+
     # Build the on-disk IVF index up front and report its cost as a
     # separate number: an on-disk index is a once-per-corpus amortized
     # write, so the sim_ivf_disk_topk row below times the SEARCH only
     # (the amortized steady state), not a full corpus rewrite per query.
     _, ivf_build_sec = entry.build_ivf_disk_index(spark, sf_dir)
 
-    # Host-speed calibration: a fixed CPU-bound reference job (no I/O, no
-    # shuffle — a 200M-row codegen'd aggregate) timed best-of-3. This box
-    # is co-tenant-noisy (documented ±2-3x swings on identical runs);
-    # this number lets a reader normalize recorded rows across rounds —
-    # a calibration much above ~0.6 s means the per-query numbers above
-    # it carry contention, not regression.
-    from pyspark.sql import functions as F
-
-    cal = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(200_000_000).agg(
-            F.sum((F.col("id") % 97) * (F.col("id") % 89))
-        ).collect()
-        cal = min(cal, time.time() - t0)
-    calibration_sec = round(cal, 3)
+    calibration_sec = _calibration_sec(spark)
 
     times: dict[str, float] = {}
     t_all = time.time()

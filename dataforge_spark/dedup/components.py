@@ -57,11 +57,15 @@ def connected_components(
     # nodes — the very bug the integral gate exists to prevent).
     _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     integral = isinstance(dt_a, _INTEGRAL) and isinstance(dt_b, _INTEGRAL)
-    # The sum-based fixpoint check only needs the comp label to be
-    # summable — any numeric id type qualifies (including the double /
-    # decimal ids that keep their native type above). Distinct flag from
-    # `integral`: the cast gate is narrower than the convergence gate.
-    numeric = isinstance(dt_a, T.NumericType) and isinstance(dt_b, T.NumericType)
+    # Fixpoint detection: labels only ever DECREASE, so for integral ids
+    # an unchanged EXACT sum == fixpoint. The sum accumulates as
+    # decimal(38,0) — exact for any realistic node count (long sums can
+    # wrap int64, and labels moving by sub-ulp deltas make a DOUBLE sum
+    # falsely stable: a few late label drops can vanish into float
+    # absorption at ~1e16 totals, breaking the loop before convergence).
+    # Double/decimal ids therefore take the exact changed-row branch
+    # below, same as strings — only the long-cast integral path, where
+    # the decimal sum is provably exact, uses the cheap scalar check.
     key = (lambda c: F.col(c).cast("long")) if integral else (lambda c: F.col(c))
     half = pairs.select(key(id_a).alias("u"), key(id_b).alias("v"))
     edges = (
@@ -103,15 +107,19 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        if numeric:
-            # labels only ever decrease, so an unchanged sum == fixpoint.
-            s = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+        if integral:
+            # labels only ever decrease, so an unchanged EXACT sum ==
+            # fixpoint (decimal(38,0): no int64 wrap, no float absorption).
+            s = labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
             if s == prev_sum:
                 break
             prev_sum = s
         else:
-            # no monotone scalar for strings: exact changed-row check
-            # between two checkpointed frames (same key, cheap join).
+            # no exact monotone scalar for strings/doubles/decimals:
+            # exact changed-row check between two checkpointed frames
+            # (same key, cheap join).
             if prev_labels is not None and (
                 labels.alias("a")
                 .join(prev_labels.alias("b"), "u")

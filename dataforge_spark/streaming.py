@@ -320,10 +320,12 @@ def run_to_parquet_df(stream_df: DataFrame, name: str | None = None) -> DataFram
     self-managed sink should use ``run_to_parquet`` directly."""
     tag = f"{name or 'sink'}_{uuid.uuid4().hex[:8]}"
     base = f"/tmp/dataforge_stream_{tag}"
+    # registered BEFORE the drain so a failed/interrupted query's dirs
+    # (out + the not-yet-removed checkpoint) are still reaped at exit
+    _SINK_DIRS.append(base)
     q = run_to_parquet(stream_df, f"{base}/out", f"{base}/ckpt")
     q.awaitTermination()
     shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
-    _SINK_DIRS.append(base)
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(
         f"{base}/out"
     )

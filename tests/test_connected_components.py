@@ -86,9 +86,10 @@ def test_string_ids_preserved(spark):
 
 
 def test_fractional_double_ids_not_truncated(spark):
-    """Fractional double ids take the numeric-sum convergence branch but
-    must NOT be long-cast: 1.1 and 1.9 are distinct nodes, and a
-    truncating cast would merge them."""
+    """Fractional double ids must NOT be long-cast (1.1 and 2.5 are
+    distinct nodes; a truncating cast would merge them) and take the
+    exact changed-row convergence branch — a double SUM can absorb late
+    sub-ulp label drops and falsely signal convergence at scale."""
     edges = [(1.1, 2.5), (2.5, 3.25), (10.75, 11.5)]
     df = spark.createDataFrame(edges, "id_a double, id_b double")
     got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
