@@ -142,3 +142,64 @@ def test_count_map_lm_matches_instance_lm(spark, frames):
         else:
             assert got[i]["avg_logprob"] == pytest.approx(
                 ref[i]["avg_logprob"], abs=1e-9), TRICKY[i]
+
+
+def test_fused_parity_on_random_adversarial_corpus(spark):
+    """300 seeded random strings over a whitespace/unicode-heavy alphabet
+    (ASCII ws, NBSP, ideographic space, CJK, emoji, accents, stopwords,
+    punctuation, digits) — every fused field must match its unfused form
+    on all of them. Broader net than the hand-picked TRICKY list; seeded
+    so failures reproduce."""
+    import random
+
+    rng = random.Random(1234)
+    atoms = (
+        ["the", "la", "der", "el", "und", "que", "is"] * 3
+        + [" ", "  ", "\t", "\n", "\r", "\x0b", "\x0c"] * 4
+        + [" ", "　", "漢", "字", "🚀", "é", "Ü", "ß", "İ"]
+        + [".", ",", "!", "a", "B", "zz", "42", "x7", ""]
+    )
+    texts = [
+        "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 60)))
+        for _ in range(298)
+    ] + [None, ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    t = F.col("text")
+    m = doc_metrics_struct(t, n=2)
+    fused = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", m["swc"].alias("swc"), m["rfp"].alias("rfp"),
+            m["n_ngrams"].alias("n_ngrams"),
+            m["rep_top_frac"].alias("rep_top_frac"),
+            m["rep_dup_frac"].alias("rep_dup_frac"),
+        ).collect()
+    }
+    ref_base = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            _stopword_hits_vec(t).alias("swc"),
+            rolling_fingerprint(t).alias("rfp"),
+        ).collect()
+    }
+    ref_rep = {
+        r["id"]: r.asDict()
+        for r in repetition_metrics(df, text_col="text", id_col="doc_id", n=2)
+        .collect()
+    }
+    mismatches = []
+    for i in range(len(texts)):
+        if fused[i]["swc"] != ref_base[i]["swc"]:
+            mismatches.append((i, "swc", texts[i]))
+        if fused[i]["rfp"] != ref_base[i]["rfp"]:
+            mismatches.append((i, "rfp", texts[i]))
+        if fused[i]["n_ngrams"] != ref_rep[i]["n_ngrams"]:
+            mismatches.append((i, "n_ngrams", texts[i]))
+        if abs((fused[i]["rep_top_frac"] or 0) - (ref_rep[i]["rep_top_frac"] or 0)) > 1e-12:
+            mismatches.append((i, "rep_top_frac", texts[i]))
+        if abs((fused[i]["rep_dup_frac"] or 0) - (ref_rep[i]["rep_dup_frac"] or 0)) > 1e-12:
+            mismatches.append((i, "rep_dup_frac", texts[i]))
+    assert not mismatches, mismatches[:5]
