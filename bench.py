@@ -288,13 +288,16 @@ def sf1_block(spark, sf1_dir: str) -> dict:
         spark_sec[name] = round(best, 3)
 
     pandas_sec: dict[str, float] = {}
+    pandas_cal = None
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__),
                                           "tools", "pandas_baseline.py"), sf1_dir],
             capture_output=True, text=True, timeout=1800,
         )
-        pandas_sec = json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
+        parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+        pandas_sec = parsed["queries"]
+        pandas_cal = parsed.get("calibration_sec")
     except Exception as e:  # baseline failure shouldn't kill the bench
         pandas_sec = {"error": str(e)}  # type: ignore[assignment]
 
@@ -319,6 +322,11 @@ def sf1_block(spark, sf1_dir: str) -> dict:
         "runs_per_query": 2,
         "ivf_index_build_sec": ivf_build,
         "calibration_sec": cal,
+        # [pre, post] single-threaded numpy reference times from inside
+        # the baseline subprocess — contention DURING the pandas phase
+        # (measured 28 s for a 0.16 s-steady query in one window) shows
+        # up here instead of silently inflating the ratio
+        "pandas_calibration_sec": pandas_cal,
         "spark_sec": spark_sec,
         "pandas_sec": pandas_sec,
         "correctness": correctness,
@@ -546,6 +554,7 @@ def main() -> None:
         times[name] = round(best, 3)
     wall = round(time.time() - t_all, 3)
     total = round(sum(times.values()), 3)
+    calibration_post = _calibration_sec(spark)
 
     out = {
         "metric": "bench_total_sec",
@@ -559,9 +568,10 @@ def main() -> None:
         # index for this testdata fingerprint); searches are timed in
         # the sim_ivf_disk_topk row
         "ivf_index_build_sec": ivf_build_sec,
-        # fixed reference-job time (see calibration comment above):
-        # >> ~0.6 s ⇒ the rows above carry co-tenant contention
-        "calibration_sec": calibration_sec,
+        # fixed reference-job time [before, after] the timed loop (see
+        # _calibration_sec): either element >> ~0.6 s ⇒ the rows above
+        # carry co-tenant contention, not regression
+        "calibration_sec": [calibration_sec, calibration_post],
         # streaming setup-vs-steady split (VERDICT r6 task 3): setup =
         # once-per-session machinery; overhead = flat per-query
         # micro-batch cost measured on a 10-row stream through the
@@ -632,6 +642,8 @@ def main() -> None:
             "ratio": (round(sp_total / pd_total, 3) if pd_total else None),
             "fold_checks_pass": sum(1 for v in folds.values() if v.get("match")),
             "fold_checks_total": len(folds),
+            "calibration_sec": s1.get("calibration_sec"),
+            "pandas_calibration_sec": s1.get("pandas_calibration_sec"),
         }
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
