@@ -1,0 +1,49 @@
+"""Append a full-gate run record to GATE_RUNS.jsonl (VERDICT r6 task 2:
+the round's last commit must demonstrably postdate a green full-gate
+run). Usage, immediately after running the gates:
+
+    python tools/log_gate_run.py \
+        --pytest "231 passed" --gate "50 passed, 0 failed" \
+        --vanilla "50 passed, 0 failed"
+
+Records UTC timestamp + current HEAD, so `git log` ordering vs the
+record is checkable by anyone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pytest", default=None)
+    ap.add_argument("--gate", default=None)
+    ap.add_argument("--vanilla", default=None)
+    ap.add_argument("--note", default=None)
+    args = ap.parse_args()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True, text=True
+    ).stdout.strip()
+    rec = {
+        "ts_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "head": head,
+        "pytest": args.pytest,
+        "gate_tuned": args.gate,
+        "gate_vanilla": args.vanilla,
+        "note": args.note,
+    }
+    with open(os.path.join(root, "GATE_RUNS.jsonl"), "a") as fh:
+        fh.write(json.dumps({k: v for k, v in rec.items() if v is not None}) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
