@@ -302,15 +302,43 @@ def q_m3_m4_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_m5_m6_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 mean-fill + M6 exact-median-fill as one tagged union (both
-    strategies attested in a single driver row)."""
-    df = _li_nulls(spark, sf_dir)
-    a = fix_missing_values(df, "fill_mean", columns=["qty", "price", "flag"])
-    b = fix_missing_values(df, "fill_median", columns=["qty", "price", "flag"])
-    sel = lambda d, v: d.select(  # noqa: E731
-        F.lit(v).alias("variant"), "l_orderkey", "l_linenumber",
-        F.round("qty", 4).alias("qty"), F.round("price", 4).alias("price"), "flag",
+    strategies attested in a single driver row).
+
+    r7 formulation (same trick as o6_o7): the three target columns are
+    duplicated and BOTH operator calls chain on one frame — mean-fill on
+    the originals, median-fill on the copies — then one explode emits
+    the tagged union. The old two-frame union scanned lineitem twice
+    for the output (Spark does not merge union branches into one scan).
+    Stats jobs are unchanged: each fill's aggregates read only its own
+    columns. (No rebalance before the explode: measured a wash — the
+    fills are trivial coalesce projections, so a repartition shuffle
+    costs what the single-core explode costs.)"""
+    df = _li_nulls(spark, sf_dir).select(
+        "*",
+        F.col("qty").alias("qty_m"),
+        F.col("price").alias("price_m"),
+        F.col("flag").alias("flag_m"),
     )
-    return sel(a, "mean").unionByName(sel(b, "median"))
+    a = fix_missing_values(df, "fill_mean", columns=["qty", "price", "flag"])
+    b = fix_missing_values(a, "fill_median",
+                           columns=["qty_m", "price_m", "flag_m"])
+    return b.select(
+        "l_orderkey", "l_linenumber",
+        F.explode(F.array(
+            F.struct(F.lit("mean").alias("variant"),
+                     F.round("qty", 4).alias("q"),
+                     F.round("price", 4).alias("p"),
+                     F.col("flag").alias("f")),
+            F.struct(F.lit("median").alias("variant"),
+                     F.round("qty_m", 4).alias("q"),
+                     F.round("price_m", 4).alias("p"),
+                     F.col("flag_m").alias("f")),
+        )).alias("o"),
+    ).select(
+        F.col("o.variant").alias("variant"), "l_orderkey", "l_linenumber",
+        F.col("o.q").alias("qty"), F.col("o.p").alias("price"),
+        F.col("o.f").alias("flag"),
+    )
 
 
 def q_m7_fill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +425,10 @@ def q_o6_o7_outlier_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
                         action="cap", threshold=1.5),
         columns=["lep_log"], method="iqr", action="transform",
     )
+    # (measured: rebalancing before the explode is a wash here — the
+    # per-row work is a trivial when/round projection, so a repartition
+    # shuffle costs as much as the single-core explode it parallelizes;
+    # ensure_parallelism only pays for CPU-bound kernels)
     return both.select(
         "l_orderkey", "l_linenumber",
         F.explode(F.array(
