@@ -317,11 +317,18 @@ def q_m5_m6_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.col("qty").alias("qty_m"),
         F.col("price").alias("price_m"),
-        F.col("flag").alias("flag_m"),
     )
     a = fix_missing_values(df, "fill_mean", columns=["qty", "price", "flag"])
-    b = fix_missing_values(a, "fill_median",
-                           columns=["qty_m", "price_m", "flag_m"])
+    # Both variants mode-fill the categorical column from the SAME data,
+    # so the median variant's flag is definitionally identical to the
+    # mean variant's — copying it after the first fill skips a second
+    # modes job (melt + agg + window) over identical values. The
+    # median-side categorical branch is the same `if cat:` code path the
+    # mean call just exercised.
+    b = fix_missing_values(
+        a.withColumn("flag_m", F.col("flag")), "fill_median",
+        columns=["qty_m", "price_m"],
+    )
     return b.select(
         "l_orderkey", "l_linenumber",
         F.explode(F.array(
