@@ -124,6 +124,25 @@ def main() -> int:
         n_pass += 1
 
     print(f"\n{n_pass} passed, {n_fail} failed")
+    # Auto-log FULL (unfiltered) gate runs so commits can cite a green
+    # gate that demonstrably postdates them (GATE_RUNS.jsonl carries
+    # UTC timestamp + HEAD; see tools/log_gate_run.py).
+    if not only:
+        try:
+            import subprocess
+
+            mode = "vanilla" if vanilla else "tuned"
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "log_gate_run.py"),
+                 f"--{'vanilla' if vanilla else 'gate'}",
+                 f"{n_pass} passed, {n_fail} failed",
+                 "--note", f"auto: check_correctness full run ({mode}, {sf_dir})"],
+                check=False, capture_output=True,
+            )
+        except Exception:
+            pass
     return 1 if n_fail else 0
 
 
