@@ -203,3 +203,61 @@ def test_fused_parity_on_random_adversarial_corpus(spark):
         if abs((fused[i]["rep_dup_frac"] or 0) - (ref_rep[i]["rep_dup_frac"] or 0)) > 1e-12:
             mismatches.append((i, "rep_dup_frac", texts[i]))
     assert not mismatches, mismatches[:5]
+
+
+def test_lm_shuffle_join_path_equals_broadcast_path(spark, frames):
+    """max_vocab below the vocabulary size forces the non-broadcast
+    (AQE shuffle join) branch — results must be identical to the
+    broadcast branch (it's a pure plan-strategy gate, not semantics)."""
+    df, _ = frames
+    t = F.col("text")
+    m = doc_metrics_struct(t, n=2)
+    entries = df.select("doc_id", m["tc"].alias("tc")).select(
+        "doc_id", F.explode_outer("tc").alias("w", "cnt")
+    )
+    wide = {
+        r["id"]: r.asDict()
+        for r in unigram_logprob_from_counts(
+            entries, id_col="doc_id", max_vocab=5_000_000
+        ).collect()
+    }
+    narrow = {
+        r["id"]: r.asDict()
+        for r in unigram_logprob_from_counts(
+            entries, id_col="doc_id", max_vocab=1
+        ).collect()
+    }
+    assert set(wide) == set(narrow)
+    for i in wide:
+        assert wide[i]["n_tokens"] == narrow[i]["n_tokens"]
+        if wide[i]["avg_logprob"] is None:
+            assert narrow[i]["avg_logprob"] is None
+        else:
+            assert narrow[i]["avg_logprob"] == pytest.approx(
+                wide[i]["avg_logprob"], abs=1e-9)
+
+
+def test_fused_trigram_repetition_matches_explode_form(spark, frames):
+    """The fused kernel is cached per (n, modulus); the n=3 instance
+    must agree with repetition_metrics(n=3) just like n=2 does."""
+    df, _ = frames
+    m = doc_metrics_struct(F.col("text"), n=3)
+    fused = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", m["n_ngrams"].alias("n_ngrams"),
+            m["rep_top_frac"].alias("rep_top_frac"),
+            m["rep_dup_frac"].alias("rep_dup_frac"),
+        ).collect()
+    }
+    ref = {
+        r["id"]: r.asDict()
+        for r in repetition_metrics(df, text_col="text", id_col="doc_id", n=3)
+        .collect()
+    }
+    for i in ref:
+        assert fused[i]["n_ngrams"] == ref[i]["n_ngrams"], TRICKY[i]
+        assert fused[i]["rep_top_frac"] == pytest.approx(
+            ref[i]["rep_top_frac"]), TRICKY[i]
+        assert fused[i]["rep_dup_frac"] == pytest.approx(
+            ref[i]["rep_dup_frac"]), TRICKY[i]
