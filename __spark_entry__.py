@@ -882,7 +882,9 @@ def _corpus_ident(sf_dir: str, table: str = "embeddings") -> str:
         st = _os.stat(src)
         ident = f"{_os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
-        ident = f"{sf_dir}|{_os.getpid()}"  # no reuse if we can't fingerprint
+        # unfingerprintable input: key on (dir, pid) — reused within
+        # this process, never across processes
+        ident = f"{sf_dir}|{_os.getpid()}"
     return _hashlib.md5(ident.encode()).hexdigest()[:12]
 
 
@@ -923,20 +925,12 @@ def build_ivf_disk_index(spark: SparkSession, sf_dir: str) -> tuple[str, float]:
     cost, and conflating it with every search mis-states both numbers.
     Returns (path, build_seconds) with build_seconds == 0.0 on reuse.
     """
-    import hashlib as _hashlib
     import os as _os
     import time as _time
 
     from dataforge_spark.similarity.ivf import write_ivf_index
 
-    src = _os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = _os.stat(src)
-        ident = f"{_os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        ident = f"{sf_dir}|{_os.getpid()}"  # no reuse if we can't fingerprint
-    tag = _hashlib.md5(ident.encode()).hexdigest()[:12]
-    path = f"/tmp/dataforge_ivf_idx_{tag}"
+    path = f"/tmp/dataforge_ivf_idx_{_corpus_ident(sf_dir)}"
     if _os.path.exists(
         _os.path.join(path, "vectors", "_SUCCESS")
     ) and _os.path.exists(_os.path.join(path, "centroids", "_SUCCESS")):

@@ -274,9 +274,11 @@ def sf1_block(spark, sf1_dir: str) -> dict:
     # with co-tenant load on this shared host (same query measured 12 s
     # steady and 99 s in one unlucky window); the min of two runs is the
     # honest steady-state proxy a long job would see.
-    # same host-speed reference job as the sf0.1 block (normalizes the
-    # per-query numbers below against co-tenant contention)
-    cal = _calibration_sec(spark)
+    # same host-speed reference job as the sf0.1 block, PAIRED around
+    # the Spark timing loop (contention starting mid-loop would
+    # otherwise hide behind a clean pre-loop sample while poisoning the
+    # very rows the headline ratio is computed from)
+    cal_pre = _calibration_sec(spark)
 
     spark_sec: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -286,6 +288,7 @@ def sf1_block(spark, sf1_dir: str) -> dict:
             _noop(qs[name](spark, sf1_dir))
             best = min(best, time.time() - t0)
         spark_sec[name] = round(best, 3)
+    cal = [cal_pre, _calibration_sec(spark)]
 
     pandas_sec: dict[str, float] = {}
     pandas_cal = None

@@ -7,11 +7,20 @@ fix so a future writer change can't silently reintroduce the cliff."""
 import glob
 import os
 
+import pytest
+
 from tools.make_sf1 import NO_REPLICATE, OFFSET, TABLES, ensure_sf1
 
 
-def test_replicated_tables_are_multi_file(spark, tmp_path):
-    dst = ensure_sf1(spark, "/root/testdata/sf0.001", base=str(tmp_path / "sf"))
+@pytest.fixture(scope="module")
+def sf1_dir(spark, tmp_path_factory):
+    # generated once for the module — both tests read the same corpus
+    base = str(tmp_path_factory.mktemp("sf1_layout") / "sf")
+    return ensure_sf1(spark, "/root/testdata/sf0.001", base=base)
+
+
+def test_replicated_tables_are_multi_file(spark, sf1_dir):
+    dst = sf1_dir
     checked = 0
     for t in TABLES:
         d = os.path.join(dst, f"{t}.parquet")
@@ -25,8 +34,8 @@ def test_replicated_tables_are_multi_file(spark, tmp_path):
     assert checked >= 5  # the big tables all exist in the source
 
 
-def test_replication_shifts_keys_disjointly(spark, tmp_path):
-    dst = ensure_sf1(spark, "/root/testdata/sf0.001", base=str(tmp_path / "sf"))
+def test_replication_shifts_keys_disjointly(spark, sf1_dir):
+    dst = sf1_dir
     li = spark.read.parquet(os.path.join(dst, "lineitem.parquet"))
     src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     assert li.count() == 10 * src.count()

@@ -198,10 +198,13 @@ def test_fused_parity_on_random_adversarial_corpus(spark):
             mismatches.append((i, "rfp", texts[i]))
         if fused[i]["n_ngrams"] != ref_rep[i]["n_ngrams"]:
             mismatches.append((i, "n_ngrams", texts[i]))
-        if abs((fused[i]["rep_top_frac"] or 0) - (ref_rep[i]["rep_top_frac"] or 0)) > 1e-12:
-            mismatches.append((i, "rep_top_frac", texts[i]))
-        if abs((fused[i]["rep_dup_frac"] or 0) - (ref_rep[i]["rep_dup_frac"] or 0)) > 1e-12:
-            mismatches.append((i, "rep_dup_frac", texts[i]))
+        for frac in ("rep_top_frac", "rep_dup_frac"):
+            a, b = fused[i][frac], ref_rep[i][frac]
+            # None and 0.0 are DIFFERENT answers — don't conflate them
+            if (a is None) != (b is None) or (
+                a is not None and abs(a - b) > 1e-12
+            ):
+                mismatches.append((i, frac, texts[i]))
     assert not mismatches, mismatches[:5]
 
 

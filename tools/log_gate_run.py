@@ -30,11 +30,20 @@ def main() -> None:
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True, text=True
     ).stdout.strip()
+    # A gate run against uncommitted edits tests code HEAD doesn't have —
+    # flag it so "commit X postdates a green gate" stays auditable.
+    dirty = bool(
+        subprocess.run(
+            ["git", "status", "--porcelain"], cwd=root,
+            capture_output=True, text=True,
+        ).stdout.strip()
+    )
     rec = {
         "ts_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"
         ),
         "head": head,
+        "dirty_tree": dirty or None,
         "pytest": args.pytest,
         "gate_tuned": args.gate,
         "gate_vanilla": args.vanilla,
