@@ -32,12 +32,18 @@ def main() -> None:
     ).stdout.strip()
     # A gate run against uncommitted edits tests code HEAD doesn't have —
     # flag it so "commit X postdates a green gate" stays auditable.
-    dirty = bool(
-        subprocess.run(
+    # Driver-owned telemetry (PROGRESS.jsonl, appended in the background
+    # every ~15 min) and this log itself are excluded: neither is code,
+    # and both made every long gate run read as dirty.
+    _NON_CODE = {"PROGRESS.jsonl", "GATE_RUNS.jsonl"}
+    dirty = bool([
+        line
+        for line in subprocess.run(
             ["git", "status", "--porcelain"], cwd=root,
             capture_output=True, text=True,
-        ).stdout.strip()
-    )
+        ).stdout.splitlines()
+        if line.strip() and line[3:].strip() not in _NON_CODE
+    ])
     rec = {
         "ts_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"
