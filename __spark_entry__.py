@@ -883,7 +883,15 @@ def _corpus_ident(sf_dir: str, table: str = "embeddings") -> str:
         ident = f"{_os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
     except OSError:
         # unfingerprintable input: key on (dir, pid) — reused within
-        # this process, never across processes
+        # this process, never across processes. CAVEAT (ADVICE r7): if a
+        # corpus at this path is deleted and regenerated within one
+        # process, this key still hits and serves the OLD centroids.
+        # That is safe ONLY for exactness-independent callers (full
+        # probe / on-disk rebuild check): centroids then affect cost,
+        # never results. An approximate nprobe < n_centroids caller must
+        # NOT rely on this cache for a mutated corpus — include a
+        # content fingerprint (e.g. row count + a sample hash) in the
+        # key before reusing it there.
         ident = f"{sf_dir}|{_os.getpid()}"
     return _hashlib.md5(ident.encode()).hexdigest()[:12]
 
@@ -2114,12 +2122,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
           ),
           lm_v AS (SELECT w, count(*) AS cnt FROM lm_w GROUP BY w),
-          lm_s AS (SELECT sum(cnt) AS n, count(*) AS v FROM lm_v)
-          SELECT t.doc_id,
-                 round(avg(ln((v.cnt + 1.0) / (s.n + s.v + 1.0))), 6)
-                   AS avg_logprob
-          FROM lm_w t JOIN lm_v v USING (w), lm_s s
-          GROUP BY t.doc_id
+          lm_s AS (SELECT sum(cnt) AS n, count(*) AS v FROM lm_v),
+          -- count-weighted formulation, SAME summation shape as the
+          -- Spark side (sum(cnt*lp)/sum(cnt) over distinct tokens):
+          -- a per-instance avg() would sum in a different float order
+          -- and could flip the 6-decimal round at a boundary
+          lm_e AS (SELECT doc_id, w, count(*) AS tcnt
+                   FROM lm_w GROUP BY doc_id, w)
+          SELECT e.doc_id,
+                 round(sum(e.tcnt * ln((v.cnt + 1.0) / (s.n + s.v + 1.0)))
+                       / sum(e.tcnt), 6) AS avg_logprob
+          FROM lm_e e JOIN lm_v v USING (w), lm_s s
+          GROUP BY e.doc_id
         ) lm ON lm.doc_id = h.doc_id
         LEFT JOIN (
           WITH toks2 AS (

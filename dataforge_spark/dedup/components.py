@@ -56,7 +56,35 @@ def connected_components(
     # id_b must not trigger it (truncating id_b would merge distinct
     # nodes — the very bug the integral gate exists to prevent).
     _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    _FRACTIONAL = (T.FloatType, T.DoubleType)
     integral = isinstance(dt_a, _INTEGRAL) and isinstance(dt_b, _INTEGRAL)
+    # Mixed integral × float/double pairs: unionByName coerces the
+    # integral side to double. That coercion is exact only below 2^53 —
+    # above it distinct integral ids can collapse onto one double value
+    # (the same node-merging bug class the integral gate prevents), and
+    # no decimal type represents arbitrary doubles exactly, so there is
+    # no lossless common cast. Guard with one tiny aggregate over the
+    # integral column(s) and raise instead of silently merging.
+    mixed_cols = []
+    if isinstance(dt_a, _INTEGRAL) and isinstance(dt_b, _FRACTIONAL):
+        mixed_cols = [id_a]
+    elif isinstance(dt_b, _INTEGRAL) and isinstance(dt_a, _FRACTIONAL):
+        mixed_cols = [id_b]
+    if mixed_cols:
+        lim = 1 << 53
+        row = pairs.agg(
+            *[F.max(F.abs(F.col(c).cast("long"))).alias(c) for c in mixed_cols]
+        ).collect()[0]
+        for c in mixed_cols:
+            if row[c] is not None and row[c] >= lim:
+                raise ValueError(
+                    f"connected_components: integral id column {c!r} holds "
+                    f"values >= 2^53 while the paired column is "
+                    f"float/double; the implicit long->double union "
+                    f"coercion would lose precision and merge distinct "
+                    f"nodes. Cast both id columns to a common exact type "
+                    f"(decimal or string) before calling."
+                )
     # Fixpoint detection: labels only ever DECREASE, so for integral ids
     # an unchanged EXACT sum == fixpoint. The sum accumulates as
     # decimal(38,0) — exact for any realistic node count (long sums can

@@ -120,3 +120,16 @@ def test_long_string_chain_uses_changed_row_branch(spark):
     df = spark.createDataFrame(edges, "id_a string, id_b string")
     got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
     assert got == {(f"n{i:03d}", "n000") for i in range(17)}
+
+
+def test_mixed_large_integral_and_double_ids_raise(spark):
+    """Mixed integral x double ids >= 2^53: the implicit long->double
+    union coercion is lossy there (2^53 and 2^53+1 coerce to the same
+    double and distinct nodes merge), so the guard must raise instead
+    of silently corrupting components."""
+    import pytest
+
+    big = (1 << 53) + 1
+    df = spark.createDataFrame([(big, 7.5)], "id_a long, id_b double")
+    with pytest.raises(ValueError, match="2\\^53"):
+        connected_components(df)

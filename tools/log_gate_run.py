@@ -44,11 +44,25 @@ def main() -> None:
         ).stdout.splitlines()
         if line.strip() and line[3:].strip() not in _NON_CODE
     ])
+    # Explicit machine-checkable pass/fail (ADVICE r7): a red run must
+    # not land in the log in the same shape as a green one. ok=True only
+    # when every provided result string reports zero failures.
+    def _ok(s: str | None) -> bool | None:
+        if s is None:
+            return None
+        import re
+
+        m = re.search(r"(\d+)\s+failed", s)
+        return (int(m.group(1)) == 0) if m else ("fail" not in s.lower())
+
+    oks = [o for o in (_ok(args.pytest), _ok(args.gate), _ok(args.vanilla))
+           if o is not None]
     rec = {
         "ts_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"
         ),
         "head": head,
+        "ok": bool(oks) and all(oks),
         "dirty_tree": dirty or None,
         "pytest": args.pytest,
         "gate_tuned": args.gate,
