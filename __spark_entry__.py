@@ -26,6 +26,7 @@ from __future__ import annotations
 import uuid
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve in module globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1099,8 +1100,17 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       array is SQL-comparable EXACTLY (the corpus is pure ASCII: DuckDB
       recomputes the same histogram from characters) — k=bucket, n=count;
     - ``frame``: every-4th 16-byte frame sample — k=frame_idx, n=0,
-      s=frame hex."""
-    from dataforge_spark.multimodal import sample_frames
+      s=frame hex;
+    - ``media`` (round 8): REAL container decode — each doc_id gets a
+      genuine encoded payload (even ids: 8×4 24-bit BMP with pixel bytes
+      ``(doc_id + j) % 256``; odd ids: mono 16-bit 8 kHz WAV with
+      samples ``((doc_id*7 + j*13) % 65536) - 32768``), decoded by the
+      pure-stdlib codecs (`dataforge_spark.codecs`); k = exact integer
+      sum of the DECODED scalars (header/padding excluded — only a real
+      decode produces it), n = decoded scalar count, s = kind:WxH@rate.
+      DuckDB recomputes both constructions arithmetically via
+      generate_series, so the oracle covers encoder AND decoder."""
+    from dataforge_spark.multimodal import media_meta, sample_frames
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     binary = attach_binary(docs)
@@ -1126,7 +1136,42 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("n"),
         F.hex("frame").alias("s"),
     )
-    return meta.unionByName(feat).unionByName(frames)
+
+    # real-decode leg: synthesize genuine BMP/WAV containers from doc_id
+    # (deterministic, so DuckDB can recompute the decoded sums in closed
+    # form), then run the production media_meta decode path.
+    @F.pandas_udf("binary")
+    def _synth_payload(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from dataforge_spark import codecs
+
+        out = []
+        for rid in ids:
+            rid = int(rid)
+            if rid % 2 == 0:
+                px = ((rid + np.arange(96)) % 256).astype(np.uint8)
+                out.append(codecs.encode_bmp(px.reshape(4, 8, 3)))
+            else:
+                s = (((rid * 7 + np.arange(32) * 13) % 65536) - 32768).astype(
+                    np.int16
+                )
+                out.append(codecs.encode_wav(s, sample_rate=8000))
+        return pd.Series(out)
+
+    media = media_meta(
+        docs.select("doc_id", _synth_payload("doc_id").alias("payload"))
+    ).select(
+        F.lit("media").alias("op"), F.col("id").alias("doc_id"),
+        F.col("content_sum").alias("k"),
+        F.col("n_samples").alias("n"),
+        F.concat(
+            "kind", F.lit(":"), F.col("width").cast("string"), F.lit("x"),
+            F.col("height").cast("string"), F.lit("@"),
+            F.col("sample_rate").cast("string"),
+        ).alias("s"),
+    )
+    return meta.unionByName(feat).unionByName(frames).unionByName(media)
 
 
 def q_stream_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,8 +2283,26 @@ def oracle_sql() -> dict[str, str]:
                  CAST(0 AS BIGINT) AS n,
                  substr(ph, CAST(1 + i * 32 AS BIGINT), 32) AS s
           FROM fr, UNNEST(generate_series(0, n_frames - 1, 4)) AS u(i)
+        ),
+        -- real-decode leg: recompute the deterministic BMP/WAV payload
+        -- constructions arithmetically (decoded-scalar sum + count);
+        -- matching k proves the Spark side really encoded AND decoded
+        -- the container (raw byte sums include header/padding and differ)
+        media AS (
+          SELECT 'media' AS op, d.doc_id,
+                 CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
+                 CAST(96 AS BIGINT) AS n, 'bmp:8x4@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 95)) AS u(j)
+          WHERE d.doc_id % 2 = 0 GROUP BY d.doc_id
+          UNION ALL
+          SELECT 'media' AS op, d.doc_id,
+                 CAST(sum(((d.doc_id * 7 + u.j * 13) % 65536) - 32768) AS BIGINT) AS k,
+                 CAST(32 AS BIGINT) AS n, 'wav:0x0@8000' AS s
+          FROM documents d, UNNEST(generate_series(0, 31)) AS u(j)
+          WHERE d.doc_id % 2 = 1 GROUP BY d.doc_id
         )
-        SELECT * FROM meta UNION ALL SELECT * FROM feat UNION ALL SELECT * FROM frame
+        SELECT * FROM meta UNION ALL SELECT * FROM feat
+        UNION ALL SELECT * FROM frame UNION ALL SELECT * FROM media
     """
 
     sql["stream_dedup_profile"] = """

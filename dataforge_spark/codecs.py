@@ -1,0 +1,242 @@
+"""Pure-stdlib/numpy media codecs for the multimodal surface.
+
+The container decode step was a ``fake_decode=True`` stand-in through
+round 7 because the usual codec libraries (Pillow, soundfile, ffmpeg)
+are not installed here. These three container formats need nothing but
+``struct`` + numpy, so they get REAL encoders and decoders, making the
+``extract_features`` / ``media_meta`` production path exercise genuine
+container bytes end-to-end:
+
+- **BMP**: 24-bit uncompressed ``BI_RGB`` with a ``BITMAPINFOHEADER``
+  (the plain Windows bitmap every image tool can write). Bottom-up and
+  top-down row orders, 4-byte row padding.
+- **PPM**: binary ``P6``, maxval 255 (netpbm), comment-tolerant header.
+- **WAV**: RIFF PCM (format tag 1), 8/16/32-bit integer samples, any
+  channel count; chunk-walking decoder tolerates extra chunks (LIST,
+  fact, ...).
+
+Anything else still raises ``NotImplementedError`` at the call site —
+the guard the multimodal surface has always advertised for codecs this
+environment cannot host (extension surface; the reference is CSV-only,
+/root/reference/main.py:94-95).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- sniff
+
+
+def sniff(buf: bytes) -> str | None:
+    """Container kind from magic bytes: 'bmp' | 'ppm' | 'wav' | None."""
+    if len(buf) >= 2 and buf[:2] == b"BM":
+        return "bmp"
+    if len(buf) >= 2 and buf[:2] == b"P6":
+        return "ppm"
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ------------------------------------------------------------------ BMP
+
+_BMP_FILE_HDR = "<2sIHHI"  # magic, file size, res1, res2, pixel offset
+_BMP_INFO_HDR = "<IiiHHIIiiII"  # size, w, h, planes, bpp, comp, imgsize, xppm, yppm, clrused, clrimp
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP (bottom-up, rows padded
+    to 4 bytes — the canonical layout)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8 RGB")
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    off = struct.calcsize(_BMP_FILE_HDR) + struct.calcsize(_BMP_INFO_HDR)
+    hdr = struct.pack(_BMP_FILE_HDR, b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(_BMP_INFO_HDR, 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP → (h, w, 3) uint8 RGB. Handles bottom-up
+    (positive height) and top-down (negative height) row order and the
+    4-byte row padding; anything fancier (palettes, compression, other
+    bit depths) raises NotImplementedError."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (_, _, _, _, off) = struct.unpack_from(_BMP_FILE_HDR, buf, 0)
+    (hsz, w, h, _planes, bpp, comp, *_rest) = struct.unpack_from(
+        _BMP_INFO_HDR, buf, struct.calcsize(_BMP_FILE_HDR)
+    )
+    if hsz < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BI_RGB BMP supported (bpp={bpp}, "
+            f"compression={comp}, header={hsz})"
+        )
+    topdown = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    need = off + stride * h
+    if len(buf) < need:
+        raise ValueError(f"truncated BMP: {len(buf)} < {need} bytes")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not topdown:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
+
+
+# ------------------------------------------------------------------ PPM
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary P6 PPM, maxval 255."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8 RGB")
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8 RGB. Header fields may be
+    separated by any whitespace and interleaved with '#' comments per
+    the netpbm spec; only maxval 255 is supported."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM stream")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw data
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval 255 PPM supported (got {maxval})")
+    need = w * h * 3
+    if len(buf) - pos < need:
+        raise ValueError(f"truncated PPM: {len(buf) - pos} < {need} data bytes")
+    return (
+        np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+# ------------------------------------------------------------------ WAV
+
+_WAV_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Integer PCM samples → RIFF/WAVE. ``samples`` is (n,) mono or
+    (n, channels); dtype uint8 / int16 / int32 selects the bit depth."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    dt = {np.dtype("uint8"): 8, np.dtype("int16"): 16, np.dtype("int32"): 32}.get(
+        s.dtype
+    )
+    if dt is None:
+        raise ValueError(f"unsupported sample dtype {s.dtype}: use uint8/int16/int32")
+    n, ch = s.shape
+    data = np.ascontiguousarray(s.astype(s.dtype.newbyteorder("<"))).tobytes()
+    block = ch * dt // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, dt)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → ((n, channels) int array, sample_rate). Walks the
+    chunk list (skipping LIST/fact/...); only format tag 1 (integer PCM)
+    at 8/16/32 bits is supported."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV stream missing fmt/data chunk")
+    tag, ch, rate, _byterate, _block, bits = fmt
+    if tag != 1 or bits not in _WAV_DTYPES:
+        raise NotImplementedError(
+            f"only integer PCM WAV supported (format tag {tag}, {bits}-bit)"
+        )
+    arr = np.frombuffer(data, dtype=_WAV_DTYPES[bits])
+    n = arr.size // ch * ch
+    return arr[:n].reshape(-1, ch).copy(), rate
+
+
+# ------------------------------------------------------- decode dispatch
+
+
+def decode_media(buf: bytes) -> dict:
+    """Sniff + decode one payload. Returns a uniform metadata dict:
+
+    ``kind`` ('bmp'|'ppm'|'wav'), ``width``/``height``/``channels``,
+    ``sample_rate`` (0 for images), ``n_samples`` (decoded scalar count:
+    h*w*3 for images, frames*channels for audio), ``content_sum`` (exact
+    integer sum of the DECODED scalars — container headers and BMP row
+    padding excluded, which is what distinguishes a real decode from a
+    raw byte pass), and ``content`` (the decoded ndarray).
+
+    Unknown containers raise ``NotImplementedError`` — the advertised
+    guard for codecs this environment cannot host.
+    """
+    kind = sniff(bytes(buf))
+    if kind == "bmp" or kind == "ppm":
+        px = decode_bmp(bytes(buf)) if kind == "bmp" else decode_ppm(bytes(buf))
+        return {
+            "kind": kind,
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "channels": px.shape[2],
+            "sample_rate": 0,
+            "n_samples": int(px.size),
+            "content_sum": int(px.sum(dtype=np.int64)),
+            "content": px,
+        }
+    if kind == "wav":
+        samples, rate = decode_wav(bytes(buf))
+        return {
+            "kind": kind,
+            "width": 0,
+            "height": 0,
+            "channels": samples.shape[1],
+            "sample_rate": rate,
+            "n_samples": int(samples.size),
+            "content_sum": int(samples.sum(dtype=np.int64)),
+            "content": samples,
+        }
+    raise NotImplementedError(
+        f"unsupported container (magic {bytes(buf)[:4]!r}): only BMP/PPM/WAV "
+        f"decode in this environment; other codecs need libraries not "
+        f"installed here"
+    )

@@ -4,10 +4,13 @@ reference (the reference is CSV-only, /root/reference/main.py:94-95).
 Design for a 100 TB training-data pipeline: image/audio/video payloads are
 opaque ``binary`` columns travelling WITH typed metadata columns, processed
 by Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
-Python row-by-row. Real decode needs codec libraries this container does
-not ship, so the decode step is a clearly-marked deterministic stub
-(``fake_decode=True``) / ``NotImplementedError`` — the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested.
+Python row-by-row. Since round 8 the decode step is REAL for the
+containers pure stdlib+numpy can parse — BMP / P6-PPM images and RIFF
+PCM WAV audio (``dataforge_spark.codecs``) — exercised end-to-end by
+``media_meta`` and ``extract_features(fake_decode=False)``. Containers
+needing codec libraries this environment does not ship still raise
+``NotImplementedError``; ``fake_decode=True`` remains for synthetic
+byte-payload fixtures.
 """
 
 from __future__ import annotations
@@ -95,8 +98,19 @@ def extract_features(
 
     The produced schema is ``(id, n_bytes, features array<float>)``. With
     ``fake_decode`` the "features" are a deterministic byte-histogram
-    projection (no codec needed); with ``fake_decode=False`` this raises
-    ``NotImplementedError`` where a real image/audio decoder would plug in.
+    projection over the RAW payload (no codec needed — synthetic-fixture
+    mode). With ``fake_decode=False`` the payload is REALLY decoded via
+    the pure-stdlib codecs (BMP / P6-PPM images, RIFF PCM WAV audio —
+    ``dataforge_spark.codecs``):
+
+    - image → L1-normalized ``feature_dim``-bucket histogram of the
+      decoded pixel bytes (container header and BMP row padding
+      excluded — the observable difference from the raw-byte path);
+    - audio → L1-normalized mean-absolute-amplitude over ``feature_dim``
+      equal time segments (a downsampled envelope).
+
+    Containers outside those three still raise ``NotImplementedError``
+    (the advertised guard for codecs this environment cannot host).
     """
     out_schema = T.StructType(
         [
@@ -109,26 +123,97 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from dataforge_spark import codecs
+
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries not present "
-                    "in this environment; run with fake_decode=True"
-                )
             rows: list[dict[str, Any]] = []
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
-                # Deterministic stand-in for decode→resize→embed: a
-                # feature_dim-bucket byte histogram, L1-normalized.
-                hist = np.bincount(buf % feature_dim, minlength=feature_dim).astype("float32")
-                total = hist.sum() or 1.0
+                raw = bytes(payload)
+                if fake_decode:
+                    buf = np.frombuffer(raw, dtype=np.uint8)
+                    # Deterministic stand-in for decode→resize→embed: a
+                    # feature_dim-bucket byte histogram, L1-normalized.
+                    hist = np.bincount(
+                        buf % feature_dim, minlength=feature_dim
+                    ).astype("float32")
+                    total = hist.sum() or 1.0
+                    feats = hist / total
+                else:
+                    m = codecs.decode_media(raw)  # raises on unknown container
+                    if m["kind"] == "wav":
+                        amp = np.abs(
+                            m["content"].astype(np.float64, copy=False)
+                        ).mean(axis=1)
+                        segs = np.array_split(amp, feature_dim)
+                        env = np.array(
+                            [s.mean() if s.size else 0.0 for s in segs],
+                            dtype="float32",
+                        )
+                        feats = env / (env.sum() or 1.0)
+                    else:
+                        px = m["content"].reshape(-1)
+                        hist = np.bincount(
+                            px % feature_dim, minlength=feature_dim
+                        ).astype("float32")
+                        feats = hist / (hist.sum() or 1.0)
                 rows.append(
                     {
                         "id": int(rid),
-                        "n_bytes": int(buf.size),
-                        "features": (hist / total).tolist(),
+                        "n_bytes": int(len(raw)),
+                        "features": feats.tolist(),
                     }
                 )
             yield pd.DataFrame(rows, columns=["id", "n_bytes", "features"])
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=out_schema)
+
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("content_sum", T.LongType()),
+    ]
+)
+
+
+def media_meta(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL container decode → typed per-payload metadata (schema
+    ``MEDIA_META_SCHEMA``): kind, image dims / audio rate, decoded scalar
+    count, and the exact integer sum of the decoded scalars
+    (``content_sum`` — headers and BMP row padding excluded, so the value
+    proves the decoder ran rather than a raw byte pass). Arrow-batched
+    ``mapInPandas``, map-only: at scale this is the schema a media-lake
+    profiling stage writes. Unknown containers raise (codec guard)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataforge_spark import codecs
+
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                m = codecs.decode_media(bytes(payload))
+                rows.append(
+                    {
+                        "id": int(rid),
+                        "kind": m["kind"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "channels": m["channels"],
+                        "sample_rate": m["sample_rate"],
+                        "n_samples": m["n_samples"],
+                        "content_sum": m["content_sum"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
