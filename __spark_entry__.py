@@ -155,11 +155,20 @@ def _ev_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a planted duplicate (doc_id+100000) of every 5th
+    doc. Explode-planted in ONE scan — the old self-union read the
+    parquet twice for the same rows (r8: exact-dedup leg 0.79 → 0.55 s
+    at sf1); result set identical."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    return docs.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.array(F.col("doc_id"), F.col("doc_id") + 100000),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
+        "text",
     )
-    return docs.unionByName(dups)
 
 
 def _perturbed_embeddings(emb: DataFrame) -> DataFrame:

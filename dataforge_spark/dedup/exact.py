@@ -7,7 +7,7 @@ makes the survivor deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_analysis import fingerprint
@@ -23,15 +23,37 @@ def dedup_exact(
 
     ``normalized=True`` dedups on the whitespace/case-normalized
     fingerprint instead of raw bytes.
+
+    Physical shape (round 8): one ``min(struct(id, rest...))`` aggregate
+    keyed on the digest — struct comparison is lexicographic with the id
+    leading, so the survivor is EXACTLY the min-id row (ties broken
+    deterministically by the remaining columns, NULL id ordered first
+    like the old window's ASC NULLS FIRST), and map-side combine
+    collapses duplicates before the exchange. The previous
+    ``row_number()`` window shuffled every full row by digest and then
+    sorted each partition just to pick a min — strictly more work for
+    the same survivor set (measured 0.80 → 0.68 s on the 60k-doc sf1
+    row; ``min_by(struct, id)`` measured 0.85 and leaves non-id ties
+    engine-arbitrary, so it is only the fallback for rows carrying
+    unorderable (map-typed) columns).
     """
     h = fingerprint(F.col(text_col)) if normalized else F.md5(F.col(text_col))
-    w = Window.partitionBy("_h").orderBy(F.asc(id_col))
-    return (
-        df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_h", "_rn")
+    cols = [id_col] + [c for c in df.columns if c != id_col]
+    # map types (top-level OR nested) are unorderable → struct-min illegal
+    unorderable = "map<" in df.schema.simpleString()
+    agg = (
+        F.min_by(F.struct(*df.columns), F.col(id_col))
+        if unorderable
+        else F.min(F.struct(*cols))
     )
+    out = (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(agg.alias("_r"))
+        .select("_r.*")
+    )
+    # restore the caller's column order (the struct leads with id)
+    return out.select(*df.columns)
 
 
 def duplicate_groups(
