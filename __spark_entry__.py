@@ -474,14 +474,18 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", F.unix_micros("ts").alias("us")
     )
-    status = (
-        ev.where(F.col("event_id") % 20 == 0)
-        .groupBy("user_id", "us")
-        .agg(F.max("event_id").alias("status_id"))
-        .select("user_id", "us", "status_id", F.col("us").alias("s_us"))
+    # deterministic ties (one status per (user, time), max event_id wins)
+    # via the carry window's tie_breakers — the explicit groupBy dedup
+    # this leg used to run cost an extra exchange (0.58 s of a 1.4 s sf1
+    # row) for the same result.
+    status = ev.where(F.col("event_id") % 20 == 0).select(
+        "user_id", "us",
+        F.col("event_id").alias("status_id"),
+        F.col("us").alias("s_us"),
     )
     out = asof_join(ev, status, on="us", by=["user_id"],
-                    right_cols=["status_id", "s_us"])
+                    right_cols=["status_id", "s_us"],
+                    tie_breakers=["status_id"])
     return out.select("event_id", "user_id", "us", "status_id", "s_us")
 
 

@@ -37,6 +37,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: float | int | None = None,
     suffix: str = "",
+    tie_breakers: list[str] | None = None,
 ) -> DataFrame:
     """pandas-``merge_asof``-style temporal join, distributed.
 
@@ -52,8 +53,13 @@ def asof_join(
       timestamps: SECONDS, via double cast). Matches farther away are
       nulled out, like pandas.
     - Ties: if several right rows share one (by, on) value the carried
-      row among them is arbitrary — pre-aggregate right to one row per
-      (by, on) for deterministic output (the driver query does).
+      row among them is arbitrary. Pass ``tie_breakers`` (right value
+      column names) to make it deterministic IN the carry window: tied
+      right rows are additionally ordered ascending by those columns and
+      the LAST one wins (i.e. the max-tie_breaker row) — same result as
+      pre-aggregating right to one row per (by, on) with max(), minus
+      that aggregate's exchange (r8: the driver query's status-dedup
+      groupBy was 0.58 s of a 1.4 s sf1 row).
 
     Scale: one exchange (hash by ``by``), one per-key sort, no row
     amplification. ``by=None`` is a GLOBAL as-of — a single-task sort by
@@ -97,10 +103,22 @@ def asof_join(
         *[F.col(c).alias(f"__v_{c}") for c in right_cols],
     ).select(*lt.columns)  # align column order for the union
 
+    tie_breakers = list(tie_breakers or [])
+    bad_tb = [c for c in tie_breakers if c not in right_cols]
+    if bad_tb:
+        raise ValueError(f"tie_breakers {bad_tb} not in right_cols {right_cols}")
     order = [F.asc("__t")] if direction == "backward" else [F.desc("__t")]
+    # Tied right rows order ascending by the tie-breaker columns, so the
+    # LAST (the one every last(..., ignorenulls) picks) is the max-tie
+    # row; left rows carry NULLs there (asc = NULLS FIRST, and they sort
+    # after every right row at equal __t via __side anyway).
     w = (
         Window.partitionBy(*by)
-        .orderBy(*order, F.asc("__side"))
+        .orderBy(
+            *order,
+            F.asc("__side"),
+            *[F.asc(f"__v_{c}") for c in tie_breakers],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = lt.unionByName(rt).select(

@@ -307,3 +307,38 @@ def test_range_aggregate_integral_sums_stay_exact_past_2_53(spark):
     out = range_aggregate(pts, iv, "v", "lo", "hi", sum_cols=["w"]).collect()[0]
     assert out["n_pts"] == 5
     assert int(out["sum_w"]) == sum(big + i for i in range(1, 6))
+
+
+def test_asof_tie_breakers_deterministic(spark):
+    """tie_breakers resolves equal-(by, on) right rows to the max-tie
+    row inside the carry window — identical to pre-aggregating right
+    with max(), which it replaces to save that aggregate's exchange."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10), ("u", 25), ("v", 10)], "user string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 1), ("u", 10, 7), ("u", 10, 3), ("u", 20, 5),
+         ("u", 20, 9), ("v", 5, 2), ("v", 5, 8)],
+        "user string, t long, sid long",
+    )
+    out = asof_join(left, right, on="t", by=["user"],
+                    right_cols=["sid"], tie_breakers=["sid"])
+    got = {(r["user"], r["t"]): r["sid"] for r in out.collect()}
+    assert got == {("u", 10): 7, ("u", 25): 9, ("v", 10): 8}
+
+    # forward direction: nearest at-or-after, max tie wins too
+    outf = asof_join(left, right, on="t", by=["user"],
+                     right_cols=["sid"], direction="forward",
+                     tie_breakers=["sid"])
+    gotf = {(r["user"], r["t"]): r["sid"] for r in outf.collect()}
+    assert gotf == {("u", 10): 7, ("u", 25): None, ("v", 10): None}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="tie_breakers"):
+        asof_join(left, right, on="t", by=["user"],
+                  right_cols=["sid"], tie_breakers=["nope"])
