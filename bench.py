@@ -278,31 +278,65 @@ def sf1_block(spark, sf1_dir: str) -> dict:
     # the Spark timing loop (contention starting mid-loop would
     # otherwise hide behind a clean pre-loop sample while poisoning the
     # very rows the headline ratio is computed from)
-    cal_pre = _calibration_sec(spark)
+    # Contention-aware retries (r8, VERDICT r7 task 1): a phase whose
+    # [pre, post] calibrations are far off steady state (Spark ~0.10-0.15,
+    # pandas numpy twin ~0.65 on this host) measured a co-tenant burst,
+    # not this tree — the r7 record shipped a 1.03x ratio whose pandas
+    # phase was contended while clean runs measured 0.6-0.76x. Each phase
+    # re-runs (once) while contended and the cleanest attempt is kept, so
+    # the committed record is calibration-clean whenever ANY attempt ran
+    # quiet; attempt counts are recorded for honesty.
+    SPARK_CAL_STEADY = 0.35
+    PANDAS_CAL_STEADY = 1.0
 
     spark_sec: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            _noop(qs[name](spark, sf1_dir))
-            best = min(best, time.time() - t0)
-        spark_sec[name] = round(best, 3)
-    cal = [cal_pre, _calibration_sec(spark)]
+    cal: list[float] = []
+    spark_attempts = 0
+    best_cal_max = float("inf")
+    for _ in range(2):
+        spark_attempts += 1
+        cal_pre = _calibration_sec(spark)
+        attempt_sec: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                _noop(qs[name](spark, sf1_dir))
+                best = min(best, time.time() - t0)
+            attempt_sec[name] = round(best, 3)
+        attempt_cal = [cal_pre, _calibration_sec(spark)]
+        if max(attempt_cal) < best_cal_max:
+            best_cal_max = max(attempt_cal)
+            spark_sec, cal = attempt_sec, attempt_cal
+        if best_cal_max <= SPARK_CAL_STEADY:
+            break
 
     pandas_sec: dict[str, float] = {}
     pandas_cal = None
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__),
-                                          "tools", "pandas_baseline.py"), sf1_dir],
-            capture_output=True, text=True, timeout=1800,
-        )
-        parsed = json.loads(proc.stdout.strip().splitlines()[-1])
-        pandas_sec = parsed["queries"]
-        pandas_cal = parsed.get("calibration_sec")
-    except Exception as e:  # baseline failure shouldn't kill the bench
-        pandas_sec = {"error": str(e)}  # type: ignore[assignment]
+    pandas_attempts = 0
+    best_pcal_max = float("inf")
+    for _ in range(2):
+        pandas_attempts += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__),
+                                              "tools", "pandas_baseline.py"),
+                 sf1_dir],
+                capture_output=True, text=True, timeout=1800,
+            )
+            parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+            attempt_q = parsed["queries"]
+            attempt_cal = parsed.get("calibration_sec")
+        except Exception as e:  # baseline failure shouldn't kill the bench
+            if not pandas_sec:
+                pandas_sec = {"error": str(e)}  # type: ignore[assignment]
+            continue
+        pcal_max = max(attempt_cal) if attempt_cal else float("inf")
+        if not pandas_sec or "error" in pandas_sec or pcal_max < best_pcal_max:
+            best_pcal_max = pcal_max
+            pandas_sec, pandas_cal = attempt_q, attempt_cal
+        if best_pcal_max <= PANDAS_CAL_STEADY:
+            break
 
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -323,6 +357,8 @@ def sf1_block(spark, sf1_dir: str) -> dict:
     return {
         "dir": sf1_dir,
         "runs_per_query": 2,
+        "spark_attempts": spark_attempts,
+        "pandas_attempts": pandas_attempts,
         "ivf_index_build_sec": ivf_build,
         "calibration_sec": cal,
         # [pre, post] single-threaded numpy reference times from inside
