@@ -299,7 +299,13 @@ def sf1_block(spark, sf1_dir: str) -> dict:
         attempt_sec: dict[str, float] = {}
         for name in BENCH_QUERIES:
             best = float("inf")
-            for _ in range(2):
+            # best-of-3 at sf1 (r8): the edge calibrations can be steady
+            # while a co-tenant burst lands mid-loop on one query's both
+            # runs (observed: dedup_spans 3.45 in-loop vs 1.3 isolated,
+            # sim_cosine_topk 5.3 vs ~1.3); a third sample makes the
+            # recorded min a much better steady-state proxy for ~2.5 min
+            # of extra wall.
+            for _ in range(3):
                 t0 = time.time()
                 _noop(qs[name](spark, sf1_dir))
                 best = min(best, time.time() - t0)
@@ -356,7 +362,7 @@ def sf1_block(spark, sf1_dir: str) -> dict:
 
     return {
         "dir": sf1_dir,
-        "runs_per_query": 2,
+        "runs_per_query": 3,
         "spark_attempts": spark_attempts,
         "pandas_attempts": pandas_attempts,
         "ivf_index_build_sec": ivf_build,
@@ -683,6 +689,8 @@ def main() -> None:
             "fold_checks_total": len(folds),
             "calibration_sec": s1.get("calibration_sec"),
             "pandas_calibration_sec": s1.get("pandas_calibration_sec"),
+            "spark_attempts": s1.get("spark_attempts"),
+            "pandas_attempts": s1.get("pandas_attempts"),
         }
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
