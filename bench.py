@@ -627,6 +627,11 @@ def main() -> None:
         "stream_sessionize_steady_sec": round(
             max(0.0, times.get("stream_sessionize", 0.0) - stream_overhead_sec), 3
         ),
+        # same split for the other streaming rows (r8): their recorded
+        # numbers are likewise ~flat micro-batch machinery + steady work
+        "stream_window_agg_steady_sec": round(
+            max(0.0, times.get("stream_window_agg", 0.0) - stream_overhead_sec), 3
+        ),
     }
     # Measured recall of the approximate paths (off the timed clock).
     try:

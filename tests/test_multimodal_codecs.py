@@ -171,3 +171,42 @@ def test_real_decode_guard_raises_in_spark(spark):
     )
     with pytest.raises(Exception, match="unsupported container"):
         extract_features(df, fake_decode=False).collect()
+
+
+# ----------------------------------------------------- property round-trips
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_ppm_roundtrip_property(w, h, seed):
+    r = np.random.default_rng(seed)
+    px = r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+    np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    ch=st.integers(1, 4),
+    bits=st.sampled_from([8, 16, 32]),
+    rate=st.integers(1, 192000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, bits, rate, seed):
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    info = np.iinfo(dtype)
+    r = np.random.default_rng(seed)
+    s = r.integers(info.min, info.max + 1, size=(n, ch)).astype(dtype)
+    out, got_rate = codecs.decode_wav(codecs.encode_wav(s, sample_rate=rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(out, s)
+    m = codecs.decode_media(codecs.encode_wav(s, sample_rate=rate))
+    assert m["n_samples"] == n * ch
+    assert m["content_sum"] == int(s.sum(dtype=np.int64))
