@@ -209,16 +209,27 @@ def test_intercorpus_dedup_drops_exactly_the_seen_docs(spark, docs):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-def test_intercorpus_dedup_shuffle_path_same_result(spark, docs):
+def test_intercorpus_dedup_shuffle_path_same_result(spark, docs, monkeypatch):
+    """All three physical routes agree: the r8 estimate-gated broadcast
+    fast path (no count probe, no distinct), the exact count-gated
+    broadcast, and the digests-only shuffle anti-join. The estimate gate
+    is disabled via monkeypatch — every in-memory test frame estimates
+    tiny, so broadcast_rows alone can no longer reach the slow paths."""
+    from dataforge_spark import partitioning
     from dataforge_spark.dedup.intercorpus import intercorpus_dedup
 
     seen = docs.where(F.col("doc_id") % 3 == 0).select("text")
     a = sorted(r["doc_id"] for r in
                intercorpus_dedup(docs, seen).select("doc_id").collect())
+
+    monkeypatch.setattr(partitioning, "plan_size_bytes", lambda df: None)
     b = sorted(r["doc_id"] for r in
                intercorpus_dedup(docs, seen, broadcast_rows=1)
-               .select("doc_id").collect())
-    assert a == b
+               .select("doc_id").collect())  # shuffle anti-join
+    c = sorted(r["doc_id"] for r in
+               intercorpus_dedup(docs, seen)
+               .select("doc_id").collect())  # count-gated broadcast
+    assert a == b == c
 
 
 def test_repetition_metrics_flags_templated_text(spark):
