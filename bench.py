@@ -585,21 +585,39 @@ def main() -> None:
     # (the amortized steady state), not a full corpus rewrite per query.
     _, ivf_build_sec = entry.build_ivf_disk_index(spark, sf_dir)
 
-    calibration_sec = _calibration_sec(spark)
-
+    # Contention-aware retry (r8, symmetric with sf1_block): if either
+    # edge calibration of the headline loop lands far off steady state
+    # (~0.10-0.15 s on this host), the whole loop re-runs once and the
+    # cleanest attempt is recorded — the headline `value` is what every
+    # round comparison reads, so it should measure the tree, not a
+    # co-tenant burst.
     times: dict[str, float] = {}
-    t_all = time.time()
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            _noop(df)
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-    wall = round(time.time() - t_all, 3)
+    calibration_sec = calibration_post = None
+    wall = 0.0
+    headline_attempts = 0
+    best_cal_max = float("inf")
+    for _ in range(2):
+        headline_attempts += 1
+        cal_pre = _calibration_sec(spark)
+        attempt_times: dict[str, float] = {}
+        t_all = time.time()
+        for name in BENCH_QUERIES:
+            best = float("inf")
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                _noop(df)
+                best = min(best, time.time() - t0)
+            attempt_times[name] = round(best, 3)
+        attempt_wall = round(time.time() - t_all, 3)
+        cal_post = _calibration_sec(spark)
+        if max(cal_pre, cal_post) < best_cal_max:
+            best_cal_max = max(cal_pre, cal_post)
+            times, wall = attempt_times, attempt_wall
+            calibration_sec, calibration_post = cal_pre, cal_post
+        if best_cal_max <= 0.35:
+            break
     total = round(sum(times.values()), 3)
-    calibration_post = _calibration_sec(spark)
 
     out = {
         "metric": "bench_total_sec",
@@ -609,6 +627,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": RUNS_PER_QUERY,
         "wall_sec": wall,
+        "headline_attempts": headline_attempts,
         # once-per-corpus on-disk IVF build (0.0 = reused an existing
         # index for this testdata fingerprint); searches are timed in
         # the sim_ivf_disk_topk row
