@@ -37,6 +37,14 @@ from dataforge_spark.session import get_spark  # noqa: E402
 # the number that scales. wall_sec in the output keeps the honest total.
 RUNS_PER_QUERY = 2
 
+# Steady-state calibration ceilings for the contention-aware retries
+# (shared by the sf0.1 headline loop and the sf1 paired block): the
+# fixed reference job runs ~0.10-0.15 s Spark-side and the pandas numpy
+# twin ~0.65 s on a quiet host; a phase whose [pre, post] calibrations
+# exceed these re-runs once and the cleanest attempt is recorded.
+SPARK_CAL_STEADY = 0.35
+PANDAS_CAL_STEADY = 1.0
+
 # Headline set: one per operator family + the scale-relevant extensions.
 BENCH_QUERIES = [
     "s4_profile",
@@ -286,9 +294,6 @@ def sf1_block(spark, sf1_dir: str) -> dict:
     # re-runs (once) while contended and the cleanest attempt is kept, so
     # the committed record is calibration-clean whenever ANY attempt ran
     # quiet; attempt counts are recorded for honesty.
-    SPARK_CAL_STEADY = 0.35
-    PANDAS_CAL_STEADY = 1.0
-
     spark_sec: dict[str, float] = {}
     cal: list[float] = []
     spark_attempts = 0
@@ -615,7 +620,7 @@ def main() -> None:
             best_cal_max = max(cal_pre, cal_post)
             times, wall = attempt_times, attempt_wall
             calibration_sec, calibration_post = cal_pre, cal_post
-        if best_cal_max <= 0.35:
+        if best_cal_max <= SPARK_CAL_STEADY:
             break
     total = round(sum(times.values()), 3)
 

@@ -176,6 +176,14 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(buf):
         cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        if pos + 8 + size > len(buf):
+            # a size field past the buffer is the common real-world
+            # corruption (cut-off download) — fail loudly like the BMP/
+            # PPM decoders instead of silently decoding fewer samples
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} claims {size} bytes, "
+                f"{len(buf) - pos - 8} remain"
+            )
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
@@ -189,6 +197,8 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             f"only integer PCM WAV supported (format tag {tag}, {bits}-bit)"
         )
+    if ch < 1:
+        raise ValueError(f"invalid WAV fmt: {ch} channels")
     arr = np.frombuffer(data, dtype=_WAV_DTYPES[bits])
     n = arr.size // ch * ch
     return arr[:n].reshape(-1, ch).copy(), rate

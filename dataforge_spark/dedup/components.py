@@ -65,10 +65,12 @@ def connected_components(
     # no decimal type represents arbitrary doubles exactly, so there is
     # no lossless common cast. Guard with one tiny aggregate over the
     # integral column(s) and raise instead of silently merging.
+    # (probe only LongType: byte/short/int cannot reach 2^53, so the
+    # extra aggregate job would be pure waste on those mixed pairs)
     mixed_cols = []
-    if isinstance(dt_a, _INTEGRAL) and isinstance(dt_b, _FRACTIONAL):
+    if isinstance(dt_a, T.LongType) and isinstance(dt_b, _FRACTIONAL):
         mixed_cols = [id_a]
-    elif isinstance(dt_b, _INTEGRAL) and isinstance(dt_a, _FRACTIONAL):
+    elif isinstance(dt_b, T.LongType) and isinstance(dt_a, _FRACTIONAL):
         mixed_cols = [id_b]
     if mixed_cols:
         lim = 1 << 53

@@ -41,8 +41,19 @@ def dedup_exact(
     cols = [id_col] + [c for c in df.columns if c != id_col]
     # map types (top-level OR nested) are unorderable → struct-min illegal
     unorderable = "map<" in df.schema.simpleString()
+    # The fallback's ordering key wraps the id as (isNotNull, id):
+    # min_by SKIPS rows whose ordering expression is NULL, so a bare id
+    # key would (a) invert the NULLS FIRST survivor rule and (b) return
+    # a fabricated all-NULL struct for a digest group whose every id is
+    # NULL; the struct key is never NULL itself and sorts NULL ids first.
     agg = (
-        F.min_by(F.struct(*df.columns), F.col(id_col))
+        F.min_by(
+            F.struct(*df.columns),
+            F.struct(
+                F.col(id_col).isNotNull().alias("nn"),
+                F.col(id_col).alias("v"),
+            ),
+        )
         if unorderable
         else F.min(F.struct(*cols))
     )

@@ -50,28 +50,35 @@ def intercorpus_dedup(
     applies it).
 
     The gate costs no extra job in the common case (round 8 — the
-    ``limit().count()`` probe plus the digest ``distinct()`` were 0.65 s
-    of a 0.82 s leg at sf1): when Catalyst's footer-stat estimate of the
-    reference plan is ≤ 64 MB, the reference is certainly broadcastable
-    (worst case ~20 B/row → ≤ ~3.2 M digests ≈ 160 MB broadcast — far
-    inside the 1e7-digest budget the explicit gate allows) and the
-    ``distinct()`` shuffle is skipped too: an anti-join is
-    duplicate-insensitive, and a ≤64 MB reference stays bounded without
-    it. Only estimate-unavailable or estimate-large references pay the
-    exact ``limit(n+1).count()`` probe (which never pays a full count),
-    keeping the digests-only shuffle path for genuinely large snapshots.
+    ``limit().count()`` probe was a separate 0.3-0.4 s Spark job on the
+    hot path): when Catalyst's footer-stat estimate of the reference
+    plan is ≤ 64 MB AND the caller left ``broadcast_rows`` at (or above)
+    its default, the digests broadcast without the counting job. The
+    broadcast side still ``distinct()``s — that aggregate folds into the
+    broadcast-build job rather than running as its own job, and it is
+    what keeps a duplicate-heavy reference (the one realistic way a big
+    reference dict/RLE-compresses under the byte threshold) bounded:
+    unique digests are incompressible, so ≤ 64 MB of footer-stat parquet
+    bounds the DISTINCT digest set to roughly the 1e7 budget the
+    explicit gate allows. A caller that tightened ``broadcast_rows``
+    below the default, or an estimate-unavailable / estimate-large
+    reference, pays the exact ``limit(n+1).count()`` probe (which never
+    pays a full count) and may take the digests-only shuffle path.
     """
     from ..partitioning import plan_size_bytes
 
     ref_text_col = ref_text_col or text_col
     tagged = new.withColumn("__d", digest(text_col))
+    ref_digests = reference.select(digest(ref_text_col).alias("__d")).distinct()
 
     est = plan_size_bytes(reference)
-    if est is not None and est <= 64 * 1024 * 1024:
-        ref_digests = reference.select(digest(ref_text_col).alias("__d"))
+    if (
+        est is not None
+        and est <= 64 * 1024 * 1024
+        and broadcast_rows >= 10_000_000
+    ):
         return tagged.join(F.broadcast(ref_digests), "__d", "left_anti").drop("__d")
 
-    ref_digests = reference.select(digest(ref_text_col).alias("__d")).distinct()
     small = ref_digests.limit(broadcast_rows + 1).count() <= broadcast_rows
     right = F.broadcast(ref_digests) if small else ref_digests
     return tagged.join(right, "__d", "left_anti").drop("__d")

@@ -56,10 +56,15 @@ def asof_join(
       row among them is arbitrary. Pass ``tie_breakers`` (right value
       column names) to make it deterministic IN the carry window: tied
       right rows are additionally ordered ascending by those columns and
-      the LAST one wins (i.e. the max-tie_breaker row) — same result as
-      pre-aggregating right to one row per (by, on) with max(), minus
-      that aggregate's exchange (r8: the driver query's status-dedup
-      groupBy was 0.58 s of a 1.4 s sf1 row).
+      the winner is that max-tie ROW — every carried column comes from
+      it, NOT a per-column max across the tied rows (include every
+      varying column in ``tie_breakers``, or pre-aggregate right, when
+      per-column max semantics are wanted; a NULL in the winning row's
+      non-tie-breaker column can also backfill from an earlier tied row
+      via the ignorenulls carry). Replaces the explicit one-row-per-
+      (by, on) pre-aggregate — and its exchange (0.58 s of a 1.4 s sf1
+      row in the driver query) — whenever the tied rows differ only in
+      the tie-breaker columns.
 
     Scale: one exchange (hash by ``by``), one per-key sort, no row
     amplification. ``by=None`` is a GLOBAL as-of — a single-task sort by

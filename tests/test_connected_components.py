@@ -133,3 +133,20 @@ def test_mixed_large_integral_and_double_ids_raise(spark):
     df = spark.createDataFrame([(big, 7.5)], "id_a long, id_b double")
     with pytest.raises(ValueError, match="2\\^53"):
         connected_components(df)
+
+
+def test_mixed_small_int_types_skip_the_guard_job(spark, monkeypatch):
+    """int/short/byte cannot reach 2^53, so the mixed-pair guard must not
+    spend an aggregate job on them (review r8) — and the result is still
+    correct through the double coercion."""
+    edges = [(7, 7.5), (8, 7.25)]
+    df = spark.createDataFrame(edges, "id_a int, id_b double")
+    calls = []
+    orig = type(df).agg
+    monkeypatch.setattr(type(df), "agg",
+                        lambda self, *a, **k: (calls.append(1), orig(self, *a, **k))[1])
+    got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    assert got == {(7.0, 7.0), (7.5, 7.0), (8.0, 7.25), (7.25, 7.25)}
+    # non-long mixed pairs take the changed-row branch and no DataFrame-
+    # level agg anywhere => the 2^53 probe must not have fired
+    assert calls == []

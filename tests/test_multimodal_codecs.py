@@ -210,3 +210,17 @@ def test_wav_roundtrip_property(n, ch, bits, rate, seed):
     m = codecs.decode_media(codecs.encode_wav(s, sample_rate=rate))
     assert m["n_samples"] == n * ch
     assert m["content_sum"] == int(s.sum(dtype=np.int64))
+
+
+def test_wav_truncated_and_zero_channel_guards():
+    """Review r8: a data-chunk size field past the buffer (cut-off
+    download) and a 0-channel fmt must raise, not silently mis-decode."""
+    s = np.array([[1], [2], [3], [4]], dtype=np.int16)
+    buf = codecs.encode_wav(s, sample_rate=8000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        codecs.decode_wav(buf[:-4])  # cut mid-data
+    bad = bytearray(buf)
+    # fmt chunk: RIFF(12) + 'fmt '(4) + size(4) → channels at offset 22
+    struct.pack_into("<H", bad, 22, 0)
+    with pytest.raises(ValueError, match="channels"):
+        codecs.decode_wav(bytes(bad))

@@ -52,8 +52,17 @@ def main() -> None:
             return None
         import re
 
-        m = re.search(r"(\d+)\s+failed", s)
-        return (int(m.group(1)) == 0) if m else ("fail" not in s.lower())
+        # '3 xfailed' must not count as failed (needs whitespace directly
+        # before 'failed'); collection 'errors' count as red.
+        counts = [
+            int(m.group(1))
+            for m in re.finditer(r"(\d+)\s(?:failed|errors?)\b", s)
+        ]
+        if counts:
+            return all(c == 0 for c in counts)
+        return bool(re.search(r"\d+\s+passed", s)) and not re.search(
+            r"\berror", s, re.I
+        )
 
     oks = [o for o in (_ok(args.pytest), _ok(args.gate), _ok(args.vanilla))
            if o is not None]
