@@ -68,6 +68,59 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    row_id: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-Lines scan — the de-facto interchange format for LLM
+    training corpora (one document object per line; gzip/zstd parts
+    decompress transparently by extension). Extension beyond the
+    CSV-only reference (S1 class).
+
+    - ``schema``: DDL string; omit to infer (an extra pass — always pass
+      the schema at 100 TB so the scan is single-pass and the reader
+      can prune columns).
+    - ``mode``: PERMISSIVE (default) | DROPMALFORMED | FAILFAST — the
+      standard Spark JSON contract; with ``corrupt_col`` set, malformed
+      lines land whole in that column instead of vanishing (quarantine
+      pattern: filter them to a reject sink, fail the batch on a ratio
+      threshold, or repair downstream).
+    """
+    r = spark.read.option("mode", mode)
+    if corrupt_col:
+        r = r.option("columnNameOfCorruptRecord", corrupt_col)
+        if schema:
+            schema = f"{schema}, {corrupt_col} string"
+    if schema:
+        r = r.schema(schema)
+    df = r.json(path)
+    return with_row_id(df) if row_id else df
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSON-Lines sink (one object per line, multi-part — compressed by
+    default: corpus JSONL is ~4-6× smaller gzipped and every consumer
+    decompresses it transparently). ``compression=None`` writes plain
+    text; ``partition_by`` lays out hive-style subdirectories (e.g. by
+    language or source shard) so downstream scans partition-prune."""
+    out = df.drop(ROW_ID) if ROW_ID in df.columns else df
+    writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     out = df.drop(ROW_ID) if ROW_ID in df.columns else df
     writer = out.write.mode("overwrite")

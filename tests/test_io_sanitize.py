@@ -42,3 +42,49 @@ def test_partitioned_write_prunes_at_scan(spark, events, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
     n_click = events.where(F.col("event_type") == "click").count()
     assert got.count() == n_click
+
+
+def test_jsonl_roundtrip_and_compression(spark, tmp_path):
+    """JSONL source/sink (r8): round-trip with explicit schema, gzip
+    parts by default, partition_by layout, corrupt-line quarantine."""
+    import gzip
+    import json as _json
+    import os
+
+    from dataforge_spark.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr"), (3, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    p = str(tmp_path / "out_jsonl")
+    write_jsonl(df, p, partition_by=["lang"])
+    # gzip parts, hive layout
+    parts = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(p) for f in fs if f.startswith("part-")
+    ]
+    assert parts and all(f.endswith(".gz") for f in parts)
+    assert any("lang=en" in f for f in parts) and any("lang=fr" in f for f in parts)
+    back = read_jsonl(spark, p, schema="doc_id long, text string")
+    got = {(r["doc_id"], r["text"]) for r in back.collect()}
+    assert got == {(1, "hello world"), (2, "bonjour"), (3, None)}
+
+    # corrupt-line quarantine: malformed rows land in the corrupt col
+    raw = str(tmp_path / "raw.jsonl")
+    with open(raw, "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": "ok"}) + "\n")
+        fh.write("{not valid json\n")
+    q = read_jsonl(spark, raw, schema="doc_id long, text string",
+                   corrupt_col="_bad")
+    rows = {r["doc_id"]: r for r in q.collect()}
+    assert rows[1]["_bad"] is None and rows[1]["text"] == "ok"
+    bad = [r for r in rows.values() if r["_bad"] is not None]
+    assert len(bad) == 1 and "{not valid json" in bad[0]["_bad"]
+
+    # gzip input decompresses transparently by extension
+    gz = str(tmp_path / "in.jsonl.gz")
+    with gzip.open(gz, "wt") as fh:
+        fh.write(_json.dumps({"doc_id": 9, "text": "zipped"}) + "\n")
+    z = read_jsonl(spark, gz, schema="doc_id long, text string")
+    assert [(r["doc_id"], r["text"]) for r in z.collect()] == [(9, "zipped")]
