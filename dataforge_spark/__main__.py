@@ -2,9 +2,10 @@
 
 Commands mirror the service surface without HTTP:
 
-    clean   --input data.csv --ops '{"duplicates": {"enabled": true}}'
-            --output cleaned.csv [--single-file] [--bug-compat]
-    profile --input data.csv            (JSON profile to stdout)
+    clean   --input data.{csv,parquet,jsonl[.gz]} --ops '{"duplicates":
+            {"enabled": true}}' --output cleaned.{csv,parquet,jsonl}
+            [--single-file] [--bug-compat]
+    profile --input data.{csv,parquet,jsonl}   (JSON profile to stdout)
     info                                (capability manifest to stdout)
     serve   [--port 8000] [--host 127.0.0.1] [--upload-dir uploads]
             (stdlib HTTP server: REST surface + /ui frontend)
@@ -27,6 +28,8 @@ from .session import get_spark
 def _read(spark, path: str):
     if path.endswith(".parquet"):
         return dfio.read_parquet(spark, path, row_id=True)
+    if path.endswith((".jsonl", ".jsonl.gz", ".json", ".json.gz", ".ndjson")):
+        return dfio.read_jsonl(spark, path, row_id=True)
     return dfio.read_csv(spark, path)
 
 
@@ -85,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
     ).run(df, ops)
     if args.output.endswith(".parquet"):
         dfio.write_parquet(out, args.output)
+    elif args.output.endswith((".jsonl", ".ndjson", ".json")):
+        dfio.write_jsonl(out, args.output, compression=None)
     else:
         dfio.write_csv(out, args.output, single_file=args.single_file)
     print(json.dumps(sanitize_for_json(report), indent=2))

@@ -63,3 +63,23 @@ def test_cli_profile_and_info(spark, csv_in, capsys):
     # the manifest drives the web UI form — operations must be present
     assert info["status"] == "active" or info["status"]
     assert "missing_values" in info["operations"]
+
+
+def test_cli_clean_jsonl_roundtrip(spark, tmp_path, capsys):
+    """r8: .jsonl input and output route through read_jsonl/write_jsonl
+    (schema inferred, dedup applied, plain-text parts out)."""
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n{"a": 2, "b": "y"}\n'
+    )
+    out = str(tmp_path / "out.jsonl")
+    rc = main([
+        "clean", "--input", str(src),
+        "--ops", json.dumps({"duplicates": {"enabled": True}}),
+        "--output", out,
+    ])
+    assert rc == 0
+    json.loads(capsys.readouterr().out)
+    rows = [json.loads(l) for f in os.listdir(out) if f.startswith("part-")
+            for l in open(os.path.join(out, f)) if l.strip()]
+    assert sorted((r["a"], r["b"]) for r in rows) == [(1, "x"), (2, "y")]
