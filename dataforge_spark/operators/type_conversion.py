@@ -212,15 +212,21 @@ def _detect_stats(df: DataFrame, str_cols: list[str], fmts: dict) -> dict:
       so the kernel strips ' ' only, not all whitespace.
     - datetime = ``try_to_timestamp(v, fmt)``: strptime validity AND the
       format's exact field widths (_FMT_RE) — strptime alone accepts
-      unpadded fields Java rejects. (pandas' Timestamp range, 1677–2262,
-      is narrower than Java's; out-of-range dates undercount — they would
-      fail the >50% gate's spirit anyway.)
+      unpadded fields Java rejects. Rows pandas NaT-coerces solely for
+      its ns Timestamp range (1677–2262 — Java parses the full proleptic
+      range) re-check through datetime.strptime, and the one year
+      strptime itself cannot represent, 0000 (valid in Java's ISO
+      chronology), validates via a year-2000 substitution — 0 and 2000
+      are both %400 leap years, so month/day validity is identical.
+      (r8: the hypothesis differential found '0000-01-01' counted 0 by
+      the kernel, 1 by the JVM.)
     - ≥2-distinct = min ≠ max over the raw strings — exact, unlike the
       old xxhash64 probe (UTF-8 byte order vs code-point order differ in
       neither equality nor this gate).
     """
     import numpy as np
     import pandas as pd
+    from datetime import datetime as _dt
 
     from ..partitioning import ensure_parallelism
 
@@ -301,9 +307,40 @@ def _detect_stats(df: DataFrame, str_cols: list[str], fmts: dict) -> dict:
                 )
                 dt_mask = None
                 for pyfmt, rx in fmt_specs[i]:
-                    m = ss.str.fullmatch(rx) & pd.to_datetime(
+                    shaped = ss.str.fullmatch(rx)
+                    parsed = pd.to_datetime(
                         ss, format=pyfmt, errors="coerce"
                     ).notna()
+                    m = shaped & parsed
+                    # pandas' ns range (1677-2262) is narrower than
+                    # Java's proleptic parser: re-check shaped-but-NaT
+                    # rows with strptime (years 1-9999), and year 0000
+                    # via a 2000 substitution (same %400 leap status);
+                    # the year field is leading or trailing in every
+                    # supported format
+                    gap = shaped & ~parsed
+                    if gap.any():
+                        lead_year = pyfmt.startswith("%Y")
+                        for pos in np.flatnonzero(gap.to_numpy()):
+                            val = ss.iloc[pos]
+                            try:
+                                _dt.strptime(val, pyfmt)
+                                m.iloc[pos] = True
+                                continue
+                            except ValueError:
+                                pass
+                            y = val[:4] if lead_year else val[-4:]
+                            if y == "0000":
+                                sub = (
+                                    "2000" + val[4:]
+                                    if lead_year
+                                    else val[:-4] + "2000"
+                                )
+                                try:
+                                    _dt.strptime(sub, pyfmt)
+                                    m.iloc[pos] = True
+                                except ValueError:
+                                    pass
                     dt_mask = m if dt_mask is None else (dt_mask | m)
                 row[f"dt{i}"] = int(dt_mask.sum()) if dt_mask is not None else 0
             yield pd.DataFrame([row])

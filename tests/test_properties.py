@@ -147,3 +147,28 @@ def test_detect_stats_differential(spark, vals):
     ).collect()[0]
     for k in ("nn", "num", "int", "bool", "dt"):
         assert got[f"{k}_c"] == (jvm[k] or 0), (k, got[f"{k}_c"], jvm[k], vals)
+
+
+def test_detect_stats_datetime_out_of_pandas_range(spark):
+    """Pinned r8 regression (hypothesis found '0000-01-01'): the Arrow
+    kernel's datetime count must match Java's proleptic parser outside
+    pandas' ns Timestamp range (1677-2262), for year 0000 (valid ISO
+    leap year, unrepresentable by strptime), and still reject
+    calendar-invalid shapes."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.operators.type_conversion import (
+        _detect_stats,
+        parse_timestamp_expr,
+    )
+
+    cases = ["0000-01-01", "1500-01-01", "2500-06-15", "0000-02-29",
+             "0000-02-30", "9999-12-31", "0001-01-01", "0000-00-00",
+             "2020-13-01", "1677-09-20", "2262-04-12"]
+    df = spark.createDataFrame([(v,) for v in cases], "c string")
+    fmts = {"c": ["yyyy-MM-dd"]}
+    got = _detect_stats(df, ["c"], fmts)
+    jvm = df.agg(
+        F.count(parse_timestamp_expr(F.col("c"), fmts["c"])).alias("dt")
+    ).collect()[0]["dt"]
+    assert got["dt_c"] == jvm == 8
