@@ -37,6 +37,9 @@ def dedup_exact(
     engine-arbitrary, so it is only the fallback for rows carrying
     unorderable (map-typed) columns).
     """
+    clash = {"_h", "_r"} & set(df.columns)
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} are reserved by dedup_exact")
     h = fingerprint(F.col(text_col)) if normalized else F.md5(F.col(text_col))
     cols = [id_col] + [c for c in df.columns if c != id_col]
     # map types (top-level OR nested) are unorderable → struct-min illegal

@@ -486,3 +486,34 @@ def test_detect_stats_matches_jvm_semantics(spark):
         assert got[f"{k}_c"] == jvm[k], (k, got[f"{k}_c"], jvm[k])
     # distinctness gate: only min != max matters
     assert (got["mn_c"] != got["mx_c"]) == (jvm["mn"] != jvm["mx"])
+
+
+def test_dedup_exact_keep_first_semantics(spark):
+    """r8 unit coverage for the aggregate rewrite: min-id survivor with
+    its OWN row's columns, NULL id sorts first, reserved working
+    columns rejected, map-typed rows route through the min_by fallback
+    with identical survivor choice."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.dedup.exact import dedup_exact
+
+    df = spark.createDataFrame(
+        [(3, "dup", "c3"), (1, "dup", "c1"), (2, "uniq", "c2"),
+         (None, "dup", "cN")],
+        "doc_id int, text string, tag string",
+    )
+    got = {r["text"]: (r["doc_id"], r["tag"])
+           for r in dedup_exact(df, text_col="text", id_col="doc_id").collect()}
+    # NULL id sorts first (ASC NULLS FIRST parity with the old window)
+    assert got == {"dup": (None, "cN"), "uniq": (2, "c2")}
+
+    with pytest.raises(ValueError, match="reserved"):
+        dedup_exact(df.withColumn("_h", F.lit(1)), text_col="text",
+                    id_col="doc_id")
+
+    # map column -> min_by fallback; survivor is still the min-id row
+    m = df.withColumn("meta", F.create_map(F.lit("k"), F.col("tag")))
+    got2 = {r["text"]: (r["doc_id"], r["meta"]["k"])
+            for r in dedup_exact(m, text_col="text", id_col="doc_id").collect()}
+    assert got2 == {"dup": (None, "cN"), "uniq": (2, "c2")}
