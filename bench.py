@@ -471,6 +471,27 @@ def recall_block(spark, sf_dir: str) -> dict:
                               "left_semi").count()
         cl_recall[nprobe] = round(n_hit / n_cl_exact, 4) if n_cl_exact else None
 
+    # PQ (r8): 8-byte codes + ADC + exact re-rank on the same clustered
+    # corpus — the memory-compression scale path's measured recall rides
+    # in the record beside IVF's
+    from dataforge_spark.similarity.pq import ivfpq_cosine_topk, pq_cosine_topk
+
+    pq_recall = {}
+    # two refine levels: the pool must COVER the 100-member planted
+    # clusters for ~full recall (ADC admits candidates, the exact
+    # re-rank orders them) — the pair shows the knob's effect
+    for label, fn in (
+        ("pq_refine12", lambda: pq_cosine_topk(cl, cq, k=5, m=8, ks=64,
+                                               refine=12)),
+        ("pq_refine24", lambda: pq_cosine_topk(cl, cq, k=5, m=8, ks=64,
+                                               refine=24)),
+        ("ivfpq_nprobe8_refine12", lambda: ivfpq_cosine_topk(
+            cl, cq, k=5, n_centroids=16, nprobe=8, m=8, ks=64, refine=12)),
+    ):
+        hits = cl_exact.join(pair(fn()), ["query_id", "neighbor_id"],
+                             "left_semi").count()
+        pq_recall[label] = round(hits / n_cl_exact, 4) if n_cl_exact else None
+
     docs = e._t(spark, sf_dir, "documents")
     ex_pairs = jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3,
                              threshold=0.9).select("id_a", "id_b")
@@ -488,6 +509,7 @@ def recall_block(spark, sf_dir: str) -> dict:
             f"nprobe{np_}": r for np_, r in cl_recall.items()
         },
         "sim_ivf_clustered_exact_pairs": n_cl_exact,
+        "sim_pq_clustered_recall_at_5": pq_recall,
         "dedup_minhash_t0.9_pair_recall": (
             round(n_mh_hit / n_ex_pairs, 4) if n_ex_pairs else None
         ),
