@@ -481,11 +481,11 @@ def recall_block(spark, sf_dir: str) -> dict:
     # clusters for ~full recall (ADC admits candidates, the exact
     # re-rank orders them) — the pair shows the knob's effect
     for label, fn in (
-        ("pq_refine12", lambda: pq_cosine_topk(cl, cq, k=5, m=8, ks=64,
-                                               refine=12)),
-        ("pq_refine24", lambda: pq_cosine_topk(cl, cq, k=5, m=8, ks=64,
-                                               refine=24)),
-        ("ivfpq_nprobe8_refine12", lambda: ivfpq_cosine_topk(
+        ("r12", lambda: pq_cosine_topk(cl, cq, k=5, m=8, ks=64,
+                                       refine=12)),
+        ("r24", lambda: pq_cosine_topk(cl, cq, k=5, m=8, ks=64,
+                                       refine=24)),
+        ("ivfpq8_r12", lambda: ivfpq_cosine_topk(
             cl, cq, k=5, n_centroids=16, nprobe=8, m=8, ks=64, refine=12)),
     ):
         hits = cl_exact.join(pair(fn()), ["query_id", "neighbor_id"],
@@ -509,7 +509,7 @@ def recall_block(spark, sf_dir: str) -> dict:
             f"nprobe{np_}": r for np_, r in cl_recall.items()
         },
         "sim_ivf_clustered_exact_pairs": n_cl_exact,
-        "sim_pq_clustered_recall_at_5": pq_recall,
+        "sim_pq_recall_at_5": pq_recall,
         "dedup_minhash_t0.9_pair_recall": (
             round(n_mh_hit / n_ex_pairs, 4) if n_ex_pairs else None
         ),
