@@ -324,6 +324,7 @@ def sf1_block(spark, sf1_dir: str) -> dict:
 
     pandas_sec: dict[str, float] = {}
     pandas_cal = None
+    pandas_micro = None
     pandas_attempts = 0
     best_pcal_max = float("inf")
     for _ in range(2):
@@ -338,6 +339,7 @@ def sf1_block(spark, sf1_dir: str) -> dict:
             parsed = json.loads(proc.stdout.strip().splitlines()[-1])
             attempt_q = parsed["queries"]
             attempt_cal = parsed.get("calibration_sec")
+            attempt_micro = parsed.get("micro_cal_sec")
         except Exception as e:  # baseline failure shouldn't kill the bench
             if not pandas_sec:
                 pandas_sec = {"error": str(e)}  # type: ignore[assignment]
@@ -346,6 +348,7 @@ def sf1_block(spark, sf1_dir: str) -> dict:
         if not pandas_sec or "error" in pandas_sec or pcal_max < best_pcal_max:
             best_pcal_max = pcal_max
             pandas_sec, pandas_cal = attempt_q, attempt_cal
+            pandas_micro = attempt_micro
         if best_pcal_max <= PANDAS_CAL_STEADY:
             break
 
@@ -377,6 +380,10 @@ def sf1_block(spark, sf1_dir: str) -> dict:
         # (measured 28 s for a 0.16 s-steady query in one window) shows
         # up here instead of silently inflating the ratio
         "pandas_calibration_sec": pandas_cal,
+        # per-query ~40ms host-speed trace from inside the baseline
+        # (detail-only): localizes mid-phase bursts the edge
+        # calibrations cannot see (r8 third-run lesson)
+        "pandas_micro_cal_sec": pandas_micro,
         "spark_sec": spark_sec,
         "pandas_sec": pandas_sec,
         "correctness": correctness,

@@ -547,8 +547,21 @@ def _calibration_sec() -> float:
     return round(best, 3)
 
 
+def _micro_cal_sec() -> float:
+    """~40 ms numpy reference, run after EVERY query: the r8 third
+    paired run showed the [pre, post] edge calibrations can both be
+    steady while a mid-phase co-tenant burst inflates the long string
+    rows 2-2.5x — a per-query trace localizes such a burst to the rows
+    it actually poisoned instead of leaving the whole phase deniable."""
+    t0 = time.time()
+    a = np.arange(3_000_000, dtype=np.int64)
+    ((a % 97) * (a % 89)).sum()
+    return round(time.time() - t0, 4)
+
+
 def main() -> None:
     times = {}
+    micro = {}
     cal_pre = _calibration_sec()
     # `value` times ONLY the query loop — the calibration runs sit
     # outside the window so the metric stays comparable across rounds.
@@ -563,6 +576,7 @@ def main() -> None:
             fn()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        micro[name] = _micro_cal_sec()
     value = round(time.time() - t_all, 3)
     cal_post = _calibration_sec()
     print(json.dumps({
@@ -571,6 +585,9 @@ def main() -> None:
         "queries": times,
         "runs_per_query": 2,
         "calibration_sec": [cal_pre, cal_post],
+        # per-query host-speed trace (~40 ms steady each): a row whose
+        # neighboring micro-cals spike was measured under a burst
+        "micro_cal_sec": micro,
         "sf_dir": SF,
     }))
 
