@@ -26,6 +26,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# fast-path gate constants (round 9, ADVICE r8): the byte estimate is a
+# no-job check, the raw-rowcount probe is a scan-only short job that
+# soundly bounds the distinct digest count the broadcast will hold
+_FAST_PATH_EST_BYTES = 64 * 1024 * 1024
+_DEFAULT_BROADCAST_ROWS = 10_000_000
+
+
 def digest(col: str | Column) -> Column:
     """128-bit content digest (md5 hex) — collision-safe for exact dedup
     at corpus scale, portable to every oracle engine."""
@@ -38,7 +45,7 @@ def intercorpus_dedup(
     reference: DataFrame,
     text_col: str = "text",
     ref_text_col: str | None = None,
-    broadcast_rows: int = 10_000_000,
+    broadcast_rows: int = _DEFAULT_BROADCAST_ROWS,
 ) -> DataFrame:
     """Rows of ``new`` whose ``text_col`` content does NOT appear in
     ``reference`` (exact content match by md5 digest). Keeps every column
@@ -49,21 +56,29 @@ def intercorpus_dedup(
     digests shuffle (with runtime bloom pruning where the optimizer
     applies it).
 
-    The gate costs no extra job in the common case (round 8 — the
-    ``limit().count()`` probe was a separate 0.3-0.4 s Spark job on the
-    hot path): when Catalyst's footer-stat estimate of the reference
-    plan is ≤ 64 MB AND the caller left ``broadcast_rows`` at (or above)
-    its default, the digests broadcast without the counting job. The
-    broadcast side still ``distinct()``s — that aggregate folds into the
-    broadcast-build job rather than running as its own job, and it is
-    what keeps a duplicate-heavy reference (the one realistic way a big
-    reference dict/RLE-compresses under the byte threshold) bounded:
-    unique digests are incompressible, so ≤ 64 MB of footer-stat parquet
-    bounds the DISTINCT digest set to roughly the 1e7 budget the
-    explicit gate allows. A caller that tightened ``broadcast_rows``
-    below the default, or an estimate-unavailable / estimate-large
-    reference, pays the exact ``limit(n+1).count()`` probe (which never
-    pays a full count) and may take the digests-only shuffle path.
+    The fast path avoids the expensive probe in the common case (round
+    8 — an exact ``distinct().limit(n+1).count()`` probe was a separate
+    shuffle-bearing 0.3-0.4 s Spark job on the hot path): when
+    Catalyst's footer-stat estimate of the reference plan is ≤ 64 MB AND
+    the caller left ``broadcast_rows`` at (or above) its default, the
+    digests broadcast after only a RAW-rowcount backstop probe
+    (``reference.limit(n+1).count()`` — no distinct, no shuffle; the
+    limit pushes into the scan and terminates after one small job). The
+    byte estimate alone is NOT a sound row bound (round 9, ADVICE r8):
+    it bounds the reference's stored TEXT bytes, and many small distinct
+    texts — short IDs, dict/RLE-friendly values — can store far smaller
+    than their md5 digests, so a ≤ 64 MB reference can hide tens of
+    millions of distinct digests and OOM the broadcast. The raw row
+    count bounds the distinct digest count from above, closing that
+    hole for the cost of a scan-only limit job (~0.1-0.3 s here —
+    bounded and cheap relative to a driver/executor OOM). The broadcast
+    side still ``distinct()``s (folded into the broadcast-build job). A
+    caller that tightened ``broadcast_rows`` below the default, an
+    estimate-unavailable / estimate-large reference, or a raw count
+    over budget (the reference may still be duplicate-heavy with few
+    DISTINCT digests) pays the exact ``distinct().limit(n+1).count()``
+    probe (which never pays a full count) and may take the digests-only
+    shuffle path.
     """
     from ..partitioning import plan_size_bytes
 
@@ -71,14 +86,28 @@ def intercorpus_dedup(
     tagged = new.withColumn("__d", digest(text_col))
     ref_digests = reference.select(digest(ref_text_col).alias("__d")).distinct()
 
-    est = plan_size_bytes(reference)
-    if (
-        est is not None
-        and est <= 64 * 1024 * 1024
-        and broadcast_rows >= 10_000_000
-    ):
+    if _fast_broadcast_ok(reference, broadcast_rows):
         return tagged.join(F.broadcast(ref_digests), "__d", "left_anti").drop("__d")
 
     small = ref_digests.limit(broadcast_rows + 1).count() <= broadcast_rows
     right = F.broadcast(ref_digests) if small else ref_digests
     return tagged.join(right, "__d", "left_anti").drop("__d")
+
+
+def _fast_broadcast_ok(reference: DataFrame, broadcast_rows: int) -> bool:
+    """True when the reference may broadcast WITHOUT the exact
+    distinct-digest probe: footer-stat byte estimate small, default-or-
+    larger budget, and — the round-9 backstop (ADVICE r8) — a scan-only
+    raw ``limit(n+1).count()`` at or under budget. Raw rows ≥ distinct
+    digests, so this soundly bounds the broadcast; the byte estimate
+    alone bounds stored TEXT bytes, which dict/RLE compression and
+    short-ID corpora decouple from digest count."""
+    from ..partitioning import plan_size_bytes
+
+    est = plan_size_bytes(reference)
+    return (
+        est is not None
+        and est <= _FAST_PATH_EST_BYTES
+        and broadcast_rows >= _DEFAULT_BROADCAST_ROWS
+        and reference.limit(broadcast_rows + 1).count() <= broadcast_rows
+    )

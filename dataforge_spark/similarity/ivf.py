@@ -43,8 +43,13 @@ def fit_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd k-means on a driver-side sample; rows normalized so the
-    assignment metric (max dot) is cosine. Deterministic via fixed seed.
-    ``sample_rows`` defaults to ~1500 points per centroid at k=16 —
+    assignment metric (max dot) is cosine. Deterministic via fixed seed
+    FOR A FIXED PARTITIONING only: ``df.sample(fraction, seed)`` draws
+    per partition, so the same corpus repartitioned yields a different
+    sample and different centroids (ADVICE r8; ``pq.fit_pq`` shares
+    this). Persist fitted centroids with the index for layout-stable
+    reuse (``write_ivf_index`` does); full-probe results are exact for
+    any centroid set. ``sample_rows`` defaults to ~1500 points per centroid at k=16 —
     plenty for a coarse quantizer; the sample reaches the driver through
     one Arrow ``toPandas`` transfer (py4j row decoding of array columns
     measured ~10× slower at 100k vectors).

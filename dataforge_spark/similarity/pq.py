@@ -61,10 +61,23 @@ def fit_pq(
 ) -> np.ndarray:
     """Per-subspace Lloyd k-means codebooks, shape ``(m, ks', dim/m)``
     with ``ks' = min(ks, sample size)``. Sampled rows are unit-normalized
-    first so ADC inner products approximate cosine. Deterministic via
-    fixed seed; one Arrow ``toPandas`` transfer like ``ivf.fit_centroids``.
-    ``dim`` must be divisible by ``m`` (raise early — silently padding
-    would make codes incompatible with any standard PQ layout)."""
+    first so ADC inner products approximate cosine. One Arrow
+    ``toPandas`` transfer like ``ivf.fit_centroids``. ``dim`` must be
+    divisible by ``m`` (raise early — silently padding would make codes
+    incompatible with any standard PQ layout).
+
+    DETERMINISM CAVEAT (ADVICE r8): the fixed seed makes the fit
+    deterministic only for a FIXED PARTITIONING of ``df`` —
+    ``df.sample(fraction, seed)`` draws per partition, so the same
+    corpus repartitioned yields a different sample and hence different
+    codebooks (``ivf.fit_centroids`` shares this, as does Spark's own
+    ``sample`` contract). "Fit once, reuse" callers who need
+    layout-stable indexes should persist the fitted codebooks alongside
+    the codes (as ``ivf.write_ivf_index`` does for centroids) rather
+    than refit per layout; search results on the exact re-rank path are
+    codebook-independent for candidates admitted, and corpora at or
+    under ``sample_rows`` skip sampling entirely and fit reproducibly
+    on every row."""
     if ks > 256:
         raise ValueError(f"ks={ks}: one-byte codes hold at most 256 codewords")
     n = df.count()

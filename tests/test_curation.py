@@ -232,6 +232,32 @@ def test_intercorpus_dedup_shuffle_path_same_result(spark, docs, monkeypatch):
     assert a == b == c
 
 
+def test_intercorpus_fast_path_rowcount_backstop(spark, docs, monkeypatch):
+    """ADVICE r8: a byte-small reference can still hold more distinct
+    digests than the broadcast budget (short texts store smaller than
+    their md5s), so the no-distinct-probe fast path must verify the RAW
+    row count before broadcasting. With the budget shrunk below the
+    reference's row count, the byte estimate alone must not broadcast —
+    the anti-join has to fall through to the probed (shuffle) path and
+    still return the exact result."""
+    from dataforge_spark import partitioning
+    from dataforge_spark.dedup import intercorpus
+
+    seen = docs.where(F.col("doc_id") % 3 == 0).select("text")
+    n_ref = seen.count()
+    assert n_ref > 2
+    monkeypatch.setattr(partitioning, "plan_size_bytes", lambda df: 1024)
+    monkeypatch.setattr(intercorpus, "_DEFAULT_BROADCAST_ROWS", 2)
+    # byte estimate says tiny, but the raw row count exceeds the budget:
+    # the no-probe broadcast must be refused ...
+    assert intercorpus._fast_broadcast_ok(seen, broadcast_rows=2) is False
+    # ... and accepted again once the budget covers the rows
+    assert intercorpus._fast_broadcast_ok(seen, broadcast_rows=n_ref) is True
+    # end-to-end through the refused path stays exact
+    out = intercorpus.intercorpus_dedup(docs, seen, broadcast_rows=2)
+    assert out.count() == docs.where(F.col("doc_id") % 3 != 0).count()
+
+
 def test_repetition_metrics_flags_templated_text(spark):
     from dataforge_spark.functions.text_analysis import repetition_metrics
 
