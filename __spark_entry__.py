@@ -1114,15 +1114,18 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       recomputes the same histogram from characters) — k=bucket, n=count;
     - ``frame``: every-4th 16-byte frame sample — k=frame_idx, n=0,
       s=frame hex;
-    - ``media`` (round 8): REAL container decode — each doc_id gets a
-      genuine encoded payload (even ids: 8×4 24-bit BMP with pixel bytes
-      ``(doc_id + j) % 256``; odd ids: mono 16-bit 8 kHz WAV with
-      samples ``((doc_id*7 + j*13) % 65536) - 32768``), decoded by the
+    - ``media`` (round 8; PNG added round 9): REAL container decode —
+      each doc_id gets a genuine encoded payload (ids ≡0 mod 3: 8×4
+      24-bit BMP with pixel bytes ``(doc_id + j) % 256``; ≡1: mono
+      16-bit 8 kHz WAV with samples ``((doc_id*7 + j*13) % 65536) -
+      32768``; ≡2: 6×4 RGBA PNG — DEFLATE-compressed, CRC-checked —
+      with pixel bytes ``(doc_id + j) % 256``), decoded by the
       pure-stdlib codecs (`dataforge_spark.codecs`); k = exact integer
-      sum of the DECODED scalars (header/padding excluded — only a real
-      decode produces it), n = decoded scalar count, s = kind:WxH@rate.
-      DuckDB recomputes both constructions arithmetically via
-      generate_series, so the oracle covers encoder AND decoder."""
+      sum of the DECODED scalars (header/padding/compression excluded —
+      only a real decode produces it), n = decoded scalar count,
+      s = kind:WxH@rate. DuckDB recomputes all three constructions
+      arithmetically via generate_series, so the oracle covers encoder
+      AND decoder (for PNG: the zlib round-trip and CRC path too)."""
     from dataforge_spark.multimodal import media_meta, sample_frames
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1162,14 +1165,17 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for rid in ids:
             rid = int(rid)
-            if rid % 2 == 0:
+            if rid % 3 == 0:
                 px = ((rid + np.arange(96)) % 256).astype(np.uint8)
                 out.append(codecs.encode_bmp(px.reshape(4, 8, 3)))
-            else:
+            elif rid % 3 == 1:
                 s = (((rid * 7 + np.arange(32) * 13) % 65536) - 32768).astype(
                     np.int16
                 )
                 out.append(codecs.encode_wav(s, sample_rate=8000))
+            else:
+                px = ((rid + np.arange(96)) % 256).astype(np.uint8)
+                out.append(codecs.encode_png(px.reshape(4, 6, 4)))
         return pd.Series(out)
 
     media = media_meta(
@@ -2297,22 +2303,29 @@ def oracle_sql() -> dict[str, str]:
                  substr(ph, CAST(1 + i * 32 AS BIGINT), 32) AS s
           FROM fr, UNNEST(generate_series(0, n_frames - 1, 4)) AS u(i)
         ),
-        -- real-decode leg: recompute the deterministic BMP/WAV payload
-        -- constructions arithmetically (decoded-scalar sum + count);
-        -- matching k proves the Spark side really encoded AND decoded
-        -- the container (raw byte sums include header/padding and differ)
+        -- real-decode leg: recompute the deterministic BMP/WAV/PNG
+        -- payload constructions arithmetically (decoded-scalar sum +
+        -- count); matching k proves the Spark side really encoded AND
+        -- decoded the container (raw byte sums include header/padding/
+        -- DEFLATE bytes and differ)
         media AS (
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
                  CAST(96 AS BIGINT) AS n, 'bmp:8x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 95)) AS u(j)
-          WHERE d.doc_id % 2 = 0 GROUP BY d.doc_id
+          WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id
           UNION ALL
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum(((d.doc_id * 7 + u.j * 13) % 65536) - 32768) AS BIGINT) AS k,
                  CAST(32 AS BIGINT) AS n, 'wav:0x0@8000' AS s
           FROM documents d, UNNEST(generate_series(0, 31)) AS u(j)
-          WHERE d.doc_id % 2 = 1 GROUP BY d.doc_id
+          WHERE d.doc_id % 3 = 1 GROUP BY d.doc_id
+          UNION ALL
+          SELECT 'media' AS op, d.doc_id,
+                 CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
+                 CAST(96 AS BIGINT) AS n, 'png:6x4@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 95)) AS u(j)
+          WHERE d.doc_id % 3 = 2 GROUP BY d.doc_id
         )
         SELECT * FROM meta UNION ALL SELECT * FROM feat
         UNION ALL SELECT * FROM frame UNION ALL SELECT * FROM media

@@ -2,8 +2,9 @@
 
 The container decode step was a ``fake_decode=True`` stand-in through
 round 7 because the usual codec libraries (Pillow, soundfile, ffmpeg)
-are not installed here. These three container formats need nothing but
-``struct`` + numpy, so they get REAL encoders and decoders, making the
+are not installed here. These container formats need nothing but
+``struct`` + stdlib ``zlib`` + numpy, so they get REAL encoders and
+decoders, making the
 ``extract_features`` / ``media_meta`` production path exercise genuine
 container bytes end-to-end:
 
@@ -11,6 +12,14 @@ container bytes end-to-end:
   (the plain Windows bitmap every image tool can write). Bottom-up and
   top-down row orders, 4-byte row padding.
 - **PPM**: binary ``P6``, maxval 255 (netpbm), comment-tolerant header.
+- **PNG** (round 9): non-interlaced 8-bit truecolor RGB/RGBA — the
+  single most common real-world image container. Pure stdlib ``zlib``
+  (DEFLATE + crc32) + numpy: the decoder verifies chunk CRCs, walks the
+  IDAT stream, and reconstructs all five scanline filter types (None /
+  Sub / Up / Average / Paeth); the encoder emits filter-0 scanlines
+  (decode of our own output is then a straight memcpy). Palettes,
+  sub-byte depths, 16-bit, grayscale and Adam7 interlacing raise
+  ``NotImplementedError``.
 - **WAV**: RIFF PCM (format tag 1), 8/16/32-bit integer samples, any
   channel count; chunk-walking decoder tolerates extra chunks (LIST,
   fact, ...).
@@ -24,18 +33,23 @@ environment cannot host (extension surface; the reference is CSV-only,
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 # ---------------------------------------------------------------- sniff
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff(buf: bytes) -> str | None:
-    """Container kind from magic bytes: 'bmp' | 'ppm' | 'wav' | None."""
+    """Container kind from magic bytes: 'bmp'|'ppm'|'png'|'wav'|None."""
     if len(buf) >= 2 and buf[:2] == b"BM":
         return "bmp"
     if len(buf) >= 2 and buf[:2] == b"P6":
         return "ppm"
+    if len(buf) >= 8 and buf[:8] == _PNG_SIG:
+        return "png"
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     return None
@@ -139,6 +153,131 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     )
 
 
+# ------------------------------------------------------------------ PNG
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 → non-interlaced 8-bit truecolor PNG (color
+    type 2 for RGB, 6 for RGBA). Every scanline uses filter 0 (None):
+    DEFLATE already removes most redundancy at these sizes and the
+    decode of our own output stays a straight memcpy."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects (h, w, 3|4) uint8 RGB/RGBA")
+    h, w, ch = px.shape
+    ctype = 2 if ch == 3 else 6
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reconstruct scanlines per the PNG filter spec (all five types).
+    Filter 0 is a memcpy, 1 (Sub) a per-lane cumsum mod 256, 2 (Up) a
+    wrapping add of the prior row; 3 (Average) and 4 (Paeth) carry an
+    intra-row recurrence and run per-pixel — acceptable because our own
+    encoder emits filter 0 and foreign Average/Paeth rows are decoded
+    correctly, just not at memcpy speed."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[y] = line
+        elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-ch]
+            out[y] = (
+                np.cumsum(line.reshape(w, ch).astype(np.uint64), axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ft == 2:  # Up (uint8 add wraps mod 256 per the spec)
+            out[y] = line + prev
+        elif ft == 3:  # Average
+            o = out[y]
+            for x in range(stride):
+                a = int(o[x - ch]) if x >= ch else 0
+                o[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            o = out[y]
+            for x in range(stride):
+                a = int(o[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                o[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft} on row {y}")
+    return out.reshape(h, w, ch)
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit truecolor PNG → (h, w, 3|4) uint8. Chunk
+    CRCs are verified (a cut-off or bit-rotted download fails loudly,
+    like the other decoders); all five scanline filters reconstruct.
+    Grayscale/palette/16-bit/interlaced raise NotImplementedError."""
+    if len(buf) < 8 or buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat, ended = 8, None, [], False
+    while pos + 8 <= len(buf):
+        ln = struct.unpack_from(">I", buf, pos)[0]
+        tag = buf[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(buf):
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} claims {ln} bytes, "
+                f"{len(buf) - pos - 12} remain"
+            )
+        body = buf[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack_from(">I", buf, pos + 8 + ln)[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat or not ended:
+        raise ValueError("PNG stream missing IHDR/IDAT/IEND chunk")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG IHDR (compression={comp}, filter={filt})")
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit truecolor PNG supported "
+            f"(depth={depth}, color type={ctype}, interlace={interlace})"
+        )
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    ch = 3 if ctype == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    need = h * (1 + w * ch)
+    if len(raw) != need:
+        raise ValueError(f"PNG pixel stream {len(raw)} bytes, expected {need}")
+    return _png_unfilter(raw, h, w, ch)
+
+
 # ------------------------------------------------------------------ WAV
 
 _WAV_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
@@ -210,7 +349,7 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 def decode_media(buf: bytes) -> dict:
     """Sniff + decode one payload. Returns a uniform metadata dict:
 
-    ``kind`` ('bmp'|'ppm'|'wav'), ``width``/``height``/``channels``,
+    ``kind`` ('bmp'|'ppm'|'png'|'wav'), ``width``/``height``/``channels``,
     ``sample_rate`` (0 for images), ``n_samples`` (decoded scalar count:
     h*w*3 for images, frames*channels for audio), ``content_sum`` (exact
     integer sum of the DECODED scalars — container headers and BMP row
@@ -221,8 +360,10 @@ def decode_media(buf: bytes) -> dict:
     guard for codecs this environment cannot host.
     """
     kind = sniff(bytes(buf))
-    if kind == "bmp" or kind == "ppm":
-        px = decode_bmp(bytes(buf)) if kind == "bmp" else decode_ppm(bytes(buf))
+    if kind in ("bmp", "ppm", "png"):
+        px = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}[kind](
+            bytes(buf)
+        )
         return {
             "kind": kind,
             "width": px.shape[1],
@@ -246,7 +387,7 @@ def decode_media(buf: bytes) -> dict:
             "content": samples,
         }
     raise NotImplementedError(
-        f"unsupported container (magic {bytes(buf)[:4]!r}): only BMP/PPM/WAV "
-        f"decode in this environment; other codecs need libraries not "
-        f"installed here"
+        f"unsupported container (magic {bytes(buf)[:4]!r}): only "
+        f"BMP/PPM/PNG/WAV decode in this environment; other codecs need "
+        f"libraries not installed here"
     )

@@ -5,8 +5,9 @@ Design for a 100 TB training-data pipeline: image/audio/video payloads are
 opaque ``binary`` columns travelling WITH typed metadata columns, processed
 by Arrow-batched ``mapInPandas`` stages so bytes never round-trip through
 Python row-by-row. Since round 8 the decode step is REAL for the
-containers pure stdlib+numpy can parse — BMP / P6-PPM images and RIFF
-PCM WAV audio (``dataforge_spark.codecs``) — exercised end-to-end by
+containers pure stdlib+numpy can parse — BMP / P6-PPM / PNG (round 9,
+stdlib zlib) images and RIFF PCM WAV audio (``dataforge_spark.codecs``)
+— exercised end-to-end by
 ``media_meta`` and ``extract_features(fake_decode=False)``. Containers
 needing codec libraries this environment does not ship still raise
 ``NotImplementedError``; ``fake_decode=True`` remains for synthetic
@@ -100,8 +101,8 @@ def extract_features(
     ``fake_decode`` the "features" are a deterministic byte-histogram
     projection over the RAW payload (no codec needed — synthetic-fixture
     mode). With ``fake_decode=False`` the payload is REALLY decoded via
-    the pure-stdlib codecs (BMP / P6-PPM images, RIFF PCM WAV audio —
-    ``dataforge_spark.codecs``):
+    the pure-stdlib codecs (BMP / P6-PPM / PNG images, RIFF PCM WAV
+    audio — ``dataforge_spark.codecs``):
 
     - image → L1-normalized ``feature_dim``-bucket histogram of the
       decoded pixel bytes (container header and BMP row padding
@@ -109,7 +110,7 @@ def extract_features(
     - audio → L1-normalized mean-absolute-amplitude over ``feature_dim``
       equal time segments (a downsampled envelope).
 
-    Containers outside those three still raise ``NotImplementedError``
+    Containers outside those four still raise ``NotImplementedError``
     (the advertised guard for codecs this environment cannot host).
     """
     out_schema = T.StructType(

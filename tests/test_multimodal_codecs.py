@@ -94,7 +94,8 @@ def test_sniff_and_decode_media_dispatch():
     assert codecs.sniff(codecs.encode_bmp(px)) == "bmp"
     assert codecs.sniff(codecs.encode_ppm(px)) == "ppm"
     assert codecs.sniff(codecs.encode_wav(s)) == "wav"
-    assert codecs.sniff(b"\x89PNG\r\n") is None
+    assert codecs.sniff(codecs.encode_png(px)) == "png"
+    assert codecs.sniff(b"\x89PNG\r\n") is None  # partial signature
 
     m = codecs.decode_media(codecs.encode_wav(s, sample_rate=44100))
     assert (m["kind"], m["channels"], m["sample_rate"], m["n_samples"]) == (
@@ -104,8 +105,9 @@ def test_sniff_and_decode_media_dispatch():
 
 
 def test_decode_media_unknown_container_raises():
+    # GIF: a real format this environment has no codec for
     with pytest.raises(NotImplementedError, match="unsupported container"):
-        codecs.decode_media(b"\x89PNG\r\n\x1a\nrest")
+        codecs.decode_media(b"GIF89a" + b"\x00" * 16)
 
 
 def test_unsupported_bmp_variants_raise():
@@ -167,7 +169,7 @@ def test_real_decode_guard_raises_in_spark(spark):
     from dataforge_spark.multimodal import extract_features
 
     df = spark.createDataFrame(
-        [(0, bytearray(b"\x89PNG\r\n\x1a\nxxxx"))], "doc_id long, payload binary"
+        [(0, bytearray(b"GIF89a" + b"\x00" * 16))], "doc_id long, payload binary"
     )
     with pytest.raises(Exception, match="unsupported container"):
         extract_features(df, fake_decode=False).collect()
@@ -210,6 +212,152 @@ def test_wav_roundtrip_property(n, ch, bits, rate, seed):
     m = codecs.decode_media(codecs.encode_wav(s, sample_rate=rate))
     assert m["n_samples"] == n * ch
     assert m["content_sum"] == int(s.sum(dtype=np.int64))
+
+
+# ------------------------------------------------------------------- PNG
+
+
+import zlib
+
+
+@pytest.mark.parametrize("w,h,ch", [(8, 4, 3), (5, 3, 4), (1, 1, 3), (7, 2, 4)])
+def test_png_roundtrip_rgb_rgba(w, h, ch):
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+def _png_forward_filter(px: np.ndarray, ftypes: list[int]) -> bytes:
+    """Build a PNG whose row y uses scanline filter ftypes[y] — the
+    forward transform our encoder never emits (it writes filter 0), so
+    decoding this stream exercises the Sub/Up/Average/Paeth
+    reconstruction paths against an independent implementation."""
+    h, w, ch = px.shape
+    recon = px.astype(np.int64).reshape(h, w * ch)
+    out = b""
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        cur = recon[y]
+        prev = recon[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = cur - left
+        elif ft == 2:
+            f = cur - prev
+        elif ft == 3:
+            f = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pr = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, prev, ul))
+            f = cur - pr
+        out += bytes([ft]) + (f % 256).astype(np.uint8).tobytes()
+    ctype = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(out))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ch", [3, 4])
+def test_png_all_five_filters_reconstruct(ch):
+    """A foreign stream cycling filters None/Sub/Up/Average/Paeth row by
+    row must reconstruct the exact pixels."""
+    px = rng.integers(0, 256, size=(10, 6, ch), dtype=np.uint8)
+    buf = _png_forward_filter(px, [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(codecs.decode_png(buf), px)
+
+
+def test_png_multiple_idat_chunks():
+    """The DEFLATE stream may be split across IDAT chunks arbitrarily."""
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    buf = codecs.encode_png(px)
+    # re-split the single IDAT into two
+    ln = struct.unpack_from(">I", buf, 8 + 25)[0]  # after sig + IHDR chunk
+    body = buf[8 + 25 + 8 : 8 + 25 + 8 + ln]
+    rebuilt = (
+        buf[: 8 + 25]
+        + codecs._png_chunk(b"IDAT", body[: ln // 2])
+        + codecs._png_chunk(b"IDAT", body[ln // 2 :])
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode_png(rebuilt), px)
+
+
+def test_png_crc_and_truncation_guards():
+    px = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    buf = bytearray(codecs.encode_png(px))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        codecs.decode_png(bytes(buf[:-16]))  # cut into the IDAT chunk
+    with pytest.raises(ValueError, match="missing IHDR/IDAT/IEND"):
+        codecs.decode_png(bytes(buf[:-6]))  # IEND header gone entirely
+    buf[8 + 8 + 3] ^= 0xFF  # flip a bit inside the IHDR body
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        codecs.decode_png(bytes(buf))
+
+
+def test_png_unsupported_variants_raise():
+    px = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    base = bytearray(codecs.encode_png(px))
+
+    def mutated(offset: int, value: int) -> bytes:
+        b = bytearray(base)
+        b[offset] = value
+        # recompute the IHDR CRC so the variant check is what fires
+        body = bytes(b[8 + 8 : 8 + 8 + 13])
+        struct.pack_into(">I", b, 8 + 8 + 13, zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+        return bytes(b)
+
+    # IHDR body: w(4) h(4) depth(1)@16 ctype(1)@17 comp interlace@20
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        codecs.decode_png(mutated(8 + 8 + 8, 16))
+    with pytest.raises(NotImplementedError, match="color type=0"):
+        codecs.decode_png(mutated(8 + 8 + 9, 0))
+    with pytest.raises(NotImplementedError, match="interlace=1"):
+        codecs.decode_png(mutated(8 + 8 + 12, 1))
+
+
+def test_png_decode_media_and_features(spark):
+    """PNG through the production decode paths: decode_media metadata +
+    extract_features(fake_decode=False) histogram over the DECODED
+    pixels (VERDICT r8 task 4)."""
+    from dataforge_spark.multimodal import extract_features, media_meta
+
+    px = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    m = codecs.decode_media(codecs.encode_png(px))
+    assert (m["kind"], m["width"], m["height"], m["channels"]) == ("png", 6, 4, 4)
+    assert m["n_samples"] == 96
+    assert m["content_sum"] == int(px.sum(dtype=np.int64))
+
+    df = spark.createDataFrame(
+        [(0, bytearray(codecs.encode_png(px)))], "doc_id long, payload binary"
+    )
+    row = media_meta(df).collect()[0]
+    assert row["kind"] == "png" and row["content_sum"] == int(px.sum(dtype=np.int64))
+    feats = np.array(
+        extract_features(df, feature_dim=8, fake_decode=False).collect()[0]["features"]
+    )
+    exp = np.bincount(px.reshape(-1) % 8, minlength=8).astype("float64")
+    np.testing.assert_allclose(feats, exp / exp.sum(), rtol=1e-6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 9),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, ch, seed):
+    r = np.random.default_rng(seed)
+    px = r.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(px)), px)
 
 
 def test_wav_truncated_and_zero_channel_guards():
