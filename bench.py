@@ -273,6 +273,9 @@ def sf1_block(spark, sf1_dir: str) -> dict:
 
     qs = dict(entry.queries())
     qs["s4_profile_approx"] = _s4_profile_approx
+    # bench-only row: folded into the sim_pq_topk registry union in r9,
+    # kept standalone here so the per-round bench history stays 1:1
+    qs["sim_cosine_topk"] = entry.q_sim_cosine_topk
     # prewarm the sf1 read paths + stream input copies
     entry._events(spark, sf1_dir).write.format("noop").mode("overwrite").save()
     entry.prewarm_stream_inputs(spark, sf1_dir)
@@ -573,6 +576,8 @@ def main() -> None:
 
     qs = dict(qs)
     qs["s4_profile_approx"] = _s4_profile_approx
+    # bench-only (see sf1_block): registry slot now hosts sim_pq_topk
+    qs["sim_cosine_topk"] = entry.q_sim_cosine_topk
 
     # JIT pre-compilation: run every headline query once at sf0.001 (tiny
     # data, the SAME plan shapes) before the clock starts. The text rows
