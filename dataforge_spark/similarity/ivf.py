@@ -127,11 +127,20 @@ def _probe_and_score(
     vec_col: str,
 ) -> DataFrame:
     """Shared probe/score tail for the in-memory and on-disk index paths.
-    ``c`` must have (neighbor_id, _cvec, _ivf_bucket). The union of
-    probed buckets is applied as an ``isin`` filter FIRST — map-side on
-    the in-memory path, and a partition-pruning PartitionFilter on a
-    bucket-partitioned index read, so unprobed buckets are never
-    scanned.
+    ``c`` must have (neighbor_id, _cvec) and MAY have ``_ivf_bucket``:
+
+    - WITH a materialized bucket column (the on-disk index), the union
+      of probed buckets is applied as an ``isin`` filter FIRST — a
+      partition-pruning PartitionFilter on the bucket-partitioned read,
+      so unprobed buckets are never scanned;
+    - WITHOUT one (the in-memory path), the coarse assignment is
+      computed INSIDE the scoring pass from the broadcast centroids
+      (round 9): materializing ``_ivf_bucket`` via a chained pandas_udf
+      first shipped every corpus vector through Python twice in the
+      same stage (assign eval + scoring) — measured 2.1-2.7 s vs ~1.1 s
+      fused at sf1 (20k×64d, 32 parts). The ``isin`` prefilter bought
+      nothing there anyway: it ran AFTER the assign UDF, so the full
+      corpus paid the Arrow transfer regardless of nprobe.
 
     Scoring shape: the query matrix AND the per-query probed-bucket mask
     are broadcast; ONE ``mapInPandas`` pass over the (pruned) corpus does
@@ -160,14 +169,18 @@ def _probe_and_score(
     for qi, row in enumerate(order):
         mask[row, qi] = True
     probed = sorted({int(b) for row in order for b in row})
-    # The isin filter is map-side in-memory; on the partitioned index
-    # read it is additionally a PartitionFilter (directories skipped).
-    c = c.where(F.col("_ivf_bucket").isin(probed))
-    bc = spark.sparkContext.broadcast((qids, Qn, mask))
+    has_bucket = "_ivf_bucket" in c.columns
+    if has_bucket:
+        # On the partitioned index read this is a PartitionFilter
+        # (unprobed bucket directories are skipped entirely).
+        c = c.where(F.col("_ivf_bucket").isin(probed))
+    bc = spark.sparkContext.broadcast(
+        (qids, Qn, mask, None if has_bucket else centroids)
+    )
     dim = Qn.shape[1]
 
     def score_batches(it):
-        qids_, Qn_, mask_ = bc.value
+        qids_, Qn_, mask_, cents_ = bc.value
         nq = len(qids_)
         for pdf in it:
             if pdf.empty:
@@ -179,7 +192,13 @@ def _probe_and_score(
             # use the identical comparator (ties at 6dp break on id)
             S = np.round(Xn @ Qn_.T, 6)
             ids = pdf["neighbor_id"].to_numpy()
-            allowed = mask_[pdf["_ivf_bucket"].to_numpy(dtype=np.int64)]
+            if cents_ is None:
+                buckets = pdf["_ivf_bucket"].to_numpy(dtype=np.int64)
+            else:
+                # fused coarse assignment — argmax is scale-invariant,
+                # so normalizing here matches with_ivf_bucket exactly
+                buckets = np.argmax(Xn @ cents_.T, axis=1)
+            allowed = mask_[buckets]
             if bad is not None:
                 allowed[np.asarray(bad, dtype=bool)] = False
             out = []
@@ -226,9 +245,12 @@ def ivf_cosine_topk(
     if centroids is None:
         centroids = fit_centroids(corpus, vec_col, k=n_centroids)
 
-    c = with_ivf_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
-        centroids, "_cvec",
+    # No materialized bucket column: _probe_and_score fuses the coarse
+    # assignment into the scoring pass (one Arrow transfer of the
+    # corpus, not two — round 9; the on-disk path keeps the stored
+    # bucket column for partition pruning).
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
     )
     return _probe_and_score(c, queries, centroids, k, nprobe, id_col, vec_col)
 
