@@ -9,7 +9,12 @@ cleaning, methods/textCleaning.py); for the extension surface (minhash,
 jaccard, cosine top-k) the baseline is an idiomatic single-node
 numpy/pure-python implementation of the same algorithm.
 
-Usage: python tools/pandas_baseline.py [sf_dir]
+Usage: python tools/pandas_baseline.py [sf_dir] [runs_per_query]
+
+``runs_per_query`` defaults to 2 (the sf0.1 contract); bench.py's sf1
+paired block passes 3 so BOTH engines take the min over the same number
+of samples — min-of-3 vs min-of-2 under this host's documented noise
+would systematically favor whichever side drew more samples (ADVICE r8).
 """
 
 from __future__ import annotations
@@ -25,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
 
 def load(name: str) -> pd.DataFrame:
@@ -563,27 +569,33 @@ def main() -> None:
     times = {}
     micro = {}
     cal_pre = _calibration_sec()
-    # `value` times ONLY the query loop — the calibration runs sit
-    # outside the window so the metric stays comparable across rounds.
+    # `value` times ONLY the query loop — the edge calibrations sit
+    # outside the window, and the per-query micro-cals (which must run
+    # INSIDE the loop to localize mid-phase bursts) are summed and
+    # subtracted so they don't inflate the recorded wall (ADVICE r8).
     t_all = time.time()
-    # best-of-2 per query, matching the Spark side's RUNS_PER_QUERY=2 —
-    # a single sample under co-tenant load recorded 28 s for a query
+    # best-of-RUNS per query (bench.py passes the Spark side's count so
+    # both engines' minima come from the same number of samples) — a
+    # single sample under co-tenant load recorded 28 s for a query
     # whose steady state is 0.16 s, poisoning the paired ratio.
+    micro_total = 0.0
     for name, fn in BENCHES.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(RUNS):
             t0 = time.time()
             fn()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        t_m = time.time()
         micro[name] = _micro_cal_sec()
-    value = round(time.time() - t_all, 3)
+        micro_total += time.time() - t_m
+    value = round(time.time() - t_all - micro_total, 3)
     cal_post = _calibration_sec()
     print(json.dumps({
         "metric": "pandas_baseline_total_sec",
         "value": value,
         "queries": times,
-        "runs_per_query": 2,
+        "runs_per_query": RUNS,
         "calibration_sec": [cal_pre, cal_post],
         # per-query host-speed trace (~40 ms steady each): a row whose
         # neighboring micro-cals spike was measured under a burst
