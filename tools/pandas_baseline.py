@@ -38,7 +38,15 @@ def load(name: str) -> pd.DataFrame:
 
 
 def li_nulls() -> pd.DataFrame:
-    li = load("lineitem")
+    # column-pruned read (round 9): only 5 of lineitem's 11 columns are
+    # used, and read_parquet(columns=...) is the idiomatic pandas way to
+    # prune — loading all columns inflated the baseline ~0.2 s/call at
+    # sf1, unfairly flattering the Spark ratio
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_returnflag"],
+    )
     df = li[["l_orderkey", "l_linenumber"]].copy()
     df["qty"] = li["l_quantity"].where(li["l_orderkey"] % 7 != 0)
     df["price"] = li["l_extendedprice"].where(li["l_orderkey"] % 11 != 0)
