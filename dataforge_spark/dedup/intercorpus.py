@@ -61,9 +61,9 @@ def intercorpus_dedup(
     shuffle-bearing 0.3-0.4 s Spark job on the hot path): when
     Catalyst's footer-stat estimate of the reference plan is ≤ 64 MB AND
     the caller left ``broadcast_rows`` at (or above) its default, the
-    digests broadcast after only a RAW-rowcount backstop probe
-    (``reference.limit(n+1).count()`` — no distinct, no shuffle; the
-    limit pushes into the scan and terminates after one small job). The
+    digests broadcast after only a RAW-rowcount backstop probe (a plain
+    ``count()`` — no distinct, no shuffle, one job, and the scan it
+    counts is already byte-bounded by the estimate gate). The
     byte estimate alone is NOT a sound row bound (round 9, ADVICE r8):
     it bounds the reference's stored TEXT bytes, and many small distinct
     texts — short IDs, dict/RLE-friendly values — can store far smaller
@@ -97,11 +97,17 @@ def intercorpus_dedup(
 def _fast_broadcast_ok(reference: DataFrame, broadcast_rows: int) -> bool:
     """True when the reference may broadcast WITHOUT the exact
     distinct-digest probe: footer-stat byte estimate small, default-or-
-    larger budget, and — the round-9 backstop (ADVICE r8) — a scan-only
-    raw ``limit(n+1).count()`` at or under budget. Raw rows ≥ distinct
-    digests, so this soundly bounds the broadcast; the byte estimate
-    alone bounds stored TEXT bytes, which dict/RLE compression and
-    short-ID corpora decouple from digest count."""
+    larger budget, and — the round-9 backstop (ADVICE r8) — a raw
+    ``count()`` at or under budget. Raw rows ≥ distinct digests, so
+    this soundly bounds the broadcast; the byte estimate alone bounds
+    stored TEXT bytes, which dict/RLE compression and short-ID corpora
+    decouple from digest count. A PLAIN count, not ``limit(n+1).count()``:
+    the byte gate already bounds the scan, and when the limit is never
+    reached (the common small-reference case) CollectLimit escalates
+    through several incremental jobs — measured 0.23 s vs 0.14 s for
+    one count job on a 12k-row reference at 32-task granularity. The
+    fallthrough distinct probe keeps the limit form because no byte
+    bound holds there."""
     from ..partitioning import plan_size_bytes
 
     est = plan_size_bytes(reference)
@@ -109,5 +115,5 @@ def _fast_broadcast_ok(reference: DataFrame, broadcast_rows: int) -> bool:
         est is not None
         and est <= _FAST_PATH_EST_BYTES
         and broadcast_rows >= _DEFAULT_BROADCAST_ROWS
-        and reference.limit(broadcast_rows + 1).count() <= broadcast_rows
+        and reference.count() <= broadcast_rows
     )
