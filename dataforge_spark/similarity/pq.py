@@ -125,20 +125,30 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """(id, _pq_code binary) — each vector unit-normalized and encoded as
-    ``m`` one-byte nearest-codeword indices (L2 in each subspace, the
-    standard PQ assignment). NULL / ragged / zero vectors → NULL code
-    (excluded from search, mirroring the IVF NULL-bucket rule). One
-    Arrow pass, batch matmuls per subspace."""
+    """(id, _pq_code binary[, _ivf_bucket int]) — each vector
+    unit-normalized and encoded as ``m`` one-byte nearest-codeword
+    indices (L2 in each subspace, the standard PQ assignment). NULL /
+    ragged / zero vectors → NULL code (excluded from search, mirroring
+    the IVF NULL-bucket rule). One Arrow pass, batch matmuls per
+    subspace. Pass ``centroids`` to ALSO emit the IVF coarse bucket from
+    the same batch (round 9): assigning it in a separate chained
+    pandas_udf + re-attach join shipped the vectors through Python twice
+    and paid a corpus-sized id shuffle — the fused pass does neither
+    (same double-Python finding as ``ivf._probe_and_score``)."""
     m, ks, sub = codebooks.shape
     dim = m * sub
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(codebooks)
+    bc = spark.sparkContext.broadcast((codebooks, centroids))
     id_type = df.schema[id_col].dataType.simpleString()
+    with_bucket = centroids is not None
+    schema = f"__id {id_type}, _pq_code binary" + (
+        ", _ivf_bucket int" if with_bucket else ""
+    )
 
     def encode(it):
-        B = bc.value
+        B, C = bc.value
         # ||x - c||² = ||x||² − 2x·c + ||c||²; per-subspace argmin needs
         # only the cross and codeword terms
         cnorm = [(B[j] ** 2).sum(axis=1) for j in range(m)]
@@ -160,14 +170,22 @@ def pq_encode(
                 None if invalid[i] else codes[i].tobytes()
                 for i in range(len(Xn))
             ]
-            yield pd.DataFrame(
-                {"__id": pdf[id_col].to_numpy(), "_pq_code": payload}
-            )
+            cols = {"__id": pdf[id_col].to_numpy(), "_pq_code": payload}
+            if C is not None:
+                # same argmax as ivf.with_ivf_bucket (scale-invariant);
+                # invalid vectors get a NULL bucket, never probed
+                a = np.argmax(Xn @ C.T, axis=1)
+                cols["_ivf_bucket"] = pd.array(
+                    [None if invalid[i] else int(a[i]) for i in range(len(Xn))],
+                    dtype="Int32",
+                )
+            yield pd.DataFrame(cols)
 
-    out = df.select(id_col, vec_col).mapInPandas(
-        encode, f"__id {id_type}, _pq_code binary"
-    )
-    return out.select(F.col("__id").alias(id_col), "_pq_code")
+    out = df.select(id_col, vec_col).mapInPandas(encode, schema)
+    keep = [F.col("__id").alias(id_col), "_pq_code"]
+    if with_bucket:
+        keep.append("_ivf_bucket")
+    return out.select(*keep)
 
 
 def _adc_candidates(
@@ -319,7 +337,7 @@ def ivfpq_cosine_topk(
     PartitionFilter on a bucket-partitioned layout) + ADC + exact
     re-rank. At 100 TB this scans nprobe/n_centroids of a 32×-compressed
     code table instead of the raw vectors."""
-    from .ivf import fit_centroids, with_ivf_bucket
+    from .ivf import fit_centroids
 
     if centroids is None:
         centroids = fit_centroids(corpus, vec_col, k=n_centroids)
@@ -327,20 +345,16 @@ def ivfpq_cosine_topk(
         codebooks = fit_pq(corpus, vec_col, m=m, ks=ks)
     nprobe = min(nprobe, len(centroids))
 
-    base = with_ivf_bucket(
+    # ONE Arrow pass emits code + coarse bucket together (round 9): the
+    # former with_ivf_bucket → pq_encode → id-join shape shipped the
+    # vectors through Python twice and shuffled two corpus-sized frames
+    # to re-attach a column the encoder could compute in place. At scale
+    # this fused frame IS the persisted index layout (codes partitioned
+    # by bucket), built in one map-only pass.
+    codes = pq_encode(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("_cvec")),
-        centroids, "_cvec",
-    )
-    enc = pq_encode(
-        base.select(F.col("neighbor_id"), F.col("_cvec"), "_ivf_bucket"),
-        codebooks, "_cvec", "neighbor_id",
-    )
-    # re-attach the bucket (pq_encode projects to id+code): join is
-    # id-keyed on two corpus-sized narrow frames — at scale both ride a
-    # persisted index so this is a one-time build cost, not per query
-    codes = enc.join(
-        base.select("neighbor_id", "_ivf_bucket"), "neighbor_id"
+        codebooks, "_cvec", "neighbor_id", centroids=centroids,
     )
 
     q_rows = [
