@@ -2,10 +2,10 @@
 
 Commands mirror the service surface without HTTP:
 
-    clean   --input data.{csv,parquet,jsonl[.gz]} --ops '{"duplicates":
-            {"enabled": true}}' --output cleaned.{csv,parquet,jsonl}
+    clean   --input data.{csv,parquet,orc,jsonl[.gz]} --ops '{"duplicates":
+            {"enabled": true}}' --output cleaned.{csv,parquet,orc,jsonl}
             [--single-file] [--bug-compat]
-    profile --input data.{csv,parquet,jsonl}   (JSON profile to stdout)
+    profile --input data.{csv,parquet,orc,jsonl}   (JSON profile to stdout)
     info                                (capability manifest to stdout)
     serve   [--port 8000] [--host 127.0.0.1] [--upload-dir uploads]
             (stdlib HTTP server: REST surface + /ui frontend)
@@ -28,6 +28,8 @@ from .session import get_spark
 def _read(spark, path: str):
     if path.endswith(".parquet"):
         return dfio.read_parquet(spark, path, row_id=True)
+    if path.endswith(".orc"):
+        return dfio.read_orc(spark, path, row_id=True)
     if path.endswith((".jsonl", ".jsonl.gz", ".json", ".json.gz", ".ndjson")):
         return dfio.read_jsonl(spark, path, row_id=True)
     return dfio.read_csv(spark, path)
@@ -88,6 +90,8 @@ def main(argv: list[str] | None = None) -> int:
     ).run(df, ops)
     if args.output.endswith(".parquet"):
         dfio.write_parquet(out, args.output)
+    elif args.output.endswith(".orc"):
+        dfio.write_orc(out, args.output)
     elif args.output.endswith((".jsonl", ".ndjson", ".json")):
         dfio.write_jsonl(out, args.output, compression=None)
     else:

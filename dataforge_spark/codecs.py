@@ -165,16 +165,24 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
+_PNG_CTYPE_BY_CH = {1: 0, 2: 4, 3: 2, 4: 6}  # gray, gray+A, RGB, RGBA
+_PNG_CH_BY_CTYPE = {v: k for k, v in _PNG_CTYPE_BY_CH.items()}
+
+
 def encode_png(pixels: np.ndarray) -> bytes:
-    """(h, w, 3|4) uint8 → non-interlaced 8-bit truecolor PNG (color
-    type 2 for RGB, 6 for RGBA). Every scanline uses filter 0 (None):
-    DEFLATE already removes most redundancy at these sizes and the
-    decode of our own output stays a straight memcpy."""
+    """(h, w[, ch]) uint8 → non-interlaced 8-bit PNG. Channel count picks
+    the color type: 1 → grayscale (0), 2 → gray+alpha (4), 3 → truecolor
+    (2), 4 → RGBA (6); a 2-D array is treated as grayscale. Every
+    scanline uses filter 0 (None): DEFLATE already removes most
+    redundancy at these sizes and the decode of our own output stays a
+    straight memcpy."""
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] not in (3, 4):
-        raise ValueError("encode_png expects (h, w, 3|4) uint8 RGB/RGBA")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in _PNG_CTYPE_BY_CH:
+        raise ValueError("encode_png expects (h, w, 1|2|3|4) uint8 pixels")
     h, w, ch = px.shape
-    ctype = 2 if ch == 3 else 6
+    ctype = _PNG_CTYPE_BY_CH[ch]
     raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (
@@ -231,10 +239,11 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit truecolor PNG → (h, w, 3|4) uint8. Chunk
-    CRCs are verified (a cut-off or bit-rotted download fails loudly,
-    like the other decoders); all five scanline filters reconstruct.
-    Grayscale/palette/16-bit/interlaced raise NotImplementedError."""
+    """Non-interlaced 8-bit gray / gray+alpha / truecolor / RGBA PNG →
+    (h, w, 1|2|3|4) uint8. Chunk CRCs are verified (a cut-off or
+    bit-rotted download fails loudly, like the other decoders); all five
+    scanline filters reconstruct. Palette/16-bit/interlaced raise
+    NotImplementedError."""
     if len(buf) < 8 or buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos, ihdr, idat, ended = 8, None, [], False
@@ -263,14 +272,14 @@ def decode_png(buf: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG IHDR (compression={comp}, filter={filt})")
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    if depth != 8 or ctype not in _PNG_CH_BY_CTYPE or interlace != 0:
         raise NotImplementedError(
-            f"only non-interlaced 8-bit truecolor PNG supported "
+            f"only non-interlaced 8-bit gray/truecolor PNG supported "
             f"(depth={depth}, color type={ctype}, interlace={interlace})"
         )
     if w == 0 or h == 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    ch = 3 if ctype == 2 else 4
+    ch = _PNG_CH_BY_CTYPE[ctype]
     raw = zlib.decompress(b"".join(idat))
     need = h * (1 + w * ch)
     if len(raw) != need:
@@ -351,7 +360,7 @@ def decode_media(buf: bytes) -> dict:
 
     ``kind`` ('bmp'|'ppm'|'png'|'wav'), ``width``/``height``/``channels``,
     ``sample_rate`` (0 for images), ``n_samples`` (decoded scalar count:
-    h*w*3 for images, frames*channels for audio), ``content_sum`` (exact
+    h*w*channels for images, frames*channels for audio), ``content_sum`` (exact
     integer sum of the DECODED scalars — container headers and BMP row
     padding excluded, which is what distinguishes a real decode from a
     raw byte pass), and ``content`` (the decoded ndarray).

@@ -128,6 +128,32 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
 
+
+def read_orc(spark: SparkSession, path: str, row_id: bool = False) -> DataFrame:
+    """ORC scan (S1 class). Columnar like parquet — predicate pushdown,
+    column pruning and vectorized reads all apply, so a warehouse whose
+    lake is ORC (the Hive-ecosystem default) ingests at full scan speed
+    with no conversion step."""
+    df = spark.read.orc(path)
+    return with_row_id(df) if row_id else df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink, multi-part, zstd by default (best ratio/speed of the
+    codecs Spark ships; pass ``snappy`` for Hive-2.x readers that lack
+    zstd). ``partition_by`` lays out hive-style subdirectories for
+    downstream partition pruning, mirroring the parquet/JSONL sinks."""
+    out = df.drop(ROW_ID) if ROW_ID in df.columns else df
+    writer = out.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
 def qcol(name: str):
     """``F.col`` with the name backtick-quoted. Plain ``F.col("a.b")``
     parses the dot as struct access and backticks as quoting, so USER

@@ -83,3 +83,22 @@ def test_cli_clean_jsonl_roundtrip(spark, tmp_path, capsys):
     rows = [json.loads(l) for f in os.listdir(out) if f.startswith("part-")
             for l in open(os.path.join(out, f)) if l.strip()]
     assert sorted((r["a"], r["b"]) for r in rows) == [(1, "x"), (2, "y")]
+
+def test_cli_clean_orc_roundtrip(spark, tmp_path, capsys):
+    """r9: .orc input and output route through read_orc/write_orc
+    (dedup applied, zstd multi-part out)."""
+    src = str(tmp_path / "in.orc")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y")], "a long, b string"
+    ).write.orc(src)
+    out = str(tmp_path / "out.orc")
+    rc = main([
+        "clean", "--input", src,
+        "--ops", json.dumps({"duplicates": {"enabled": True}}),
+        "--output", out,
+    ])
+    assert rc == 0
+    json.loads(capsys.readouterr().out)
+    got = spark.read.orc(out)
+    assert sorted((r["a"], r["b"]) for r in got.collect()) == [(1, "x"), (2, "y")]
+    assert "_row_id" not in got.columns  # order key dropped at the sink

@@ -88,3 +88,38 @@ def test_jsonl_roundtrip_and_compression(spark, tmp_path):
         fh.write(_json.dumps({"doc_id": 9, "text": "zipped"}) + "\n")
     z = read_jsonl(spark, gz, schema="doc_id long, text string")
     assert [(r["doc_id"], r["text"]) for r in z.collect()] == [(9, "zipped")]
+
+def test_orc_roundtrip_partition_pruning_and_pushdown(spark, tmp_path):
+    """ORC source/sink (r9): round-trip with hive partition layout, scan
+    partition-pruned, predicate pushed to the ORC reader, zstd parts."""
+    import os
+
+    from dataforge_spark.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "hello", "en", 10.5), (2, "bonjour", "fr", 2.0), (3, None, "en", -1.0)],
+        "doc_id long, text string, lang string, score double",
+    )
+    p = str(tmp_path / "out_orc")
+    write_orc(df, p, partition_by=["lang"])
+    parts = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(p) for f in fs if f.startswith("part-")
+    ]
+    assert parts and all(f.endswith(".zstd.orc") for f in parts)
+    assert any("lang=en" in f for f in parts) and any("lang=fr" in f for f in parts)
+
+    back = read_orc(spark, p)
+    got = {(r["doc_id"], r["text"]) for r in back.collect()}
+    assert got == {(1, "hello"), (2, "bonjour"), (3, None)}
+
+    # partition pruning + predicate pushdown reach the ORC scan
+    q = back.where((F.col("lang") == "en") & (F.col("doc_id") > 1))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:120]
+    assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:120]
+    assert [r["doc_id"] for r in q.collect()] == [3]
+
+    # row_id attach mirrors the other sources
+    assert "_row_id" in read_orc(spark, p, row_id=True).columns

@@ -220,10 +220,25 @@ def test_wav_roundtrip_property(n, ch, bits, rate, seed):
 import zlib
 
 
-@pytest.mark.parametrize("w,h,ch", [(8, 4, 3), (5, 3, 4), (1, 1, 3), (7, 2, 4)])
+@pytest.mark.parametrize(
+    "w,h,ch", [(8, 4, 3), (5, 3, 4), (1, 1, 3), (7, 2, 4), (6, 3, 1), (4, 5, 2)]
+)
 def test_png_roundtrip_rgb_rgba(w, h, ch):
     px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
     np.testing.assert_array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+def test_png_grayscale_2d_input_and_media():
+    """A 2-D array encodes as color type 0; decode_media reports the
+    1-channel shape and the exact decoded sum."""
+    px2d = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    buf = codecs.encode_png(px2d)
+    assert struct.unpack_from(">IIBBBBB", buf, 8 + 8)[3] == 0  # IHDR ctype
+    np.testing.assert_array_equal(codecs.decode_png(buf), px2d[:, :, None])
+    m = codecs.decode_media(buf)
+    assert (m["kind"], m["width"], m["height"], m["channels"]) == ("png", 7, 5, 1)
+    assert m["n_samples"] == 35
+    assert m["content_sum"] == int(px2d.sum(dtype=np.int64))
 
 
 def _png_forward_filter(px: np.ndarray, ftypes: list[int]) -> bytes:
@@ -255,7 +270,7 @@ def _png_forward_filter(px: np.ndarray, ftypes: list[int]) -> bytes:
                           np.where(pb <= pc, prev, ul))
             f = cur - pr
         out += bytes([ft]) + (f % 256).astype(np.uint8).tobytes()
-    ctype = 2 if ch == 3 else 6
+    ctype = codecs._PNG_CTYPE_BY_CH[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (
         codecs._PNG_SIG
@@ -265,7 +280,7 @@ def _png_forward_filter(px: np.ndarray, ftypes: list[int]) -> bytes:
     )
 
 
-@pytest.mark.parametrize("ch", [3, 4])
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
 def test_png_all_five_filters_reconstruct(ch):
     """A foreign stream cycling filters None/Sub/Up/Average/Paeth row by
     row must reconstruct the exact pixels."""
@@ -317,8 +332,8 @@ def test_png_unsupported_variants_raise():
     # IHDR body: w(4) h(4) depth(1)@16 ctype(1)@17 comp interlace@20
     with pytest.raises(NotImplementedError, match="depth=16"):
         codecs.decode_png(mutated(8 + 8 + 8, 16))
-    with pytest.raises(NotImplementedError, match="color type=0"):
-        codecs.decode_png(mutated(8 + 8 + 9, 0))
+    with pytest.raises(NotImplementedError, match="color type=3"):
+        codecs.decode_png(mutated(8 + 8 + 9, 3))  # palette stays unsupported
     with pytest.raises(NotImplementedError, match="interlace=1"):
         codecs.decode_png(mutated(8 + 8 + 12, 1))
 
@@ -351,7 +366,7 @@ def test_png_decode_media_and_features(spark):
 @given(
     w=st.integers(1, 17),
     h=st.integers(1, 9),
-    ch=st.sampled_from([3, 4]),
+    ch=st.sampled_from([1, 2, 3, 4]),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_png_roundtrip_property(w, h, ch, seed):
