@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dedup_minhash_verified",
     "dedup_jaccard_pairs",
     "sim_cosine_topk",
+    "sim_pq_topk",
     "sim_ivf_topk",
     "txt_metrics",
     "stream_sessionize",
@@ -792,10 +793,20 @@ def main() -> None:
         ),
     }
     # Measured recall of the approximate paths (off the timed clock).
+    # The final line carries a compact summary only (it must stay well
+    # under the driver's ~2 KB tail capture — it hit 2057 bytes in r9
+    # with the full block); the full block rides in bench_detail.json.
+    recall_full: dict = {}
     try:
-        out["recall"] = recall_block(spark, sf_dir)
+        recall_full = recall_block(spark, sf_dir)
+        out["recall"] = {
+            "ivf@5": recall_full["sim_ivf_topk_recall_at_5"],
+            "ivf_cl@5": recall_full["sim_ivf_clustered_recall_at_5"],
+            "pq@5": recall_full["sim_pq_recall_at_5"],
+            "mh_t.9": recall_full["dedup_minhash_t0.9_pair_recall"],
+        }
     except Exception as exc:  # recall is reporting, not a gate
-        out["recall"] = {"error": str(exc)}
+        out["recall"] = {"error": str(exc)[:120]}
 
     # ------------------------------------------------------------------
     # Output contract (VERDICT r5 task 1): the FINAL stdout line is a
@@ -807,6 +818,8 @@ def main() -> None:
     # capture → "parsed": null.
     # ------------------------------------------------------------------
     detail: dict = {}
+    if recall_full:
+        detail["recall"] = recall_full
     # JSONL ingest/egress leg (VERDICT r8 task 5) — off the headline
     # clock; full split in the detail file, compact pair in the line
     try:

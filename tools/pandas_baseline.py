@@ -284,6 +284,57 @@ def b_txt_metrics():
     return (len(fp), float(quality.sum()))
 
 
+def b_pq_topk():
+    """Single-node twin of q_sim_pq_topk's pq leg: per-subspace Lloyd
+    k-means codebooks (m=8, ks=256, 10 iters on a ≤25k sample — the
+    same work fit_pq does), one-byte encode of the full corpus, ADC
+    scoring of the queries (vec_id < 10) over codes, exact re-rank of
+    the refine·k pool, top-(k+1). Plus the exact brute-force leg, since
+    the Spark row is the tagged union of both."""
+    e = load("embeddings")
+    M = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    n, dim = Mn.shape
+    m, ks, k, refine = 8, 256, 5, 24
+    sub = dim // m
+    rng = np.random.RandomState(42)
+    X = Mn if n <= 25_000 else Mn[rng.choice(n, 25_000, replace=False)]
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        kk = min(ks, len(S))
+        C = S[rng.choice(len(S), kk, replace=False)].copy()
+        for _ in range(10):
+            # argmin ||s-c||^2 == argmin |c|^2 - 2 s.c (dot-trick, no n*ks*sub temp)
+            assign = np.argmin((C * C).sum(1)[None, :] - 2.0 * (S @ C.T), axis=1)
+            for c in range(kk):
+                sel = S[assign == c]
+                if len(sel):
+                    C[c] = sel.mean(axis=0)
+        books.append(C)
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        S = Mn[:, j * sub : (j + 1) * sub]
+        C = books[j]
+        codes[:, j] = np.argmin(
+            (C * C).sum(1)[None, :] - 2.0 * (S @ C.T), axis=1
+        ).astype(np.uint8)
+    ids = e["vec_id"].to_numpy()
+    out = 0
+    for qi in np.where(ids < 10)[0]:
+        # ADC: per-subspace inner-product LUTs, summed by code
+        adc = np.zeros(n)
+        for j in range(m):
+            lut = books[j] @ Mn[qi, j * sub : (j + 1) * sub]
+            adc += lut[codes[:, j]]
+        pool = np.argpartition(-adc, min(refine * k, n - 1))[: refine * k]
+        sims = Mn[pool] @ Mn[qi]
+        out += len(pool[np.argsort(-sims)][: k + 1])
+        # exact leg of the union row
+        out += len(np.argsort(-(Mn @ Mn[qi]))[: k + 1])
+    return (out,)
+
+
 def b_ivf_topk():
     e = load("embeddings")
     M = np.stack(e["embedding"].to_numpy()).astype(np.float64)
@@ -529,6 +580,7 @@ BENCHES = {
     "dedup_minhash_verified": b_minhash_pairs,
     "dedup_jaccard_pairs": b_jaccard_pairs,
     "sim_cosine_topk": b_cosine_topk,
+    "sim_pq_topk": b_pq_topk,
     "sim_ivf_topk": b_ivf_topk,
     "txt_metrics": b_txt_metrics,
     "stream_sessionize": b_sessionize_both,
