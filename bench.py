@@ -358,6 +358,7 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
     entry._events(spark, sf1_dir).write.format("noop").mode("overwrite").save()
     entry.prewarm_stream_inputs(spark, sf1_dir)
     _, ivf_build = entry.build_ivf_disk_index(spark, sf1_dir)
+    _, pq_build = entry.build_pq_index(spark, sf1_dir)
 
     # best-of-2 like the sf0.1 block: single-shot sf1 numbers swing 5-8x
     # with co-tenant load on this shared host (same query measured 12 s
@@ -466,6 +467,7 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
         "spark_attempts": spark_attempts,
         "pandas_attempts": pandas_attempts,
         "ivf_index_build_sec": ivf_build,
+        "pq_index_build_sec": pq_build,
         "calibration_sec": cal,
         # [pre, post] single-threaded numpy reference times from inside
         # the baseline subprocess — contention DURING the pandas phase
@@ -693,6 +695,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         entry.prewarm_stream_inputs(spark, warm_dir)
         entry.build_ivf_disk_index(spark, warm_dir)
+        entry.build_pq_index(spark, warm_dir)
         for name in BENCH_QUERIES:
             try:
                 _noop(qs[name](spark, warm_dir))
@@ -724,6 +727,8 @@ def main() -> None:
     # write, so the sim_ivf_disk_topk row below times the SEARCH only
     # (the amortized steady state), not a full corpus rewrite per query.
     _, ivf_build_sec = entry.build_ivf_disk_index(spark, sf_dir)
+    # PQ index: same amortization — the sim_pq_topk row times the search
+    _, pq_build_sec = entry.build_pq_index(spark, sf_dir)
 
     # Contention-aware retry (r8, symmetric with sf1_block): if either
     # edge calibration of the headline loop lands far off steady state
@@ -772,6 +777,7 @@ def main() -> None:
         # index for this testdata fingerprint); searches are timed in
         # the sim_ivf_disk_topk row
         "ivf_index_build_sec": ivf_build_sec,
+        "pq_index_build_sec": pq_build_sec,
         # fixed reference-job time [before, after] the timed loop (see
         # _calibration_sec): either element >> ~0.6 s ⇒ the rows above
         # carry co-tenant contention, not regression

@@ -115,3 +115,47 @@ def test_pq_adc_only_path_orders_plausibly(clustered):
     assert out and set(out[0].asDict()) == {"query_id", "neighbor_id", "cos_sim"}
     top = sorted(out, key=lambda r: -r["cos_sim"])[0]
     assert top["neighbor_id"] // 50 == 0  # same planted cluster as vec 0
+
+
+def test_pq_index_persist_roundtrip(clustered, spark, tmp_path):
+    """write_pq_index/read_pq_codebooks (r9): the persisted codes +
+    codebook sidecar searched from disk must equal a fresh fit+encode
+    search on the exact re-rank path (both are exact at covering refine),
+    and the read-back codebooks must equal the fitted ones."""
+    from dataforge_spark.similarity.pq import read_pq_codebooks, write_pq_index
+
+    path = str(tmp_path / "pq_idx")
+    books = write_pq_index(clustered, path, id_col="vec_id",
+                           vec_col="embedding", m=8, ks=64)
+    got = read_pq_codebooks(spark, path)
+    np.testing.assert_allclose(got, books)
+
+    codes = spark.read.parquet(f"{path}/codes").select(
+        F.col("neighbor_id").alias("vec_id"), "_pq_code"
+    )
+    q = clustered.where(F.col("vec_id") % 160 == 0)
+    from_idx = pq_cosine_topk(clustered, q, k=5, m=8, ks=64, refine=24,
+                              codebooks=books, encoded=codes)
+    fresh = pq_cosine_topk(clustered, q, k=5, m=8, ks=64, refine=24)
+    a = {(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in from_idx.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in fresh.collect()}
+    assert a == b
+
+
+def test_pq_index_ivf_layout_partition_prunes(clustered, spark, tmp_path):
+    """With centroids the persisted codes are hive-partitioned by
+    _ivf_bucket — a probed-bucket filter must reach the scan as a
+    PartitionFilter (the 100 TB pruning story for IVF-PQ)."""
+    from dataforge_spark.similarity.ivf import fit_centroids
+    from dataforge_spark.similarity.pq import write_pq_index
+
+    cents = fit_centroids(clustered, "embedding", k=8)
+    path = str(tmp_path / "ivfpq_idx")
+    write_pq_index(clustered, path, id_col="vec_id", vec_col="embedding",
+                   m=8, ks=64, centroids=cents)
+    codes = spark.read.parquet(f"{path}/codes")
+    q = codes.where(F.col("_ivf_bucket").isin([0, 3]))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_ivf_bucket" in plan.split("PartitionFilters")[1][:140]
+    assert q.count() > 0

@@ -307,10 +307,13 @@ def b_pq_topk():
         for _ in range(10):
             # argmin ||s-c||^2 == argmin |c|^2 - 2 s.c (dot-trick, no n*ks*sub temp)
             assign = np.argmin((C * C).sum(1)[None, :] - 2.0 * (S @ C.T), axis=1)
-            for c in range(kk):
-                sel = S[assign == c]
-                if len(sel):
-                    C[c] = sel.mean(axis=0)
+            counts = np.bincount(assign, minlength=kk).astype(np.float64)
+            sums = np.stack(
+                [np.bincount(assign, weights=S[:, d], minlength=kk)
+                 for d in range(sub)], axis=1,
+            )
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
         books.append(C)
     codes = np.empty((n, m), dtype=np.uint8)
     for j in range(m):
