@@ -239,14 +239,17 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit gray / gray+alpha / truecolor / RGBA PNG →
-    (h, w, 1|2|3|4) uint8. Chunk CRCs are verified (a cut-off or
-    bit-rotted download fails loudly, like the other decoders); all five
-    scanline filters reconstruct. Palette/16-bit/interlaced raise
-    NotImplementedError."""
+    """Non-interlaced 8-bit gray / gray+alpha / truecolor / RGBA /
+    palette PNG → (h, w, 1|2|3|4) uint8. Chunk CRCs are verified (a
+    cut-off or bit-rotted download fails loudly, like the other
+    decoders); all five scanline filters reconstruct. Palette images
+    (color type 3, depth 8) decode through the PLTE lookup to RGB —
+    RGBA when a tRNS alpha chunk is present. 16-bit / sub-byte-depth
+    palette / interlaced raise NotImplementedError."""
     if len(buf) < 8 or buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos, ihdr, idat, ended = 8, None, [], False
+    plte, trns = None, None
     while pos + 8 <= len(buf):
         ln = struct.unpack_from(">I", buf, pos)[0]
         tag = buf[pos + 4 : pos + 8]
@@ -263,6 +266,10 @@ def decode_png(buf: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat.append(body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IEND":
             ended = True
             break
@@ -272,19 +279,44 @@ def decode_png(buf: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG IHDR (compression={comp}, filter={filt})")
-    if depth != 8 or ctype not in _PNG_CH_BY_CTYPE or interlace != 0:
+    paletted = ctype == 3
+    if (
+        depth != 8
+        or (ctype not in _PNG_CH_BY_CTYPE and not paletted)
+        or interlace != 0
+    ):
         raise NotImplementedError(
-            f"only non-interlaced 8-bit gray/truecolor PNG supported "
+            f"only non-interlaced 8-bit gray/truecolor/palette PNG supported "
             f"(depth={depth}, color type={ctype}, interlace={interlace})"
         )
     if w == 0 or h == 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    ch = _PNG_CH_BY_CTYPE[ctype]
+    # palette scanlines carry one index byte per pixel; the filters
+    # operate on those index bytes (bpp=1), lookup happens after
+    ch = 1 if paletted else _PNG_CH_BY_CTYPE[ctype]
     raw = zlib.decompress(b"".join(idat))
     need = h * (1 + w * ch)
     if len(raw) != need:
         raise ValueError(f"PNG pixel stream {len(raw)} bytes, expected {need}")
-    return _png_unfilter(raw, h, w, ch)
+    px = _png_unfilter(raw, h, w, ch)
+    if not paletted:
+        return px
+    if plte is None or len(plte) == 0 or len(plte) % 3:
+        raise ValueError("palette PNG with missing or malformed PLTE chunk")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max()) >= len(pal):
+        raise ValueError(
+            f"palette index {int(idx.max())} out of range ({len(pal)} entries)"
+        )
+    if trns is None:
+        return pal[idx]
+    alpha = np.full(len(pal), 255, dtype=np.uint8)
+    ta = np.frombuffer(trns, dtype=np.uint8)
+    if len(ta) > len(pal):
+        raise ValueError("tRNS chunk longer than the palette")
+    alpha[: len(ta)] = ta
+    return np.dstack([pal[idx], alpha[idx]])
 
 
 # ------------------------------------------------------------------ WAV

@@ -332,8 +332,8 @@ def test_png_unsupported_variants_raise():
     # IHDR body: w(4) h(4) depth(1)@16 ctype(1)@17 comp interlace@20
     with pytest.raises(NotImplementedError, match="depth=16"):
         codecs.decode_png(mutated(8 + 8 + 8, 16))
-    with pytest.raises(NotImplementedError, match="color type=3"):
-        codecs.decode_png(mutated(8 + 8 + 9, 3))  # palette stays unsupported
+    with pytest.raises(NotImplementedError, match="color type=5"):
+        codecs.decode_png(mutated(8 + 8 + 9, 5))  # ctype 5 is not a PNG type
     with pytest.raises(NotImplementedError, match="interlace=1"):
         codecs.decode_png(mutated(8 + 8 + 12, 1))
 
@@ -387,3 +387,64 @@ def test_wav_truncated_and_zero_channel_guards():
     struct.pack_into("<H", bad, 22, 0)
     with pytest.raises(ValueError, match="channels"):
         codecs.decode_wav(bytes(bad))
+
+
+def _palette_png(idx: np.ndarray, pal: np.ndarray, trns: bytes | None = None,
+                 with_plte: bool = True) -> bytes:
+    """Independently-constructed color-type-3 PNG: filter-0 index
+    scanlines, PLTE (and optional tRNS) chunks — built forward, so the
+    decoder is tested against the spec, not against our encoder."""
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+    if with_plte:
+        out += codecs._png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += codecs._png_chunk(b"tRNS", trns)
+    return out + codecs._png_chunk(b"IDAT", zlib.compress(raw)) + \
+        codecs._png_chunk(b"IEND", b"")
+
+
+def test_png_palette_decode():
+    """Color type 3 (r9): PLTE lookup to RGB; tRNS adds alpha (padded
+    with 255 past its length per the spec); missing PLTE and
+    out-of-range indices raise; filters apply to the index bytes."""
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                   dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(5, 7), dtype=np.uint8)
+    got = codecs.decode_png(_palette_png(idx, pal))
+    np.testing.assert_array_equal(got, pal[idx])
+
+    # tRNS: first two entries translucent, rest default 255
+    got_a = codecs.decode_png(_palette_png(idx, pal, trns=bytes([10, 20])))
+    assert got_a.shape == (5, 7, 4)
+    np.testing.assert_array_equal(got_a[:, :, :3], pal[idx])
+    alpha = np.array([10, 20, 255, 255], dtype=np.uint8)
+    np.testing.assert_array_equal(got_a[:, :, 3], alpha[idx])
+
+    with pytest.raises(ValueError, match="PLTE"):
+        codecs.decode_png(_palette_png(idx, pal, with_plte=False))
+    bad = idx.copy()
+    bad[0, 0] = 200  # only 4 palette entries
+    with pytest.raises(ValueError, match="out of range"):
+        codecs.decode_png(_palette_png(bad, pal))
+
+    # Sub filter on index bytes: recon[x] = line[x] + recon[x-1] mod 256
+    h, w = 3, 6
+    idx2 = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    filt = np.zeros_like(idx2)
+    filt[:, 0] = idx2[:, 0]
+    filt[:, 1:] = (idx2[:, 1:].astype(np.int16) - idx2[:, :-1]) % 256
+    raw = b"".join(b"\x01" + filt[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    buf = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+           + codecs._png_chunk(b"PLTE", pal.tobytes())
+           + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+           + codecs._png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.decode_png(buf), pal[idx2])
+
+    # decode_media reports the post-lookup 3-channel shape and sum
+    m = codecs.decode_media(_palette_png(idx, pal))
+    assert (m["kind"], m["channels"], m["n_samples"]) == ("png", 3, 5 * 7 * 3)
+    assert m["content_sum"] == int(pal[idx].sum(dtype=np.int64))

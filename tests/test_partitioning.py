@@ -85,7 +85,11 @@ def test_bucketed_join_and_agg_are_exchange_free(spark):
     )
     write_bucketed(a, "t_buck_a", "k", buckets=8, sort_by="k")
     write_bucketed(b, "t_buck_b", "k", buckets=8, sort_by="k")
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    # NB: conf.get(key, None) returns None (ignoring the built-in
+    # default) — the no-default form returns the effective value, which
+    # is what the finally must restore (a None here leaked -1 into the
+    # shared session and broke test_frequency_encode_broadcasts)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         ta, tb = spark.table("t_buck_a"), spark.table("t_buck_b")
@@ -100,8 +104,7 @@ def test_bucketed_join_and_agg_are_exchange_free(spark):
         assert "Exchange" not in gplan, gplan
         assert g.count() == 10000
     finally:
-        if old is not None:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         for t in ("t_buck_a", "t_buck_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
