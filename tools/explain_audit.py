@@ -27,6 +27,8 @@ def main() -> None:
     from bench import _s4_profile_approx
 
     qs["s4_profile_approx"] = _s4_profile_approx
+    # bench-only row since r9 (registry slot folded into sim_pq_topk)
+    qs["sim_cosine_topk"] = entrymod.q_sim_cosine_topk
     print(f"{'query':28s} {'exch':>4s} {'bcast':>5s} {'smj':>4s} {'pyudf':>5s}  scans (ReadSchema, truncated)")
     for name in names:
         df = qs[name](spark, sf_dir)
