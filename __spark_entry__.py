@@ -1188,18 +1188,29 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       recomputes the same histogram from characters) — k=bucket, n=count;
     - ``frame``: every-4th 16-byte frame sample — k=frame_idx, n=0,
       s=frame hex;
-    - ``media`` (round 8; PNG added round 9): REAL container decode —
-      each doc_id gets a genuine encoded payload (ids ≡0 mod 3: 8×4
-      24-bit BMP with pixel bytes ``(doc_id + j) % 256``; ≡1: mono
-      16-bit 8 kHz WAV with samples ``((doc_id*7 + j*13) % 65536) -
-      32768``; ≡2: 6×4 RGBA PNG — DEFLATE-compressed, CRC-checked —
-      with pixel bytes ``(doc_id + j) % 256``), decoded by the
-      pure-stdlib codecs (`dataforge_spark.codecs`); k = exact integer
-      sum of the DECODED scalars (header/padding/compression excluded —
-      only a real decode produces it), n = decoded scalar count,
-      s = kind:WxH@rate. DuckDB recomputes all three constructions
-      arithmetically via generate_series, so the oracle covers encoder
-      AND decoder (for PNG: the zlib round-trip and CRC path too)."""
+    - ``media`` (round 8; PNG round 9; all PNG variants round 10): REAL
+      container decode — each doc_id gets a genuine encoded payload by
+      ``doc_id mod 7``:
+        0: 8×4 24-bit BMP, pixel bytes ``(doc_id + j) % 256``;
+        1: mono 16-bit 8 kHz WAV, samples ``((doc_id*7 + j*13) % 65536)
+           - 32768``;
+        2: 6×4 RGBA PNG, pixel bytes ``(doc_id + j) % 256``;
+        3: 8×3 grayscale PNG, same byte formula over 24 scalars;
+        4: 5×4 gray+alpha PNG, same formula over 40 scalars;
+        5: 5×5 palette PNG (PLTE 4 entries + tRNS[10,20]) with indices
+           ``(doc_id + j) % 4`` — decodes through the lookup to RGBA,
+           so k is a CASE-sum over the per-index scalar totals
+           (265/275/510/279);
+        6: 4×4 16-bit grayscale Adam7-INTERLACED PNG, samples
+           ``(doc_id*3 + j*257) % 65536`` — exercises the round-10
+           deep-pixel + interlace decode in the oracle row.
+      All decoded by the pure-stdlib codecs (`dataforge_spark.codecs`);
+      k = exact integer sum of the DECODED scalars (header/padding/
+      compression excluded — only a real decode produces it), n =
+      decoded scalar count, s = kind:WxH@rate. DuckDB recomputes every
+      construction arithmetically via generate_series, so the oracle
+      covers encoder AND decoder (for PNG: the zlib round-trip, CRC,
+      filter, palette-lookup and Adam7 de-interlace paths too)."""
     from dataforge_spark.multimodal import media_meta, sample_frames
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1236,20 +1247,36 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from dataforge_spark import codecs
 
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                       dtype=np.uint8)
         out = []
         for rid in ids:
             rid = int(rid)
-            if rid % 3 == 0:
+            v = rid % 7
+            if v == 0:
                 px = ((rid + np.arange(96)) % 256).astype(np.uint8)
                 out.append(codecs.encode_bmp(px.reshape(4, 8, 3)))
-            elif rid % 3 == 1:
+            elif v == 1:
                 s = (((rid * 7 + np.arange(32) * 13) % 65536) - 32768).astype(
                     np.int16
                 )
                 out.append(codecs.encode_wav(s, sample_rate=8000))
-            else:
+            elif v == 2:
                 px = ((rid + np.arange(96)) % 256).astype(np.uint8)
                 out.append(codecs.encode_png(px.reshape(4, 6, 4)))
+            elif v == 3:  # grayscale (color type 0)
+                px = ((rid + np.arange(24)) % 256).astype(np.uint8)
+                out.append(codecs.encode_png(px.reshape(3, 8, 1)))
+            elif v == 4:  # gray+alpha (color type 4)
+                px = ((rid + np.arange(40)) % 256).astype(np.uint8)
+                out.append(codecs.encode_png(px.reshape(4, 5, 2)))
+            elif v == 5:  # palette + tRNS (color type 3 → RGBA lookup)
+                idx = ((rid + np.arange(25)) % 4).astype(np.uint8)
+                out.append(codecs.encode_png_palette(
+                    idx.reshape(5, 5), pal, trns=bytes([10, 20])))
+            else:  # 16-bit grayscale, Adam7-interlaced
+                px = ((rid * 3 + np.arange(16) * 257) % 65536).astype(np.uint16)
+                out.append(codecs.encode_png(px.reshape(4, 4, 1), interlace=True))
         return pd.Series(out)
 
     media = media_meta(
@@ -2396,25 +2423,56 @@ def oracle_sql() -> dict[str, str]:
         -- payload constructions arithmetically (decoded-scalar sum +
         -- count); matching k proves the Spark side really encoded AND
         -- decoded the container (raw byte sums include header/padding/
-        -- DEFLATE bytes and differ)
+        -- DEFLATE bytes and differ). Round 10: doc_id mod 7 rotates
+        -- every supported container variant through the oracle —
+        -- grayscale / gray+alpha / palette+tRNS / 16-bit Adam7 PNG
         media AS (
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
                  CAST(96 AS BIGINT) AS n, 'bmp:8x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 95)) AS u(j)
-          WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id
+          WHERE d.doc_id % 7 = 0 GROUP BY d.doc_id
           UNION ALL
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum(((d.doc_id * 7 + u.j * 13) % 65536) - 32768) AS BIGINT) AS k,
                  CAST(32 AS BIGINT) AS n, 'wav:0x0@8000' AS s
           FROM documents d, UNNEST(generate_series(0, 31)) AS u(j)
-          WHERE d.doc_id % 3 = 1 GROUP BY d.doc_id
+          WHERE d.doc_id % 7 = 1 GROUP BY d.doc_id
           UNION ALL
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
                  CAST(96 AS BIGINT) AS n, 'png:6x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 95)) AS u(j)
-          WHERE d.doc_id % 3 = 2 GROUP BY d.doc_id
+          WHERE d.doc_id % 7 = 2 GROUP BY d.doc_id
+          UNION ALL
+          SELECT 'media' AS op, d.doc_id,
+                 CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
+                 CAST(24 AS BIGINT) AS n, 'png:8x3@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 23)) AS u(j)
+          WHERE d.doc_id % 7 = 3 GROUP BY d.doc_id
+          UNION ALL
+          SELECT 'media' AS op, d.doc_id,
+                 CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
+                 CAST(40 AS BIGINT) AS n, 'png:5x4@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 39)) AS u(j)
+          WHERE d.doc_id % 7 = 4 GROUP BY d.doc_id
+          UNION ALL
+          -- palette lookup: per-index RGBA scalar totals
+          -- idx0=(255,0,0,a10)=265  idx1=(0,255,0,a20)=275
+          -- idx2=(0,0,255,a255)=510 idx3=(7,8,9,a255)=279
+          SELECT 'media' AS op, d.doc_id,
+                 CAST(sum(CASE (d.doc_id + u.j) % 4
+                          WHEN 0 THEN 265 WHEN 1 THEN 275
+                          WHEN 2 THEN 510 ELSE 279 END) AS BIGINT) AS k,
+                 CAST(100 AS BIGINT) AS n, 'png:5x5@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 24)) AS u(j)
+          WHERE d.doc_id % 7 = 5 GROUP BY d.doc_id
+          UNION ALL
+          SELECT 'media' AS op, d.doc_id,
+                 CAST(sum((d.doc_id * 3 + u.j * 257) % 65536) AS BIGINT) AS k,
+                 CAST(16 AS BIGINT) AS n, 'png:4x4@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 15)) AS u(j)
+          WHERE d.doc_id % 7 = 6 GROUP BY d.doc_id
         )
         SELECT * FROM meta UNION ALL SELECT * FROM feat
         UNION ALL SELECT * FROM frame UNION ALL SELECT * FROM media

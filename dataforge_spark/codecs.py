@@ -12,13 +12,16 @@ container bytes end-to-end:
   (the plain Windows bitmap every image tool can write). Bottom-up and
   top-down row orders, 4-byte row padding.
 - **PPM**: binary ``P6``, maxval 255 (netpbm), comment-tolerant header.
-- **PNG** (round 9): non-interlaced 8-bit truecolor RGB/RGBA — the
+- **PNG** (rounds 9-10): 8/16-bit gray, gray+alpha, truecolor RGB/RGBA
+  and 8-bit palette (PLTE/tRNS), sequential and Adam7-interlaced — the
   single most common real-world image container. Pure stdlib ``zlib``
   (DEFLATE + crc32) + numpy: the decoder verifies chunk CRCs, walks the
-  IDAT stream, and reconstructs all five scanline filter types (None /
-  Sub / Up / Average / Paeth); the encoder emits filter-0 scanlines
-  (decode of our own output is then a straight memcpy). Palettes,
-  sub-byte depths, 16-bit, grayscale and Adam7 interlacing raise
+  IDAT stream (inflate bounded by the expected pixel-stream size, so
+  decompression bombs raise instead of exhausting memory), and
+  reconstructs all five scanline filter types (None / Sub / Up /
+  Average / Paeth) at the spec's byte-level filter distance; the
+  encoder emits filter-0 scanlines (decode of our own output is then a
+  straight memcpy). Sub-byte depths (1/2/4-bit) raise
   ``NotImplementedError``.
 - **WAV**: RIFF PCM (format tag 1), 8/16/32-bit integer samples, any
   channel count; chunk-walking decoder tolerates extra chunks (LIST,
@@ -169,22 +172,39 @@ _PNG_CTYPE_BY_CH = {1: 0, 2: 4, 3: 2, 4: 6}  # gray, gray+A, RGB, RGBA
 _PNG_CH_BY_CTYPE = {v: k for k, v in _PNG_CTYPE_BY_CH.items()}
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """(h, w[, ch]) uint8 → non-interlaced 8-bit PNG. Channel count picks
-    the color type: 1 → grayscale (0), 2 → gray+alpha (4), 3 → truecolor
-    (2), 4 → RGBA (6); a 2-D array is treated as grayscale. Every
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w[, ch]) uint8/uint16 → 8- or 16-bit PNG (dtype picks the bit
+    depth; 16-bit samples are written big-endian per the spec). Channel
+    count picks the color type: 1 → grayscale (0), 2 → gray+alpha (4),
+    3 → truecolor (2), 4 → RGBA (6); a 2-D array is treated as
+    grayscale. ``interlace=True`` emits the seven Adam7 passes. Every
     scanline uses filter 0 (None): DEFLATE already removes most
     redundancy at these sizes and the decode of our own output stays a
     straight memcpy."""
-    px = np.asarray(pixels, dtype=np.uint8)
+    src = np.asarray(pixels)
+    if src.dtype == np.uint16:
+        depth, wire = 16, ">u2"
+    elif src.dtype == np.uint8:
+        depth, wire = 8, np.uint8
+    else:
+        raise ValueError(f"encode_png expects uint8 or uint16 pixels, got {src.dtype}")
+    px = src
     if px.ndim == 2:
         px = px[:, :, None]
     if px.ndim != 3 or px.shape[2] not in _PNG_CTYPE_BY_CH:
-        raise ValueError("encode_png expects (h, w, 1|2|3|4) uint8 pixels")
+        raise ValueError("encode_png expects (h, w, 1|2|3|4) pixels")
     h, w, ch = px.shape
     ctype = _PNG_CTYPE_BY_CH[ch]
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    wire_px = np.ascontiguousarray(px.astype(wire))
+    if not interlace:
+        raw = b"".join(b"\x00" + wire_px[y].tobytes() for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy, _pw, ph in _adam7_passes(w, h):
+            sub = np.ascontiguousarray(wire_px[y0::dy, x0::dx])
+            parts.extend(b"\x00" + sub[y].tobytes() for y in range(ph))
+        raw = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -193,16 +213,39 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reconstruct scanlines per the PNG filter spec (all five types).
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, trns: bytes | None = None
+) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette → color-type-3
+    PNG (8-bit, non-interlaced, filter-0 scanlines). ``trns`` appends a
+    tRNS alpha chunk (entries past its length default to opaque 255 per
+    the spec, which the decoder honors)."""
+    ix = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if ix.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("encode_png_palette expects (h, w) indices and (n, 3) palette")
+    if int(ix.max(initial=0)) >= len(pal):
+        raise ValueError(f"palette index {int(ix.max())} out of range ({len(pal)})")
+    h, w = ix.shape
+    raw = b"".join(b"\x00" + ix[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, pos: int = 0) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``stride`` bytes starting at byte
+    ``pos`` per the PNG filter spec (all five types). ``bpp`` is the
+    filter distance in BYTES (channels × bytes-per-sample — filters
+    always operate on bytes regardless of bit depth, per the spec).
     Filter 0 is a memcpy, 1 (Sub) a per-lane cumsum mod 256, 2 (Up) a
     wrapping add of the prior row; 3 (Average) and 4 (Paeth) carry an
     intra-row recurrence and run per-pixel — acceptable because our own
     encoder emits filter 0 and foreign Average/Paeth rows are decoded
-    correctly, just not at memcpy speed."""
-    stride = w * ch
+    correctly, just not at memcpy speed. Returns (h, stride) uint8."""
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
     for y in range(h):
         ft = raw[pos]
         line = np.frombuffer(raw, np.uint8, stride, pos + 1)
@@ -210,9 +253,9 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
         if ft == 0:
             out[y] = line
-        elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-ch]
+        elif ft == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
             out[y] = (
-                np.cumsum(line.reshape(w, ch).astype(np.uint64), axis=0)
+                np.cumsum(line.reshape(stride // bpp, bpp).astype(np.uint64), axis=0)
                 .astype(np.uint8)
                 .reshape(stride)
             )
@@ -221,31 +264,81 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
         elif ft == 3:  # Average
             o = out[y]
             for x in range(stride):
-                a = int(o[x - ch]) if x >= ch else 0
+                a = int(o[x - bpp]) if x >= bpp else 0
                 o[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             o = out[y]
             for x in range(stride):
-                a = int(o[x - ch]) if x >= ch else 0
+                a = int(o[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 o[x] = (int(line[x]) + pr) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {ft} on row {y}")
-    return out.reshape(h, w, ch)
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) for the seven interlace passes.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """Non-empty Adam7 pass geometries: (x0, y0, dx, dy, pw, ph)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def _inflate_bounded(chunks, need: int) -> bytes:
+    """Inflate the concatenated IDAT bodies, refusing to produce more
+    than ``need`` bytes — a tiny crafted stream whose DEFLATE payload
+    expands to gigabytes (decompression bomb) raises ValueError instead
+    of exhausting memory on the untrusted media path."""
+    dec = zlib.decompressobj()
+    out = bytearray()
+    for body in chunks:
+        data = bytes(body)
+        while data:
+            out += dec.decompress(data, max(1, need + 1 - len(out)))
+            if len(out) > need:
+                raise ValueError(
+                    f"PNG pixel stream exceeds expected {need} bytes "
+                    f"(decompression bomb?)"
+                )
+            data = dec.unconsumed_tail
+    out += dec.flush(max(1, need + 1 - len(out)))
+    if len(out) > need:
+        raise ValueError(
+            f"PNG pixel stream exceeds expected {need} bytes (decompression bomb?)"
+        )
+    return bytes(out)
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit gray / gray+alpha / truecolor / RGBA /
-    palette PNG → (h, w, 1|2|3|4) uint8. Chunk CRCs are verified (a
-    cut-off or bit-rotted download fails loudly, like the other
-    decoders); all five scanline filters reconstruct. Palette images
+    """8- and 16-bit gray / gray+alpha / truecolor / RGBA / 8-bit
+    palette PNG → (h, w, 1|2|3|4) uint8 (or uint16 for depth 16), both
+    sequential and Adam7-interlaced. Chunk CRCs are verified (a cut-off
+    or bit-rotted download fails loudly, like the other decoders); all
+    five scanline filters reconstruct, operating at the byte level with
+    the depth-scaled filter distance per the spec. Palette images
     (color type 3, depth 8) decode through the PLTE lookup to RGB —
-    RGBA when a tRNS alpha chunk is present. 16-bit / sub-byte-depth
-    palette / interlaced raise NotImplementedError."""
+    RGBA when a tRNS alpha chunk is present. Sub-byte depths (1/2/4)
+    raise NotImplementedError. The IDAT inflate is bounded by the
+    expected pixel-stream size, so a crafted decompression bomb raises
+    instead of exhausting memory."""
     if len(buf) < 8 or buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos, ihdr, idat, ended = 8, None, [], False
@@ -263,6 +356,8 @@ def decode_png(buf: bytes) -> np.ndarray:
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"malformed IHDR ({len(body)} bytes, expected 13)")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat.append(body)
@@ -279,26 +374,55 @@ def decode_png(buf: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG IHDR (compression={comp}, filter={filt})")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG IHDR (interlace={interlace})")
     paletted = ctype == 3
     if (
-        depth != 8
+        depth not in (8, 16)
         or (ctype not in _PNG_CH_BY_CTYPE and not paletted)
-        or interlace != 0
+        or (paletted and depth != 8)
     ):
         raise NotImplementedError(
-            f"only non-interlaced 8-bit gray/truecolor/palette PNG supported "
-            f"(depth={depth}, color type={ctype}, interlace={interlace})"
+            f"only 8/16-bit gray/truecolor and 8-bit palette PNG supported "
+            f"(depth={depth}, color type={ctype})"
         )
     if w == 0 or h == 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     # palette scanlines carry one index byte per pixel; the filters
     # operate on those index bytes (bpp=1), lookup happens after
     ch = 1 if paletted else _PNG_CH_BY_CTYPE[ctype]
-    raw = zlib.decompress(b"".join(idat))
-    need = h * (1 + w * ch)
-    if len(raw) != need:
-        raise ValueError(f"PNG pixel stream {len(raw)} bytes, expected {need}")
-    px = _png_unfilter(raw, h, w, ch)
+    bps = depth // 8  # bytes per sample; filter distance is ch * bps
+    bpp = ch * bps
+    if interlace == 0:
+        stride = w * bpp
+        need = h * (1 + stride)
+        raw = _inflate_bounded(idat, need)
+        if len(raw) != need:
+            raise ValueError(f"PNG pixel stream {len(raw)} bytes, expected {need}")
+        flat = _png_unfilter(raw, h, stride, bpp)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        passes = list(_adam7_passes(w, h))
+        need = sum(ph * (1 + pw * bpp) for *_xy, pw, ph in passes)
+        raw = _inflate_bounded(idat, need)
+        if len(raw) != need:
+            raise ValueError(f"PNG pixel stream {len(raw)} bytes, expected {need}")
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            sub = _png_unfilter(raw, ph, pw * bpp, bpp, pos=off)
+            off += ph * (1 + pw * bpp)
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        flat = full.reshape(h, w * bpp)
+    if depth == 16:
+        # samples are big-endian uint16 pairs
+        px = (
+            np.ascontiguousarray(flat)
+            .view(">u2")
+            .reshape(h, w, ch)
+            .astype(np.uint16)
+        )
+        return px
+    px = flat.reshape(h, w, ch)
     if not paletted:
         return px
     if plte is None or len(plte) == 0 or len(plte) % 3:

@@ -330,12 +330,12 @@ def test_png_unsupported_variants_raise():
         return bytes(b)
 
     # IHDR body: w(4) h(4) depth(1)@16 ctype(1)@17 comp interlace@20
-    with pytest.raises(NotImplementedError, match="depth=16"):
-        codecs.decode_png(mutated(8 + 8 + 8, 16))
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        codecs.decode_png(mutated(8 + 8 + 8, 4))  # sub-byte depth
     with pytest.raises(NotImplementedError, match="color type=5"):
         codecs.decode_png(mutated(8 + 8 + 9, 5))  # ctype 5 is not a PNG type
-    with pytest.raises(NotImplementedError, match="interlace=1"):
-        codecs.decode_png(mutated(8 + 8 + 12, 1))
+    with pytest.raises(ValueError, match="interlace=2"):
+        codecs.decode_png(mutated(8 + 8 + 12, 2))  # 2 is not a PNG interlace
 
 
 def test_png_decode_media_and_features(spark):
@@ -448,3 +448,105 @@ def test_png_palette_decode():
     m = codecs.decode_media(_palette_png(idx, pal))
     assert (m["kind"], m["channels"], m["n_samples"]) == ("png", 3, 5 * 7 * 3)
     assert m["content_sum"] == int(pal[idx].sum(dtype=np.int64))
+
+
+# -------------------------------------------------- round 10: 16-bit + Adam7
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_16bit_roundtrip(ch):
+    """Depth-16 samples ride big-endian on the wire; decode returns
+    uint16 with full 16-bit values preserved."""
+    px = rng.integers(0, 65536, size=(5, 7, ch), dtype=np.uint16)
+    got = codecs.decode_png(codecs.encode_png(px))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, px)
+
+
+@pytest.mark.parametrize("w,h,ch", [(1, 1, 3), (8, 8, 3), (9, 5, 1),
+                                    (13, 11, 4), (3, 3, 2), (2, 9, 3)])
+def test_png_adam7_roundtrip(w, h, ch):
+    """Adam7 interlace: encoder emits the seven passes, decoder scatters
+    them back — exact for dimensions that hit empty passes too."""
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    buf = codecs.encode_png(px, interlace=True)
+    # the IHDR interlace byte really is set
+    assert buf[8 + 8 + 12] == 1
+    np.testing.assert_array_equal(codecs.decode_png(buf), px)
+
+
+def test_png_adam7_16bit_roundtrip():
+    px = rng.integers(0, 65536, size=(6, 10, 3), dtype=np.uint16)
+    got = codecs.decode_png(codecs.encode_png(px, interlace=True))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, px)
+
+
+def test_png_adam7_forward_built_3x3():
+    """Spec test independent of our encoder: hand-laid Adam7 pass order
+    for a 3x3 grayscale image (passes 1,4,5,6,7 non-empty; 2,3 empty
+    contribute no scanlines), filter 0 rows."""
+    px = np.arange(9, dtype=np.uint8).reshape(3, 3)
+    # pass payloads in spec order, each scanline prefixed by filter 0
+    raw = b"".join([
+        b"\x00" + bytes([px[0, 0]]),                     # pass 1: (0,0)
+        b"\x00" + bytes([px[0, 2]]),                     # pass 4: (2,0)
+        b"\x00" + bytes([px[2, 0], px[2, 2]]),           # pass 5: (0,2),(2,2)
+        b"\x00" + bytes([px[0, 1]]),                     # pass 6 row y=0: (1,0)
+        b"\x00" + bytes([px[2, 1]]),                     # pass 6 row y=2: (1,2)
+        b"\x00" + bytes(px[1, :].tolist()),              # pass 7: full row y=1
+    ])
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 1)
+    buf = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+           + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+           + codecs._png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.decode_png(buf), px[:, :, None])
+
+
+def test_png_16bit_filters_byte_level():
+    """Filters operate on bytes with distance ch*2 at depth 16 (spec):
+    forward-apply Sub at byte level and check reconstruction."""
+    h, w, ch = 3, 4, 2
+    px = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+    wire = np.ascontiguousarray(px.astype(">u2")).view(np.uint8).reshape(h, w * ch * 2)
+    bpp = ch * 2
+    filt = wire.astype(np.int16).copy()
+    filt[:, bpp:] = (wire[:, bpp:].astype(np.int16) - wire[:, :-bpp]) % 256
+    raw = b"".join(b"\x01" + filt[y].astype(np.uint8).tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 4, 0, 0, 0)  # gray+alpha
+    buf = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+           + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+           + codecs._png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.decode_png(buf), px)
+
+
+def test_png_decompression_bomb_guard():
+    """ADVICE r9: a tiny crafted stream whose DEFLATE payload expands far
+    past the declared dimensions must raise, not exhaust memory."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # needs 2*(1+2)=6 bytes
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # 64 MiB of zeros
+    assert len(bomb) < 100_000  # the attack premise: tiny on the wire
+    buf = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+           + codecs._png_chunk(b"IDAT", bomb)
+           + codecs._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="exceeds expected"):
+        codecs.decode_png(buf)
+
+
+def test_png_malformed_ihdr_length():
+    """ADVICE r9: an IHDR body that is not 13 bytes raises ValueError
+    (the decoder's malformed-input contract), not struct.error."""
+    ihdr12 = struct.pack(">IIBBBB", 2, 2, 8, 0, 0, 0)  # 12 bytes
+    buf = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr12)
+           + codecs._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + codecs._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="malformed IHDR"):
+        codecs.decode_png(buf)
+
+
+def test_png_16bit_decode_media_sum():
+    """decode_media reports the 16-bit scalar sum exactly (int64)."""
+    px = rng.integers(0, 65536, size=(3, 3, 1), dtype=np.uint16)
+    m = codecs.decode_media(codecs.encode_png(px))
+    assert m["kind"] == "png" and m["n_samples"] == 9
+    assert m["content_sum"] == int(px.sum(dtype=np.int64))
