@@ -34,6 +34,31 @@ from pyspark.sql import functions as F
 from ..functions.vectors import to_matrix
 
 
+def stable_sample(
+    df: DataFrame, vec_col: str, sample_rows: int, seed: int
+) -> pd.DataFrame:
+    """Layout-independent driver-side fitting sample (round 10, VERDICT
+    r9 task 3): the ``sample_rows`` vectors with the smallest
+    ``xxhash64(vector, seed)``. ``df.sample(fraction, seed)`` draws per
+    partition, so the same corpus repartitioned yields a different
+    sample; hashing the CONTENT makes the sample — and every codebook/
+    centroid fitted from it — a reproducible artifact under ANY
+    partitioning or row order. The vector itself is the tie-break key
+    (arrays are orderable), so even a 2⁻⁶⁴ boundary hash collision
+    cannot introduce layout dependence; exact-duplicate vectors are
+    interchangeable for fitting. The cap executes as
+    TakeOrderedAndProject (map-side per-partition top-k + driver merge
+    of k-row slices — no full sort shuffle, no count job), then ONE
+    Arrow ``toPandas`` transfer (py4j row decoding of array columns
+    measured ~10× slower at 100k vectors)."""
+    return (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)).asc(), F.col(vec_col))
+        .limit(sample_rows)
+        .toPandas()
+    )
+
+
 def fit_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -43,30 +68,23 @@ def fit_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd k-means on a driver-side sample; rows normalized so the
-    assignment metric (max dot) is cosine. Deterministic via fixed seed
-    FOR A FIXED PARTITIONING only: ``df.sample(fraction, seed)`` draws
-    per partition, so the same corpus repartitioned yields a different
-    sample and different centroids (ADVICE r8; ``pq.fit_pq`` shares
-    this). Persist fitted centroids with the index for layout-stable
-    reuse (``write_ivf_index`` does); full-probe results are exact for
-    any centroid set. ``sample_rows`` defaults to ~1500 points per centroid at k=16 —
-    plenty for a coarse quantizer; the sample reaches the driver through
-    one Arrow ``toPandas`` transfer (py4j row decoding of array columns
-    measured ~10× slower at 100k vectors).
+    assignment metric (max dot) is cosine. Deterministic for a given
+    (corpus content, seed) under ANY partitioning: the sample is the
+    ``sample_rows`` smallest-``xxhash64(vector, seed)`` rows (see
+    ``stable_sample`` — closes the ADVICE-r8/VERDICT-r9 per-partition
+    sampling caveat; ``pq.fit_pq`` shares the path). Persisted indexes
+    are therefore reproducible artifacts; full-probe results are exact
+    for any centroid set regardless. ``sample_rows`` defaults to ~1500
+    points per centroid at k=16 — plenty for a coarse quantizer.
 
     COMPATIBILITY NOTE (r5→r6): the default ``sample_rows`` changed
-    100_000 → 25_000. Same seed now yields DIFFERENT centroids, hence
-    different bucket assignments and different small-``nprobe`` recall,
-    for corpora over 25k vectors; persisted indexes built under the old
-    default keep working (centroids are stored with the index). Results
-    are exact regardless of centroids whenever ``nprobe >=
-    n_centroids``; pass ``sample_rows=100_000`` explicitly to reproduce
-    pre-r6 bucket layouts."""
-    n = df.count()
-    s = df.select(vec_col)
-    if n > sample_rows:
-        s = s.sample(fraction=sample_rows / n, seed=seed)
-    pdf = s.toPandas()
+    100_000 → 25_000; r10 changed the sampler itself (per-partition
+    Bernoulli → content-hash top-k), so same-seed centroids differ from
+    pre-r10 fits on corpora over ``sample_rows``. Persisted indexes
+    built under the old samplers keep working (centroids are stored with
+    the index), and results are exact regardless of centroids whenever
+    ``nprobe >= n_centroids``."""
+    pdf = stable_sample(df, vec_col, sample_rows, seed)
     vals = [v for v in pdf[pdf.columns[0]] if v is not None and len(v) > 0]
     if vals:
         # elect the MODAL length, not the first row's — one anomalous

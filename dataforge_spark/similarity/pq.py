@@ -66,25 +66,19 @@ def fit_pq(
     divisible by ``m`` (raise early — silently padding would make codes
     incompatible with any standard PQ layout).
 
-    DETERMINISM CAVEAT (ADVICE r8): the fixed seed makes the fit
-    deterministic only for a FIXED PARTITIONING of ``df`` —
-    ``df.sample(fraction, seed)`` draws per partition, so the same
-    corpus repartitioned yields a different sample and hence different
-    codebooks (``ivf.fit_centroids`` shares this, as does Spark's own
-    ``sample`` contract). "Fit once, reuse" callers who need
-    layout-stable indexes should persist the fitted codebooks alongside
-    the codes (as ``ivf.write_ivf_index`` does for centroids) rather
-    than refit per layout; search results on the exact re-rank path are
-    codebook-independent for candidates admitted, and corpora at or
-    under ``sample_rows`` skip sampling entirely and fit reproducibly
-    on every row."""
+    DETERMINISM (round 10, closes the ADVICE-r8 caveat for real): the
+    sample is the ``sample_rows`` smallest-``xxhash64(vector, seed)``
+    rows (``ivf.stable_sample``), so the same corpus CONTENT yields the
+    same codebooks under ANY partitioning or row order — persisted PQ
+    indexes are reproducible artifacts. Fits from pre-r10 per-partition
+    Bernoulli sampling differ at the same seed on corpora over
+    ``sample_rows``; persisted indexes keep working (codes ride with
+    their codebooks)."""
     if ks > 256:
         raise ValueError(f"ks={ks}: one-byte codes hold at most 256 codewords")
-    n = df.count()
-    s = df.select(vec_col)
-    if n > sample_rows:
-        s = s.sample(fraction=sample_rows / n, seed=seed)
-    pdf = s.toPandas()
+    from .ivf import stable_sample
+
+    pdf = stable_sample(df, vec_col, sample_rows, seed)
     vals = [v for v in pdf[pdf.columns[0]] if v is not None and len(v) > 0]
     if not vals:
         raise ValueError("fit_pq: no non-empty vectors in sample")
