@@ -1434,6 +1434,41 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel(got, "stateful").unionByName(sel(native, "native"))
 
 
+def q_stream_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (round 10, VERDICT r9 task 1): the pure-JVM
+    ``session_window`` sessionizer alone — the 100 TB scale path and the
+    benched HEADLINE for sessionization. Differentially pinned identical
+    to the stateful leg (the oracle union row stream_sessionize still
+    runs both); no streaming query, no Python, whole-stage codegen."""
+    from dataforge_spark.streaming import sessionize_native
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    return sessionize_native(
+        ev.select("user_id", "ts"), user_col="user_id", ts_col="ts", gap_minutes=30
+    )
+
+
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (round 10): the ``applyInPandasWithState`` leg alone,
+    drained through the production parquet sink — the
+    semantics-that-need-state path (per-user session ORDINALS carried
+    across micro-batches on an unbounded stream, which no built-in
+    streaming operator can express). Its sf1 cost is floor-decomposed in
+    PLANS.md: a null state fn (consume input, emit nothing) already pays
+    ~80% of the row — the cost is the per-group JVM↔Python state
+    protocol, not the session logic."""
+    from dataforge_spark.streaming import run_to_parquet_df, sessionize_stream
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    path = _stream_input_path(spark, sf_dir, "ev", lambda: ev)
+    stream = read_events_stream(spark, path, ev.schema)
+    sessions = sessionize_stream(stream, user_col="user_id", ts_col="ts",
+                                 gap_minutes=30)
+    return run_to_parquet_df(sessions)
+
+
 def q_boundary_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bug-compat stage-boundary scrub (reference pipeline.py:72-100):
     numeric NULL→column median (fallback 0), string NULL→''."""

@@ -67,7 +67,15 @@ BENCH_QUERIES = [
     "sim_pq_topk",
     "sim_ivf_topk",
     "txt_metrics",
-    "stream_sessionize",
+    # round 10 (VERDICT r9 task 1): the r1-r9 "stream_sessionize" row
+    # (union of both legs) is split — the pure-JVM session_window leg is
+    # the sessionization HEADLINE (the 100 TB scale path), and the
+    # applyInPandasWithState leg is its own row, floor-decomposed in
+    # PLANS.md (a null state fn pays ~80% of it: per-group state
+    # protocol, not session logic). r9's stream_sessionize ≈ the sum of
+    # these two minus one stream-machinery constant.
+    "stream_sessionize_native",
+    "stream_sessionize_stateful",
     "pipeline_e2e",
     "join_asof",
     "join_range",
@@ -354,6 +362,10 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
     # bench-only row: folded into the sim_pq_topk registry union in r9,
     # kept standalone here so the per-round bench history stays 1:1
     qs["sim_cosine_topk"] = entry.q_sim_cosine_topk
+    # bench-only rows (r10): the sessionize legs timed separately; the
+    # registry union row stream_sessionize stays for the fold check
+    qs["stream_sessionize_native"] = entry.q_stream_sessionize_native
+    qs["stream_sessionize_stateful"] = entry.q_stream_sessionize_stateful
     # prewarm the sf1 read paths + stream input copies
     entry._events(spark, sf1_dir).write.format("noop").mode("overwrite").save()
     entry.prewarm_stream_inputs(spark, sf1_dir)
@@ -488,10 +500,14 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
     # (data-proportional) part is the recorded row minus that constant
     if stream_overhead_sec is not None:
         out["stream_overhead_sec"] = stream_overhead_sec
-        for row in ("stream_sessionize", "stream_window_agg"):
+        for row in ("stream_sessionize_stateful", "stream_window_agg"):
             if row in spark_sec:
+                # raw SIGNED value (VERDICT r9 nit 7): a negative number
+                # means the flat overhead estimate exceeded the measured
+                # row — overhead-dominated, NOT free; clamping to 0.0
+                # overstated the row
                 out[f"{row}_steady_sec"] = round(
-                    max(0.0, spark_sec[row] - stream_overhead_sec), 3
+                    spark_sec[row] - stream_overhead_sec, 3
                 )
     return out
 
@@ -681,6 +697,10 @@ def main() -> None:
     qs["s4_profile_approx"] = _s4_profile_approx
     # bench-only (see sf1_block): registry slot now hosts sim_pq_topk
     qs["sim_cosine_topk"] = entry.q_sim_cosine_topk
+    # bench-only (r10): sessionize legs timed separately (see
+    # BENCH_QUERIES comment); registry union row stays for correctness
+    qs["stream_sessionize_native"] = entry.q_stream_sessionize_native
+    qs["stream_sessionize_stateful"] = entry.q_stream_sessionize_stateful
 
     # JIT pre-compilation: run every headline query once at sf0.001 (tiny
     # data, the SAME plan shapes) before the clock starts. The text rows
@@ -789,13 +809,19 @@ def main() -> None:
         # row minus that flat overhead (the data-proportional part).
         "stream_setup_sec": stream_setup_sec,
         "stream_overhead_sec": stream_overhead_sec,
-        "stream_sessionize_steady_sec": round(
-            max(0.0, times.get("stream_sessionize", 0.0) - stream_overhead_sec), 3
+        # raw SIGNED steady values (VERDICT r9 nit 7): negative means
+        # the flat overhead estimate exceeded the measured row —
+        # overhead-dominated, not free (the old max(0, ·) clamp read
+        # as "free" and overstated the row). r10: the sessionize steady
+        # split applies to the STATEFUL leg (the only one that runs a
+        # streaming query; the native headline is a batch plan).
+        "stream_sessionize_stateful_steady_sec": round(
+            times.get("stream_sessionize_stateful", 0.0) - stream_overhead_sec, 3
         ),
         # same split for the other streaming rows (r8): their recorded
         # numbers are likewise ~flat micro-batch machinery + steady work
         "stream_window_agg_steady_sec": round(
-            max(0.0, times.get("stream_window_agg", 0.0) - stream_overhead_sec), 3
+            times.get("stream_window_agg", 0.0) - stream_overhead_sec, 3
         ),
     }
     # Measured recall of the approximate paths (off the timed clock).
@@ -892,6 +918,9 @@ def main() -> None:
             "runs": [s1.get("spark_runs_per_query"),
                      s1.get("pandas_runs_per_query")],
             "stream_window_agg_steady_sec": s1.get("stream_window_agg_steady_sec"),
+            "stream_sessionize_stateful_steady_sec": s1.get(
+                "stream_sessionize_stateful_steady_sec"
+            ),
         }
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -130,6 +130,11 @@ def sliding_counts(
     )
 
 
+# The public output schema of sessionize_stream. Since r10 the state fn
+# itself emits epoch-microsecond bigints (per-group pandas datetime
+# conversion was most of the sf1 steady cost at 15k state groups) and
+# the timestamps are reconstituted JVM-side, so this is the POST-
+# projection contract, not the applyInPandasWithState outputStructType.
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_id bigint, n_events bigint, "
     "session_start timestamp, session_end timestamp"
@@ -155,31 +160,30 @@ def sessionize_stream(
     Arrow-batched per group. State is a 2-tuple per user — bounded memory
     on unbounded input.
     """
+    import numpy as np
     import pandas as pd
 
     gap_us = gap_minutes * 60 * 1_000_000
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype=np.int64)
+         for c in ("user_id", "session_id", "n_events", "start_us", "end_us")}
+    )
 
     def fn(key, pdfs, state):
-        import numpy as np
-
         last_us, sid = state.get if state.exists else (None, 0)
         (uid,) = key
-        parts = []
-        for pdf in pdfs:
-            # normalize to epoch MICROseconds regardless of the incoming
-            # pandas datetime resolution (ns under arrow, us under pandas 2)
-            parts.append(
-                pd.to_datetime(pdf[ts_col]).astype("datetime64[us]")
-                .astype("int64").to_numpy()
-            )
-        us = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        # timestamps arrive as epoch-microsecond int64 — the caller
+        # projects unix_micros(ts) JVM-side, so no per-group pandas
+        # datetime decode happens here (r10: with ~1 session/event and
+        # 15k state groups at sf1, four per-group pd.to_datetime calls
+        # WERE most of the steady cost)
+        parts = [pdf["_us"].to_numpy() for pdf in pdfs]
+        us = np.concatenate(parts) if parts else np.empty(0, np.int64)
         if us.size == 0:
             state.update((last_us, sid))
-            yield pd.DataFrame(
-                columns=["user_id", "session_id", "n_events",
-                         "session_start", "session_end"],
-            )
+            yield empty
             return
+        us.sort()
         # vectorized gaps-and-islands: a session break before event i iff
         # the gap from the previous event (carried state for i=0) exceeds
         # gap_us — the per-event Python loop this replaces was the batch's
@@ -200,24 +204,40 @@ def sessionize_stream(
         out = pd.DataFrame(
             {
                 "user_id": np.full(starts.size, int(uid), dtype=np.int64),
-                "session_id": sess[starts].astype(np.int64),
-                "n_events": (ends - starts + 1).astype(np.int64),
-                "session_start": pd.to_datetime(us[starts], unit="us"),
-                "session_end": pd.to_datetime(us[ends], unit="us"),
+                "session_id": sess[starts],
+                "n_events": ends - starts + 1,
+                "start_us": us[starts],
+                "end_us": us[ends],
             }
         )
         state.update((int(us[-1]), int(sess[-1])))
         yield out
 
     # Project to the two columns the state fn reads BEFORE the state
-    # shuffle: the grouped-map Arrow transfer otherwise ships every event
-    # column (props payloads included) into Python per micro-batch.
-    return events.select(user_col, ts_col).groupBy(user_col).applyInPandasWithState(
-        fn,
-        outputStructType=SESSION_OUT_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf="NoTimeout",
+    # shuffle — as epoch-microsecond int64, so the grouped Arrow transfer
+    # ships plain longs and the per-group Python stays datetime-free in
+    # BOTH directions (unix_micros truncates to µs exactly like the old
+    # per-group astype("datetime64[us]")). The timestamps are
+    # reconstituted JVM-side below (timestamp_micros, codegen) where the
+    # cost is one vectorized pass, not 2×15k pandas conversions.
+    raw = (
+        events.select(user_col, F.unix_micros(F.col(ts_col)).alias("_us"))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id bigint, session_id bigint, n_events bigint, "
+                "start_us bigint, end_us bigint"
+            ),
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    return raw.select(
+        "user_id", "session_id", "n_events",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
     )
 
 

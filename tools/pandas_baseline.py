@@ -284,18 +284,28 @@ def b_txt_metrics():
     return (len(fp), float(quality.sum()))
 
 
-def b_pq_topk():
-    """Single-node twin of q_sim_pq_topk's pq leg: per-subspace Lloyd
-    k-means codebooks (m=8, ks=256, 10 iters on a ≤25k sample — the
-    same work fit_pq does), one-byte encode of the full corpus, ADC
-    scoring of the queries (vec_id < 10) over codes, exact re-rank of
-    the refine·k pool, top-(k+1). Plus the exact brute-force leg, since
-    the Spark row is the tagged union of both."""
+_PQ_TWIN_INDEX: dict[str, tuple] = {}  # SF -> (books, codes)
+
+
+def build_pq_twin_index() -> float:
+    """Fit the m=8/ks=256 per-subspace codebooks and one-byte-encode the
+    corpus ONCE per SF, cached in a module global — mirroring the Spark
+    side's ``build_pq_index`` amortization (ADVICE r9: the paired Spark
+    row reads a prebuilt persisted index with the build cost excluded
+    from the timed loop and reported separately, so the twin paying the
+    full fit+encode inside every timed run inflated the ratio in
+    Spark's favor). Returns the build seconds (0.0 when already
+    cached); ``main`` runs this before the timed loop and records it as
+    ``pq_fit_build_sec`` next to the Spark side's
+    ``pq_index_build_sec``."""
+    if SF in _PQ_TWIN_INDEX:
+        return 0.0
+    t0 = time.time()
     e = load("embeddings")
     M = np.stack(e["embedding"].to_numpy()).astype(np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     n, dim = Mn.shape
-    m, ks, k, refine = 8, 256, 5, 24
+    m, ks = 8, 256
     sub = dim // m
     rng = np.random.RandomState(42)
     X = Mn if n <= 25_000 else Mn[rng.choice(n, 25_000, replace=False)]
@@ -322,6 +332,26 @@ def b_pq_topk():
         codes[:, j] = np.argmin(
             (C * C).sum(1)[None, :] - 2.0 * (S @ C.T), axis=1
         ).astype(np.uint8)
+    _PQ_TWIN_INDEX[SF] = (books, codes)
+    return round(time.time() - t0, 3)
+
+
+def b_pq_topk():
+    """Single-node twin of q_sim_pq_topk's pq leg: ADC scoring of the
+    queries (vec_id < 10) over prebuilt one-byte codes, exact re-rank
+    of the refine·k pool, top-(k+1); plus the exact brute-force leg,
+    since the Spark row is the tagged union of both. Codebooks + codes
+    come from the per-SF cache (``build_pq_twin_index``) exactly like
+    the Spark row reads its persisted index — the timed run measures
+    search, with the build cost a separate JSON field on both sides."""
+    build_pq_twin_index()
+    books, codes = _PQ_TWIN_INDEX[SF]
+    e = load("embeddings")
+    M = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    n, dim = Mn.shape
+    m, k, refine = 8, 5, 24
+    sub = dim // m
     ids = e["vec_id"].to_numpy()
     out = 0
     for qi in np.where(ids < 10)[0]:
@@ -486,10 +516,6 @@ def b_dedup_exact_intercorpus():
     return (b_dedup_exact_docs(), b_dedup_intercorpus())
 
 
-def b_sessionize_both():
-    return (b_sessionize(), b_sessionize_native())
-
-
 def b_dedup_spans():
     # C4-style span dedup: global keep-first of consecutive 5-word spans
     d = load("documents")[["doc_id", "text"]].sort_values("doc_id")
@@ -586,7 +612,13 @@ BENCHES = {
     "sim_pq_topk": b_pq_topk,
     "sim_ivf_topk": b_ivf_topk,
     "txt_metrics": b_txt_metrics,
-    "stream_sessionize": b_sessionize_both,
+    # r10 (VERDICT r9 task 1): the sessionize row is split like the
+    # Spark side — the native (session_window-semantics) twin pairs with
+    # the JVM headline leg, the ordinal-carrying twin with the stateful
+    # leg. r9's "stream_sessionize" twin was b_sessionize_both (= the
+    # sum of these two).
+    "stream_sessionize_native": b_sessionize_native,
+    "stream_sessionize_stateful": b_sessionize,
     "stream_window_agg": b_stream_window_agg,
     "pipeline_e2e": b_pipeline_e2e,
     "join_asof": b_join_asof,
@@ -636,6 +668,9 @@ def main() -> None:
     # outside the window, and the per-query micro-cals (which must run
     # INSIDE the loop to localize mid-phase bursts) are summed and
     # subtracted so they don't inflate the recorded wall (ADVICE r8).
+    # prebuild the PQ twin index OUTSIDE the timed window (same
+    # amortization as the Spark side's build_pq_index; ADVICE r9)
+    pq_build = build_pq_twin_index()
     t_all = time.time()
     # best-of-RUNS per query (bench.py passes the Spark side's count so
     # both engines' minima come from the same number of samples) — a
@@ -659,6 +694,7 @@ def main() -> None:
         "value": value,
         "queries": times,
         "runs_per_query": RUNS,
+        "pq_fit_build_sec": pq_build,
         "calibration_sec": [cal_pre, cal_post],
         # per-query host-speed trace (~40 ms steady each): a row whose
         # neighboring micro-cals spike was measured under a burst
