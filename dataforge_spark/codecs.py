@@ -23,6 +23,12 @@ container bytes end-to-end:
   encoder emits filter-0 scanlines (decode of our own output is then a
   straight memcpy). Sub-byte depths (1/2/4-bit) raise
   ``NotImplementedError``.
+- **JPEG** (round 10): baseline sequential DCT (SOF0) — grayscale and
+  YCbCr 4:4:4 / 4:2:0, stream-defined DQT/DHT tables, DRI restart
+  markers, byte-unstuffing, float IDCT; encoder with Annex K typical
+  tables (quality-scaled) for round-trip tests. JPEG is LOSSY, so this
+  codec is pytest-pinned with error bounds rather than driver-oracle'd.
+  Progressive (SOF2) / arithmetic / 12-bit raise ``NotImplementedError``.
 - **WAV**: RIFF PCM (format tag 1), 8/16/32-bit integer samples, any
   channel count; chunk-walking decoder tolerates extra chunks (LIST,
   fact, ...).
@@ -46,7 +52,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff(buf: bytes) -> str | None:
-    """Container kind from magic bytes: 'bmp'|'ppm'|'png'|'wav'|None."""
+    """Container kind from magic bytes:
+    'bmp'|'ppm'|'png'|'wav'|'jpeg'|None."""
     if len(buf) >= 2 and buf[:2] == b"BM":
         return "bmp"
     if len(buf) >= 2 and buf[:2] == b"P6":
@@ -55,6 +62,8 @@ def sniff(buf: bytes) -> str | None:
         return "png"
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if len(buf) >= 3 and buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -525,10 +534,9 @@ def decode_media(buf: bytes) -> dict:
     guard for codecs this environment cannot host.
     """
     kind = sniff(bytes(buf))
-    if kind in ("bmp", "ppm", "png"):
-        px = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}[kind](
-            bytes(buf)
-        )
+    if kind in ("bmp", "ppm", "png", "jpeg"):
+        px = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png,
+              "jpeg": decode_jpeg}[kind](bytes(buf))
         return {
             "kind": kind,
             "width": px.shape[1],
@@ -553,6 +561,575 @@ def decode_media(buf: bytes) -> dict:
         }
     raise NotImplementedError(
         f"unsupported container (magic {bytes(buf)[:4]!r}): only "
-        f"BMP/PPM/PNG/WAV decode in this environment; other codecs need "
-        f"libraries not installed here"
+        f"BMP/PPM/PNG/JPEG/WAV decode in this environment; other codecs "
+        f"need libraries not installed here"
     )
+
+
+# ----------------------------------------------------------------- JPEG
+# Baseline sequential DCT JPEG (SOF0), pure numpy + stdlib (round 10).
+# Grayscale and YCbCr 4:4:4 / 4:2:0; the constants below (zigzag order,
+# quantization and Huffman table specs) are the JPEG standard's Annex K
+# reference tables. Progressive (SOF2), arithmetic coding, 12-bit
+# precision and fancier subsampling raise NotImplementedError. JPEG is
+# LOSSY: decode(encode(x)) approximates x (tests bound the error), so
+# unlike BMP/PNG/WAV this codec is pytest-pinned, not driver-oracle'd.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# (bits-per-length[1..16], symbol values) — Annex K typical tables
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix A: dct2(b) = A @ b @ A.T."""
+    x = np.arange(8)
+    A = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    A[0] /= np.sqrt(2)
+    return A
+
+
+_DCT8 = _dct_matrix()
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    if not 1 <= quality <= 100:
+        raise ValueError(f"JPEG quality must be 1..100, got {quality}")
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip(np.floor((_Q_LUMA * scale + 50) / 100), 1, 255)
+    qc = np.clip(np.floor((_Q_CHROMA * scale + 50) / 100), 1, 255)
+    return ql, qc
+
+
+def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via canonical code assignment."""
+    bits, vals = spec
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per the spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(bw, blk, dc_tab, ac_tab, pred):
+    """Quantized zigzag coefficients -> DC diff + AC RLE huffman bits.
+    Returns the new DC predictor."""
+    zz = blk.reshape(64)[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            if i > last_nz:
+                break
+            run += 1
+            if run == 16:
+                code, ln = ac_tab[0xF0]  # ZRL
+                bw.write(code, ln)
+                run = 0
+            continue
+        s = _category(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (H//8, W//8, 8, 8)."""
+    H, W = plane.shape
+    return plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _pad_to(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad a (H, W) plane to multiples of (mh, mw)."""
+    H, W = img.shape
+    ph = (-H) % mh
+    pw = (-W) % mw
+    return np.pad(img, ((0, ph), (0, pw)), mode="edge")
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) / (h, w, 1) uint8 grayscale or (h, w, 3) uint8 RGB →
+    baseline sequential JFIF JPEG with the Annex K typical quantization
+    (quality-scaled) and Huffman tables. ``subsample`` for color input:
+    '444' (no chroma subsampling) or '420' (2x2-mean chroma, 16x16
+    MCUs). ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (DC predictors reset — what real encoders emit
+    for error resilience). Lossy by nature — see decode_jpeg for the
+    error bounds the tests pin."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h, w[, 1]) gray or (h, w, 3) RGB")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError(f"invalid JPEG dimensions {w}x{h}")
+    ql, qc = _quant_tables(quality)
+
+    if gray:
+        planes = [px.astype(np.float64) - 128.0]
+        qts = [ql]
+        samp = [(1, 1)]
+    else:
+        rgb = px.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            # 2x2 mean over an edge-padded even grid
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [ql, qc, qc]
+
+    # per-component quantized DCT blocks. Each component plane (already
+    # at its own resolution) pads to a multiple of 8*its own sampling
+    # factor, which makes every plane exactly mcu_rows*8*sv tall (the
+    # ceil identities line up because the chroma planes were built with
+    # ceil-half dimensions).
+    comp_blocks = []
+    for plane, qt, (sh, sv) in zip(planes, qts, samp):
+        p = _pad_to(plane, 8 * sv, 8 * sh)
+        blk = _blocks_of(p)
+        coef = np.einsum("ij,abjk,lk->abil", _DCT8, blk, _DCT8)
+        comp_blocks.append(np.round(coef / qt).astype(np.int64))
+
+    dc_l = _huff_encode_table(_HUFF_DC_LUMA)
+    ac_l = _huff_encode_table(_HUFF_AC_LUMA)
+    dc_c = _huff_encode_table(_HUFF_DC_CHROMA)
+    ac_c = _huff_encode_table(_HUFF_AC_CHROMA)
+    tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    # interleaved MCU scan
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_rows = comp_blocks[0].shape[0] // samp[0][1]
+    mcu_cols = comp_blocks[0].shape[1] // samp[0][0]
+    mcu_idx = 0
+    rst = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                if bw.nbits:  # byte-align with 1-padding, then the marker
+                    bw.write((1 << (8 - bw.nbits)) - 1, 8 - bw.nbits)
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(planes)
+            mcu_idx += 1
+            for ci, (blocks, (sh, sv)) in enumerate(zip(comp_blocks, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        preds[ci] = _encode_block(
+                            bw, blocks[my * sv + by, mx * sh + bx],
+                            tabs[ci][0], tabs[ci][1], preds[ci],
+                        )
+    data = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + ql.astype(np.uint8).reshape(64)[_ZIGZAG].tobytes())
+    if not gray:
+        out += _seg(0xDB, b"\x01" + qc.astype(np.uint8).reshape(64)[_ZIGZAG].tobytes())
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += _seg(0xC0, sof)
+    for cls, tid, spec in ((0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA),
+                           (0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)):
+        if gray and tid == 1:
+            continue
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1]))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops at any non-RST marker. ``restart()`` byte-aligns
+    and consumes an RSTn marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.done = False
+
+    def _fill(self) -> None:
+        if self.done or self.pos >= len(self.buf):
+            raise ValueError("truncated JPEG entropy-coded segment")
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                # restart marker reached mid-read: the scan is malformed
+                raise ValueError("unexpected JPEG restart marker inside a block")
+            else:
+                self.done = True
+                raise ValueError("truncated JPEG entropy-coded segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        # an all-ones pad byte becomes a stuffed FF00 — skip it
+        if (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and self.buf[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("missing JPEG restart marker at restart interval")
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+    def extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline sequential DCT JPEG (SOF0) → (h, w, 1) grayscale or
+    (h, w, 3) RGB uint8. Parses DQT/DHT tables from the stream (any
+    conforming tables, not just the Annex K typical ones), honors DRI
+    restart intervals, handles interleaved multi-component scans with
+    per-component sampling factors (4:4:4 and 4:2:0 are the tested
+    layouts; any h×v ≤ 2×2 grid decodes), nearest-neighbor chroma
+    upsample, float IDCT. Progressive (SOF2), arithmetic coding (SOF9+),
+    12-bit precision and hierarchical modes raise NotImplementedError;
+    structural corruption raises ValueError."""
+    if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    sof = None
+    dri = 0
+    scan = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at byte {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", buf, pos + 2)[0]
+        body = buf[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError(f"truncated JPEG segment {marker:#x}")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                tbl = np.empty(64, dtype=np.float64)
+                tbl[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
+                qt[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for i in range(nc):  # component specs follow the 6-byte header
+                cid, hv, tqi = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tqi))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0) supported, got SOF "
+                f"marker {marker:#x}"
+            )
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            ns = body[0]
+            sel = []
+            for i in range(ns):
+                cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                sel.append((cs, tabs >> 4, tabs & 0x0F))
+            scan = (sel, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if sof is None or scan is None:
+        raise ValueError("JPEG stream missing SOF0/SOS segment")
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise ValueError(f"invalid JPEG dimensions {w}x{h}")
+    sel, data_pos = scan
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    if maxh > 2 or maxv > 2:
+        raise NotImplementedError("JPEG sampling factors above 2 unsupported")
+    mcu_cols = -(-w // (8 * maxh))
+    mcu_rows = -(-h // (8 * maxv))
+    # per-component block grids
+    planes = {}
+    meta = {}
+    for cid, sh, sv, tqi in comps:
+        planes[cid] = np.zeros((mcu_rows * sv * 8, mcu_cols * sh * 8))
+        meta[cid] = (sh, sv, tqi)
+    order = []  # (cid, dc_table, ac_table) in scan order
+    for cs, td, ta in sel:
+        if cs not in meta:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references a missing huffman table")
+        order.append((cs, huff[(0, td)], huff[(1, ta)]))
+
+    br = _BitReader(bytes(buf), data_pos)
+    preds = {cid: 0 for cid, *_ in comps}
+    mcu_done = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if dri and mcu_done and mcu_done % dri == 0:
+                br.restart()
+                preds = {cid: 0 for cid, *_ in comps}
+            for cid, dct, act in order:
+                sh, sv, tqi = meta[cid]
+                if tqi not in qt:
+                    raise ValueError(f"JPEG component uses missing quant table {tqi}")
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = np.zeros(64)
+                        s = br.huff(dct)
+                        preds[cid] += br.extend(s)
+                        zz[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            zz[k] = br.extend(s)
+                            k += 1
+                        blk = np.empty(64)
+                        blk[_ZIGZAG] = zz
+                        coef = blk.reshape(8, 8) * qt[tqi]
+                        px8 = _DCT8.T @ coef @ _DCT8 + 128.0
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px8
+            mcu_done += 1
+
+    out_planes = []
+    for cid, sh, sv, _tqi in comps:
+        p = planes[cid]
+        # nearest-neighbor upsample to full resolution, then crop
+        if sh < maxh or sv < maxv:
+            p = np.repeat(np.repeat(p, maxv // sv, axis=0), maxh // sh, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out_planes) != 3:
+        raise NotImplementedError(
+            f"{len(out_planes)}-component JPEG unsupported (expected 1 or 3)"
+        )
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

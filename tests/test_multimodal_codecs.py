@@ -550,3 +550,117 @@ def test_png_16bit_decode_media_sum():
     m = codecs.decode_media(codecs.encode_png(px))
     assert m["kind"] == "png" and m["n_samples"] == 9
     assert m["content_sum"] == int(px.sum(dtype=np.int64))
+
+
+# ------------------------------------------------------- round 10: JPEG
+
+
+def _grad_rgb(h, w):
+    """Smooth gradient (no 255→0 wraps inside the frame) — the content
+    class JPEG's DCT quantization handles with tight error bounds."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 5) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_jpeg_gray_and_const_near_exact():
+    """Grayscale gradients and constant blocks survive q95 (single DC
+    coefficient / small AC values quantize exactly at these tables)."""
+    yy = np.mgrid[0:24, 0:33][0]
+    g = (yy * 9 % 256).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=95))
+    assert out.shape == (24, 33, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g).max() <= 1
+
+    c = np.full((16, 24, 3), 100, np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(c, quality=90))
+    assert np.abs(out.astype(int) - 100).max() == 0
+
+
+@pytest.mark.parametrize("ss,tol", [("444", 4), ("420", 14)])
+def test_jpeg_color_roundtrip_bounds(ss, tol):
+    """Color round-trip at q95 stays within a small per-pixel bound —
+    odd dimensions exercise MCU padding + crop on both paths."""
+    img = _grad_rgb(21, 37)  # not multiples of 8 or 16
+    buf = codecs.encode_jpeg(img, quality=95, subsample=ss)
+    out = codecs.decode_jpeg(buf)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+
+def test_jpeg_channel_order_not_swapped():
+    """A saturated red frame must decode red — catches Cb/Cr swaps that
+    per-channel error bounds on gradients can miss."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :, 0] = 210
+    img[:, :, 1] = 30
+    img[:, :, 2] = 40
+    out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95)).astype(float)
+    assert abs(out[:, :, 0].mean() - 210) < 4
+    assert abs(out[:, :, 1].mean() - 30) < 4
+    assert abs(out[:, :, 2].mean() - 40) < 4
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: restart markers every 2 MCUs (DC predictors reset)
+    must decode to the same pixels as the restart-free stream."""
+    img = _grad_rgb(24, 40)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=92))
+    buf = codecs.encode_jpeg(img, quality=92, restart_interval=2)
+    assert b"\xff\xdd" in buf  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in buf for i in range(8))
+    np.testing.assert_array_equal(codecs.decode_jpeg(buf), plain)
+
+
+def test_jpeg_quality_monotonic_size():
+    img = _grad_rgb(32, 32)
+    sizes = [len(codecs.encode_jpeg(img, quality=q)) for q in (30, 70, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_jpeg_guards():
+    img = _grad_rgb(16, 16)
+    buf = bytearray(codecs.encode_jpeg(img, quality=90))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        codecs.decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_jpeg(bytes(buf[:-20]))  # cut inside the scan
+
+    # flip SOF0 -> SOF2 (progressive): find the FFC0 marker
+    i = bytes(buf).index(b"\xff\xc0")
+    prog = bytearray(buf)
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        codecs.decode_jpeg(bytes(prog))
+
+    # 12-bit precision: first SOF body byte
+    deep = bytearray(buf)
+    deep[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        codecs.decode_jpeg(bytes(deep))
+
+
+def test_jpeg_decode_media_and_sniff():
+    img = _grad_rgb(8, 12)
+    buf = codecs.encode_jpeg(img, quality=95)
+    assert codecs.sniff(buf) == "jpeg"
+    m = codecs.decode_media(buf)
+    assert (m["kind"], m["width"], m["height"], m["channels"]) == ("jpeg", 12, 8, 3)
+    assert m["n_samples"] == 8 * 12 * 3
+    # content_sum is the decoded-pixel sum — self-consistent with the
+    # decoder (JPEG is lossy, so no closed-form oracle like PNG/BMP)
+    assert m["content_sum"] == int(
+        codecs.decode_jpeg(buf).sum(dtype=np.int64)
+    )
+
+
+def test_jpeg_media_meta_spark(spark):
+    from dataforge_spark.multimodal import media_meta
+
+    img = _grad_rgb(16, 16)
+    buf = codecs.encode_jpeg(img, quality=95)
+    df = spark.createDataFrame([(0, bytearray(buf))], "doc_id long, payload binary")
+    row = media_meta(df).collect()[0]
+    assert row["kind"] == "jpeg" and row["width"] == 16
+    assert row["content_sum"] == int(codecs.decode_jpeg(buf).sum(dtype=np.int64))
