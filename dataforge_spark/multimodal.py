@@ -218,3 +218,109 @@ def media_meta(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _resize_plane(px, out_h: int, out_w: int, method: str):
+    """(h, w, ch) ndarray → (out_h, out_w, ch), vectorized numpy.
+    'nearest' picks the center-aligned source pixel; 'bilinear' blends
+    the 4 neighbors with edge clamping (the standard align-corners=False
+    convention both major DL frameworks default to)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    sy = h / out_h
+    sx = w / out_w
+    if method == "nearest":
+        yi = np.minimum(((np.arange(out_h) + 0.5) * sy).astype(np.int64), h - 1)
+        xi = np.minimum(((np.arange(out_w) + 0.5) * sx).astype(np.int64), w - 1)
+        return px[yi][:, xi]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * sy - 0.5
+    fx = (np.arange(out_w) + 0.5) * sx - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    info = np.iinfo(px.dtype)
+    return np.clip(np.round(out), info.min, info.max).astype(px.dtype)
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    method: str = "bilinear",
+    on_error: str = "raise",
+) -> DataFrame:
+    """REAL decode → resize → re-encode for image payloads — the
+    thumbnail/normalize stage of a multimodal training pipeline, now
+    genuine end-to-end (round 10; it was a comment inside the
+    fake-decode path before the codecs landed). Arrow-batched
+    ``mapInPandas``, map-only: at 100 TB this runs embarrassingly
+    parallel over whatever partitioning the payload table already has,
+    no shuffle.
+
+    Decodes any container ``codecs.decode_media`` knows (BMP / PPM /
+    PNG incl. 16-bit + palette / baseline JPEG), resizes with
+    ``method`` ('bilinear' default, 'nearest'), and re-encodes as PNG —
+    lossless, so tests can pin exact bytes, and 16-bit sources stay
+    16-bit. Audio payloads (WAV) and unknown containers follow
+    ``on_error``: 'raise' (default — the codec guard) or 'null' (emit
+    the row with a NULL payload so the pipeline can quarantine it
+    downstream, mirroring the JSONL corrupt-line pattern)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataforge_spark import codecs
+
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    m = codecs.decode_media(bytes(payload))
+                    if m["sample_rate"]:
+                        raise NotImplementedError(
+                            "resize_images got an audio payload"
+                        )
+                except (NotImplementedError, ValueError):
+                    if on_error == "raise":
+                        raise
+                    rows.append({"id": int(rid), "width": 0, "height": 0,
+                                 "channels": 0, "payload": None})
+                    continue
+                px = _resize_plane(m["content"], height, width, method)
+                rows.append(
+                    {
+                        "id": int(rid),
+                        "width": width,
+                        "height": height,
+                        "channels": px.shape[2],
+                        "payload": codecs.encode_png(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=RESIZED_SCHEMA)

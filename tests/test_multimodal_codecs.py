@@ -664,3 +664,69 @@ def test_jpeg_media_meta_spark(spark):
     row = media_meta(df).collect()[0]
     assert row["kind"] == "jpeg" and row["width"] == 16
     assert row["content_sum"] == int(codecs.decode_jpeg(buf).sum(dtype=np.int64))
+
+
+# --------------------------------------------- round 10: resize_images
+
+
+def test_resize_plane_semantics():
+    from dataforge_spark.multimodal import _resize_plane
+
+    px = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    # identity resize is exact for both methods
+    np.testing.assert_array_equal(_resize_plane(px, 6, 8, "nearest"), px)
+    np.testing.assert_array_equal(_resize_plane(px, 6, 8, "bilinear"), px)
+    # integer nearest upscale == pixel replication
+    np.testing.assert_array_equal(
+        _resize_plane(px, 12, 16, "nearest"),
+        np.repeat(np.repeat(px, 2, axis=0), 2, axis=1),
+    )
+    # bilinear resize of a constant frame is that constant
+    c = np.full((5, 7, 4), 77, np.uint8)
+    assert (_resize_plane(c, 3, 10, "bilinear") == 77).all()
+    # 16-bit stays 16-bit
+    d = rng.integers(0, 65536, size=(4, 4, 1), dtype=np.uint16)
+    out = _resize_plane(d, 8, 8, "bilinear")
+    assert out.dtype == np.uint16
+    with pytest.raises(ValueError, match="unknown resize method"):
+        _resize_plane(px, 2, 2, "bicubic")
+
+
+def test_resize_images_spark_mixed_containers(spark):
+    from dataforge_spark.multimodal import resize_images
+
+    px = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    px16 = rng.integers(0, 65536, size=(6, 6, 1), dtype=np.uint16)
+    rows = [
+        (0, bytearray(codecs.encode_bmp(px))),
+        (1, bytearray(codecs.encode_png(px))),
+        (2, bytearray(codecs.encode_jpeg(px, quality=95))),
+        (3, bytearray(codecs.encode_png(px16))),  # 16-bit stays 16-bit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert len(got) == 4
+    for rid, r in got.items():
+        assert (r["width"], r["height"]) == (8, 8)
+        back = codecs.decode_png(bytes(r["payload"]))
+        assert back.shape[:2] == (8, 8)
+    assert codecs.decode_png(bytes(got[3]["payload"])).dtype == np.uint16
+    # BMP and lossless-PNG sources resize to IDENTICAL bytes (same
+    # pixels in, same deterministic kernel, lossless re-encode)
+    assert bytes(got[0]["payload"]) == bytes(got[1]["payload"])
+
+
+def test_resize_images_error_modes(spark):
+    from dataforge_spark.multimodal import resize_images
+
+    wav = codecs.encode_wav(np.ones((16,), dtype=np.int16))
+    df = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(codecs.encode_png(
+            np.zeros((4, 4, 3), np.uint8))))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="audio payload"):
+        resize_images(df, 2, 2).collect()
+    got = {r["id"]: r for r in resize_images(df, 2, 2, on_error="null").collect()}
+    assert got[0]["payload"] is None and got[0]["channels"] == 0
+    assert got[1]["payload"] is not None
