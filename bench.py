@@ -917,8 +917,10 @@ def main() -> None:
             # per-side best-of sample counts (ADVICE r8)
             "runs": [s1.get("spark_runs_per_query"),
                      s1.get("pandas_runs_per_query")],
-            "stream_window_agg_steady_sec": s1.get("stream_window_agg_steady_sec"),
-            "stream_sessionize_stateful_steady_sec": s1.get(
+            # short keys: the final line must stay under the driver's
+            # ~2 KB tail budget (full names in bench_detail.json sf1)
+            "wagg_steady_sec": s1.get("stream_window_agg_steady_sec"),
+            "sess_stateful_steady_sec": s1.get(
                 "stream_sessionize_stateful_steady_sec"
             ),
         }
