@@ -180,6 +180,27 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 _PNG_CTYPE_BY_CH = {1: 0, 2: 4, 3: 2, 4: 6}  # gray, gray+A, RGB, RGBA
 _PNG_CH_BY_CTYPE = {v: k for k, v in _PNG_CTYPE_BY_CH.items()}
 
+# Decode-side allocation cap for the COMPRESSED containers (PNG, JPEG):
+# their headers declare the output size independently of the input size,
+# so a tiny crafted stream can claim 60000x60000 pixels and OOM the
+# worker before any data check fires (the _inflate_bounded guard bounds
+# output at `need`, but `need` itself is attacker-controlled). 64M
+# pixels ≈ a 256 MB RGBA frame — far above any thumbnail/training-image
+# payload, far below worker memory. BMP/PPM/WAV need no cap: their
+# pixel bytes are stored 1:1, so the existing truncation checks bound
+# allocations by the actual payload size.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_decode_dims(w: int, h: int, kind: str) -> None:
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid {kind} dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{kind} dimensions {w}x{h} exceed the {MAX_DECODE_PIXELS}-pixel "
+            f"decode cap (decompression bomb?)"
+        )
+
 
 def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w[, ch]) uint8/uint16 → 8- or 16-bit PNG (dtype picks the bit
@@ -395,8 +416,7 @@ def decode_png(buf: bytes) -> np.ndarray:
             f"only 8/16-bit gray/truecolor and 8-bit palette PNG supported "
             f"(depth={depth}, color type={ctype})"
         )
-    if w == 0 or h == 0:
-        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    _check_decode_dims(w, h, "PNG")
     # palette scanlines carry one index byte per pixel; the filters
     # operate on those index bytes (bpp=1), lookup happens after
     ch = 1 if paletted else _PNG_CH_BY_CTYPE[ctype]
@@ -1050,8 +1070,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     if sof is None or scan is None:
         raise ValueError("JPEG stream missing SOF0/SOS segment")
     h, w, comps = sof
-    if h == 0 or w == 0:
-        raise ValueError(f"invalid JPEG dimensions {w}x{h}")
+    _check_decode_dims(w, h, "JPEG")
     sel, data_pos = scan
     maxh = max(c[1] for c in comps)
     maxv = max(c[2] for c in comps)

@@ -730,3 +730,24 @@ def test_resize_images_error_modes(spark):
     got = {r["id"]: r for r in resize_images(df, 2, 2, on_error="null").collect()}
     assert got[0]["payload"] is None and got[0]["channels"] == 0
     assert got[1]["payload"] is not None
+
+
+def test_decode_dims_cap_guards():
+    """Round 10 hardening: PNG/JPEG headers declare output size
+    independently of input size, so dimension claims above the decode
+    cap raise BEFORE any allocation — a 60000x60000 claim in a
+    200-byte stream must not OOM the worker."""
+    # PNG: craft a valid-CRC IHDR claiming 60000x60000 RGBA
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0)
+    buf = (codecs._PNG_SIG + codecs._png_chunk(b"IHDR", ihdr)
+           + codecs._png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+           + codecs._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode cap"):
+        codecs.decode_png(buf)
+
+    # JPEG: patch the SOF dims of a real tiny stream, keep the rest
+    jp = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = bytes(jp).index(b"\xff\xc0")
+    struct.pack_into(">HH", jp, i + 5, 60000, 60000)  # h, w after precision
+    with pytest.raises(ValueError, match="decode cap"):
+        codecs.decode_jpeg(bytes(jp))
