@@ -149,6 +149,8 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    evict_after_minutes: int | None = None,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: assign
     session ids per user (a new session starts after a ``gap_minutes``
@@ -157,19 +159,46 @@ def sessionize_stream(
     This is the ``applyInPandasWithState`` pattern for semantics Spark's
     built-in streaming operators can't express: arbitrary per-key state
     (last event time + session ordinal) carried across micro-batches,
-    Arrow-batched per group. State is a 2-tuple per user — bounded memory
-    on unbounded input.
-    """
+    Arrow-batched per group. State is a 2-tuple per user.
+
+    State EVICTION (round 10): per-tuple state is small, but with no
+    timeout the KEY set grows forever — on an unbounded user domain
+    (the 100 TB reality) the state store eventually holds every user id
+    ever seen. ``evict_after_minutes`` (must be ≥ ``gap_minutes``) sets
+    an EventTimeTimeout: a user idle that long in event time (tracked
+    against the stream's ``watermark``) has their state dropped.
+    Because the eviction horizon is at least the session gap, an
+    evicted user's next event would have started a NEW session anyway —
+    the only semantic difference is that the per-user session ORDINAL
+    restarts at 1 after eviction (an ordinal epoch). Pipelines needing
+    a globally unique session key under eviction should key on
+    ``(user_id, session_start)`` rather than the ordinal. Default None
+    keeps state forever — exact ordinals, the correctness-gate
+    configuration."""
     import numpy as np
     import pandas as pd
 
+    if evict_after_minutes is not None and evict_after_minutes < gap_minutes:
+        raise ValueError(
+            f"evict_after_minutes ({evict_after_minutes}) must be >= "
+            f"gap_minutes ({gap_minutes}): evicting inside the session gap "
+            f"would split live sessions, not just restart ordinals"
+        )
     gap_us = gap_minutes * 60 * 1_000_000
+    evict_ms = (evict_after_minutes or 0) * 60 * 1000
     empty = pd.DataFrame(
         {c: pd.Series(dtype=np.int64)
          for c in ("user_id", "session_id", "n_events", "start_us", "end_us")}
     )
 
     def fn(key, pdfs, state):
+        if evict_ms and state.hasTimedOut:
+            # idle past the horizon in event time: drop the state tuple
+            for _ in pdfs:  # exhaust the (empty) iterator per the contract
+                pass
+            state.remove()
+            yield empty
+            return
         last_us, sid = state.get if state.exists else (None, 0)
         (uid,) = key
         # timestamps arrive as epoch-microsecond int64 — the caller
@@ -211,6 +240,14 @@ def sessionize_stream(
             }
         )
         state.update((int(us[-1]), int(sess[-1])))
+        if evict_ms:
+            # fire when the watermark passes (last event + horizon); the
+            # timestamp must sit strictly above the current watermark
+            # (late per-user data could otherwise set one in the past)
+            state.setTimeoutTimestamp(
+                max(int(us[-1]) // 1000 + evict_ms,
+                    state.getCurrentWatermarkMs() + 1)
+            )
         yield out
 
     # Project to the two columns the state fn reads BEFORE the state
@@ -220,8 +257,18 @@ def sessionize_stream(
     # per-group astype("datetime64[us]")). The timestamps are
     # reconstituted JVM-side below (timestamp_micros, codegen) where the
     # cost is one vectorized pass, not 2×15k pandas conversions.
+    if evict_ms:
+        # EventTimeTimeout requires the watermarked event-time column to
+        # be visible to the state operator, so eviction mode keeps ts in
+        # the projection (one extra Arrow column) next to the int64 the
+        # fn actually reads
+        src = events.select(
+            user_col, F.col(ts_col), F.unix_micros(F.col(ts_col)).alias("_us")
+        ).withWatermark(ts_col, watermark)
+    else:
+        src = events.select(user_col, F.unix_micros(F.col(ts_col)).alias("_us"))
     raw = (
-        events.select(user_col, F.unix_micros(F.col(ts_col)).alias("_us"))
+        src
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
@@ -231,7 +278,7 @@ def sessionize_stream(
             ),
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf="NoTimeout",
+            timeoutConf="EventTimeTimeout" if evict_ms else "NoTimeout",
         )
     )
     return raw.select(

@@ -553,3 +553,75 @@ def test_unigram_logprob_min_count_oov(spark):
     got = unigram_logprob(df, min_count=2).collect()[0]
     want = (3 * math.log(4 / 5.0) + math.log(1 / 5.0)) / 4
     assert abs(got["avg_logprob"] - want) < 1e-12
+
+
+def test_sessionize_stream_event_time_eviction(spark, tmp_path):
+    """Round 10: evict_after_minutes bounds the state KEY set via
+    EventTimeTimeout. Deterministic multi-batch construction
+    (maxFilesPerTrigger=1, watermark delay 0 → watermark == max event
+    time seen in prior batches):
+
+    - batch 1: users 1 and 2 at t0             → both session_id 1
+    - batch 2: user 2 at t0+5h                 → u2 session_id 2;
+               watermark advances to t0+5h
+    - batch 3: user 3 at t0+6h                 → u1 idle past the 60-min
+               horizon with NO data this batch → state EVICTED
+    - batch 4: user 1 returns at t0+7h         → ordinal epoch restarts:
+               session_id 1 again (without eviction it would be 2 —
+               asserted by the control run)
+    """
+    import os as _os
+    import pandas as _pd
+
+    from dataforge_spark.streaming import run_to_memory, sessionize_stream
+
+    t0 = _pd.Timestamp("2024-01-01 00:00:00")
+    hr = _pd.Timedelta(hours=1)
+    src = str(tmp_path / "evict_in")
+    _os.makedirs(src)
+    batches = [
+        [(1, t0), (2, t0)],
+        [(2, t0 + 5 * hr)],
+        [(3, t0 + 6 * hr)],
+        [(1, t0 + 7 * hr)],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = _pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        # plain single files (not .parquet dirs) so the file source lists
+        # them flat; modification times pin the per-batch order
+        f = f"{src}/b{i}.parquet"
+        pdf.to_parquet(f, index=False)
+        _os.utime(f, (1_000_000 + i, 1_000_000 + i))
+
+    def run(evict):
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        got = run_to_memory(
+            sessionize_stream(
+                stream, user_col="user_id", ts_col="ts", gap_minutes=30,
+                evict_after_minutes=evict, watermark="0 seconds",
+            )
+        )
+        return sorted(
+            (r["user_id"], r["session_start"], r["session_id"])
+            for r in got.collect()
+        )
+
+    control = run(None)
+    evicted = run(60)
+    # user 1's return: ordinal 2 without eviction, epoch-restarted 1 with
+    assert (1, (t0 + 7 * hr).to_pydatetime(), 2) in control
+    assert (1, (t0 + 7 * hr).to_pydatetime(), 1) in evicted
+    # everything else identical (same sessions, same ordinals)
+    diff = set(control) ^ set(evicted)
+    assert diff == {(1, (t0 + 7 * hr).to_pydatetime(), 2),
+                    (1, (t0 + 7 * hr).to_pydatetime(), 1)}
+    with pytest.raises(ValueError, match="must be >="):
+        sessionize_stream(
+            spark.readStream.schema("user_id bigint, ts timestamp").parquet(src),
+            gap_minutes=30, evict_after_minutes=10,
+        )
