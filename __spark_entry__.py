@@ -1265,7 +1265,14 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       decoded scalar count, s = kind:WxH@rate. DuckDB recomputes every
       construction arithmetically via generate_series, so the oracle
       covers encoder AND decoder (for PNG: the zlib round-trip, CRC,
-      filter, palette-lookup and Adam7 de-interlace paths too)."""
+      filter, palette-lookup and Adam7 de-interlace paths too);
+    - ``resize`` (round 10): every IMAGE variant additionally runs
+      decode → 4×4 NEAREST resize (`multimodal.resize_images`) →
+      lossless PNG re-encode → second decode, with k = the resized
+      pixel sum. Nearest index maps are exact integer functions
+      (src = floor((out+0.5)·src_dim/4)), so DuckDB recomputes the full
+      four-stage chain closed-form — the resize operator is
+      driver-oracle-backed, not just pytest-pinned."""
     from dataforge_spark.multimodal import media_meta, sample_frames
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1346,7 +1353,35 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sample_rate").cast("string"),
         ).alias("s"),
     )
-    return meta.unionByName(feat).unionByName(frames).unionByName(media)
+
+    # resize leg (round 10): decode → 4×4 NEAREST resize → lossless PNG
+    # re-encode → decode AGAIN via media_meta; k = the resized pixel sum.
+    # Nearest-neighbor index maps are exact integer functions
+    # (src = floor((out+0.5)·src_dim/4)), so DuckDB recomputes the whole
+    # chain closed-form for every image variant; WAV (doc_id ≡ 1 mod 7)
+    # is excluded — resize is an image operator.
+    from dataforge_spark.multimodal import resize_images
+
+    imgs = docs.where(F.col("doc_id") % 7 != 1).select(
+        "doc_id", _synth_payload("doc_id").alias("payload")
+    )
+    resized = resize_images(imgs, 4, 4, method="nearest")
+    rz = media_meta(
+        resized.select(F.col("id").alias("doc_id"), "payload")
+    ).select(
+        F.lit("resize").alias("op"), F.col("id").alias("doc_id"),
+        F.col("content_sum").alias("k"),
+        F.col("n_samples").alias("n"),
+        F.concat(
+            "kind", F.lit(":"), F.col("width").cast("string"), F.lit("x"),
+            F.col("height").cast("string"), F.lit("@"),
+            F.col("sample_rate").cast("string"),
+        ).alias("s"),
+    )
+    return (
+        meta.unionByName(feat).unionByName(frames).unionByName(media)
+        .unionByName(rz)
+    )
 
 
 def q_stream_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2573,9 +2608,73 @@ def oracle_sql() -> dict[str, str]:
                  CAST(16 AS BIGINT) AS n, 'png:4x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 15)) AS u(j)
           WHERE d.doc_id % 7 = 6 GROUP BY d.doc_id
+        ),
+        -- resize leg (r10): 4x4 NEAREST resize of every image variant,
+        -- recomputed closed-form: src index = floor((out+0.5)*src/4).
+        -- Matching k proves decode -> resize kernel -> PNG re-encode ->
+        -- second decode all ran correctly.
+        g4 AS (SELECT * FROM UNNEST(generate_series(0, 3)) AS t(i)),
+        rz AS (
+          -- v0: BMP 4x8x3 -> sy=i, sx=2*jx+1
+          SELECT 'resize' AS op, d.doc_id,
+                 CAST(sum((d.doc_id + yy.i * 24 + (2 * xx.i + 1) * 3 + cc.i) % 256)
+                      AS BIGINT) AS k,
+                 CAST(48 AS BIGINT) AS n, 'png:4x4@0' AS s
+          FROM documents d, g4 yy, g4 xx,
+               UNNEST(generate_series(0, 2)) AS cc(i)
+          WHERE d.doc_id % 7 = 0 GROUP BY d.doc_id
+          UNION ALL
+          -- v2: RGBA PNG 4x6x4 -> sy=i, sx=floor((jx+0.5)*1.5)
+          SELECT 'resize' AS op, d.doc_id,
+                 CAST(sum((d.doc_id + yy.i * 24
+                           + CAST(floor((xx.i + 0.5) * 1.5) AS BIGINT) * 4
+                           + cc.i) % 256) AS BIGINT) AS k,
+                 CAST(64 AS BIGINT) AS n, 'png:4x4@0' AS s
+          FROM documents d, g4 yy, g4 xx,
+               UNNEST(generate_series(0, 3)) AS cc(i)
+          WHERE d.doc_id % 7 = 2 GROUP BY d.doc_id
+          UNION ALL
+          -- v3: gray 3x8 -> sy=floor((i+0.5)*0.75), sx=2*jx+1
+          SELECT 'resize' AS op, d.doc_id,
+                 CAST(sum((d.doc_id
+                           + CAST(floor((yy.i + 0.5) * 0.75) AS BIGINT) * 8
+                           + 2 * xx.i + 1) % 256) AS BIGINT) AS k,
+                 CAST(16 AS BIGINT) AS n, 'png:4x4@0' AS s
+          FROM documents d, g4 yy, g4 xx
+          WHERE d.doc_id % 7 = 3 GROUP BY d.doc_id
+          UNION ALL
+          -- v4: gray+alpha 4x5x2 -> sy=i, sx=floor((jx+0.5)*1.25)
+          SELECT 'resize' AS op, d.doc_id,
+                 CAST(sum((d.doc_id + yy.i * 10
+                           + CAST(floor((xx.i + 0.5) * 1.25) AS BIGINT) * 2
+                           + cc.i) % 256) AS BIGINT) AS k,
+                 CAST(32 AS BIGINT) AS n, 'png:4x4@0' AS s
+          FROM documents d, g4 yy, g4 xx,
+               UNNEST(generate_series(0, 1)) AS cc(i)
+          WHERE d.doc_id % 7 = 4 GROUP BY d.doc_id
+          UNION ALL
+          -- v5: palette 5x5 -> RGBA; sy=sx=floor((t+0.5)*1.25);
+          -- per-index RGBA totals as in the media leg
+          SELECT 'resize' AS op, d.doc_id,
+                 CAST(sum(CASE (d.doc_id
+                                + CAST(floor((yy.i + 0.5) * 1.25) AS BIGINT) * 5
+                                + CAST(floor((xx.i + 0.5) * 1.25) AS BIGINT)) % 4
+                          WHEN 0 THEN 265 WHEN 1 THEN 275
+                          WHEN 2 THEN 510 ELSE 279 END) AS BIGINT) AS k,
+                 CAST(64 AS BIGINT) AS n, 'png:4x4@0' AS s
+          FROM documents d, g4 yy, g4 xx
+          WHERE d.doc_id % 7 = 5 GROUP BY d.doc_id
+          UNION ALL
+          -- v6: 16-bit gray 4x4 -> identity resize, uint16 preserved
+          SELECT 'resize' AS op, d.doc_id,
+                 CAST(sum((d.doc_id * 3 + u.j * 257) % 65536) AS BIGINT) AS k,
+                 CAST(16 AS BIGINT) AS n, 'png:4x4@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 15)) AS u(j)
+          WHERE d.doc_id % 7 = 6 GROUP BY d.doc_id
         )
         SELECT * FROM meta UNION ALL SELECT * FROM feat
         UNION ALL SELECT * FROM frame UNION ALL SELECT * FROM media
+        UNION ALL SELECT * FROM rz
     """
 
     sql["stream_dedup_profile"] = """
