@@ -2,10 +2,10 @@
 
 Commands mirror the service surface without HTTP:
 
-    clean   --input data.{csv,parquet,orc,jsonl[.gz]} --ops '{"duplicates":
-            {"enabled": true}}' --output cleaned.{csv,parquet,orc,jsonl}
+    clean   --input data.{csv,parquet,orc,avro,jsonl[.gz]} --ops '{"duplicates":
+            {"enabled": true}}' --output cleaned.{csv,parquet,orc,avro,jsonl}
             [--single-file] [--bug-compat]
-    profile --input data.{csv,parquet,orc,jsonl}   (JSON profile to stdout)
+    profile --input data.{csv,parquet,orc,avro,jsonl}   (JSON profile to stdout)
     info                                (capability manifest to stdout)
     serve   [--port 8000] [--host 127.0.0.1] [--upload-dir uploads]
             (stdlib HTTP server: REST surface + /ui frontend)
@@ -30,6 +30,10 @@ def _read(spark, path: str):
         return dfio.read_parquet(spark, path, row_id=True)
     if path.endswith(".orc"):
         return dfio.read_orc(spark, path, row_id=True)
+    if path.endswith(".avro"):
+        from .avro import read_avro
+
+        return read_avro(spark, path, row_id=True)
     if path.endswith((".jsonl", ".jsonl.gz", ".json", ".json.gz", ".ndjson")):
         return dfio.read_jsonl(spark, path, row_id=True)
     return dfio.read_csv(spark, path)
@@ -92,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         dfio.write_parquet(out, args.output)
     elif args.output.endswith(".orc"):
         dfio.write_orc(out, args.output)
+    elif args.output.endswith(".avro"):
+        from .avro import write_avro
+
+        write_avro(out.drop(dfio.ROW_ID) if dfio.ROW_ID in out.columns else out,
+                   args.output)
     elif args.output.endswith((".jsonl", ".ndjson", ".json")):
         dfio.write_jsonl(out, args.output, compression=None)
     else:

@@ -1,0 +1,177 @@
+"""Avro OCF source/sink tests (round 10): Spark round-trips through the
+pure-Python wire-format implementation, a FORWARD-built spec stream (the
+decoder is tested against hand-assembled bytes, not our own encoder),
+and the malformed-input / unsupported-feature guards."""
+
+import datetime
+import json
+
+import pytest
+
+from dataforge_spark.avro import (
+    _MAGIC,
+    _decode_ocf,
+    _zigzag_decode,
+    _zigzag_encode,
+    read_avro,
+    spark_schema_of,
+    write_avro,
+)
+
+
+def test_zigzag_varint_roundtrip():
+    for n in (0, 1, -1, 2, -2, 63, 64, -64, -65, 2**31, -(2**31),
+              2**62, -(2**62), 12345678901234):
+        buf = _zigzag_encode(n)
+        got, pos = _zigzag_decode(buf, 0)
+        assert got == n and pos == len(buf)
+    with pytest.raises(ValueError, match="truncated"):
+        _zigzag_decode(b"\xff", 0)  # continuation bit set, no next byte
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_spark_roundtrip(spark, tmp_path, codec):
+    """All supported types incl. nullable columns, timestamps (naive,
+    UTC convention) and binary, through write_avro -> read_avro."""
+    rows = [
+        (1, "alpha", 1.5, True, bytearray(b"\x00\xff"),
+         datetime.datetime(2024, 1, 2, 3, 4, 5, 123456), 7),
+        (2, None, -2.25, False, bytearray(b""),
+         datetime.datetime(2024, 6, 1, 0, 0, 0), None),
+    ]
+    ddl = ("id bigint, name string, score double, flag boolean, "
+           "blob binary, ts timestamp, maybe bigint")
+    df = spark.createDataFrame(rows, ddl)
+    path = str(tmp_path / f"avro_{codec}")
+    write_avro(df, path, codec=codec)
+    back = read_avro(spark, path)
+    assert [f.simpleString() for f in back.schema.fields] == [
+        f.simpleString() for f in df.schema.fields
+    ]
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    exp = sorted(df.collect(), key=lambda r: r["id"])
+    for g, e in zip(got, exp):
+        assert g["name"] == e["name"] and g["maybe"] == e["maybe"]
+        assert g["score"] == e["score"] and g["flag"] == e["flag"]
+        assert bytes(g["blob"] or b"") == bytes(e["blob"] or b"")
+        assert g["ts"] == e["ts"]
+
+
+def test_avro_multi_partition_and_schema_arg(spark, tmp_path):
+    """One part file per non-empty partition; explicit avro_schema skips
+    the driver-side header read; empty partitions write nothing."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "n").repartition(8)
+    path = str(tmp_path / "avro_parts")
+    write_avro(df, path, codec="deflate")
+    import glob
+    import os
+
+    parts = glob.glob(os.path.join(path, "part-*.avro"))
+    assert 1 <= len(parts) <= 8
+    schema = json.dumps({
+        "type": "record", "name": "row",
+        "fields": [{"name": "n", "type": "long"}],
+    })
+    back = read_avro(spark, path, avro_schema=schema)
+    assert back.count() == 1000
+    assert back.agg({"n": "sum"}).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_avro_forward_built_spec_stream(spark, tmp_path):
+    """Hand-assembled OCF bytes (spec, not our encoder): 2-field record,
+    null codec, one block of two rows. zigzag: 1→0x02, -2→0x03,
+    len 2→0x04, len 1→0x02."""
+    schema = b'{"type":"record","name":"r","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    sync = bytes(range(100, 116))
+    meta = (
+        _zigzag_encode(2)
+        + _zigzag_encode(len(b"avro.schema")) + b"avro.schema"
+        + _zigzag_encode(len(schema)) + schema
+        + _zigzag_encode(len(b"avro.codec")) + b"avro.codec"
+        + _zigzag_encode(4) + b"null"
+        + _zigzag_encode(0)
+    )
+    payload = b"\x02\x04hi" + b"\x03\x02x"  # (1,"hi"), (-2,"x")
+    buf = (
+        _MAGIC + meta + sync
+        + _zigzag_encode(2) + _zigzag_encode(len(payload)) + payload + sync
+    )
+    got_schema, rows = _decode_ocf(buf)
+    assert json.loads(got_schema)["name"] == "r"
+    assert rows == [{"a": 1, "b": "hi"}, {"a": -2, "b": "x"}]
+
+    # and through the full Spark read path
+    f = tmp_path / "fwd" ; f.mkdir()
+    (f / "part-00000.avro").write_bytes(buf)
+    back = read_avro(spark, str(f))
+    assert sorted((r["a"], r["b"]) for r in back.collect()) == [(-2, "x"), (1, "hi")]
+
+
+def test_avro_guards(spark, tmp_path):
+    with pytest.raises(ValueError, match="bad magic"):
+        _decode_ocf(b"NOPE" + b"\x00" * 32)
+
+    # corrupt sync marker between blocks
+    df = spark.range(0, 10).withColumnRenamed("id", "n").coalesce(1)
+    path = str(tmp_path / "sync")
+    write_avro(df, path, codec="null")
+    import glob
+
+    part = glob.glob(f"{path}/part-*.avro")[0]
+    raw = bytearray(open(part, "rb").read())
+    raw[-1] ^= 0xFF  # last byte of the trailing block sync
+    with pytest.raises(ValueError, match="sync-marker mismatch"):
+        _decode_ocf(bytes(raw))
+
+    # unsupported codec in metadata (patch "null" -> "snappy" with its
+    # zigzag length prefix: len 4 -> 0x08, len 6 -> 0x0c)
+    buf = bytearray(open(part, "rb").read())
+    buf = buf.replace(b"\x08null", b"\x0csnappy", 1)
+    with pytest.raises(NotImplementedError, match="snappy"):
+        _decode_ocf(bytes(buf))
+
+    # nested schemas are out of scope, loudly
+    nested = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "x", "type": {"type": "record", "name": "s",
+                                          "fields": []}}],
+    })
+    with pytest.raises(NotImplementedError, match="complex"):
+        spark_schema_of(nested)
+
+
+
+def test_avro_null_in_non_nullable_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "a bigint")
+    # forge a non-nullable schema but feed a NULL through the writer path
+    from dataforge_spark.avro import _encode_ocf
+
+    with pytest.raises(ValueError, match="non-nullable"):
+        _encode_ocf([{"a": None}], [("a", "long", False, False)],
+                    '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}',
+                    "null")
+
+
+def test_avro_cli_e2e(tmp_path):
+    """CLI: clean a CSV into .avro, then profile the .avro back."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,x\n2,\n2,\n,y\n")
+    out = str(tmp_path / "out.avro")
+    r = subprocess.run(
+        [sys.executable, "-m", "dataforge_spark", "clean",
+         "--input", str(src),
+         "--ops", '{"duplicates": {"enabled": true}}',
+         "--output", out],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "dataforge_spark", "profile", "--input", out],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    prof = json.loads(r2.stdout)
+    assert prof["shape"]["rows"] == 3  # one duplicate dropped
