@@ -256,11 +256,14 @@ def q_s1_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       quarantine column instead of vanishing (PERMISSIVE +
       columnNameOfCorruptRecord), and ``n_corrupt`` counts them while
       the valid-row stats exclude them;
-    - ``orc``:   write_orc (zstd) → read_orc.
+    - ``orc``:   write_orc (zstd) → read_orc;
+    - ``avro``:  write_avro (deflate OCF, pure-Python wire format —
+      `dataforge_spark/avro.py`) → read_avro (binaryFile +
+      mapInPandas block decode) — round 10.
 
     Each leg emits the same summary (row count, value checksum,
-    distinct counts), so one oracle row proves all three sinks preserve
-    the data and all three scans read it back losslessly."""
+    distinct counts), so one oracle row proves all four sinks preserve
+    the data and all four scans read it back losslessly."""
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value", "props")
     run = uuid.uuid4().hex[:8]
 
@@ -302,7 +305,16 @@ def q_s1_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfio.write_orc(ev, orc_path)
     orc_leg = _leg("orc", dfio.read_orc(spark, orc_path, row_id=False))
 
-    return csv_leg.unionByName(jsonl_leg).unionByName(orc_leg)
+    from dataforge_spark.avro import read_avro, write_avro
+
+    avro_path = f"/tmp/dataforge_avro_{run}"
+    write_avro(ev, avro_path, codec="deflate")
+    avro_leg = _leg("avro", read_avro(spark, avro_path))
+
+    return (
+        csv_leg.unionByName(jsonl_leg).unionByName(orc_leg)
+        .unionByName(avro_leg)
+    )
 
 
 def q_s4_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,6 +1799,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT n, sum_value, n_props, n_types,
                CAST(0 AS BIGINT) AS n_corrupt, 'orc' AS variant FROM stats
+        UNION ALL
+        SELECT n, sum_value, n_props, n_types,
+               CAST(0 AS BIGINT) AS n_corrupt, 'avro' AS variant FROM stats
     """
 
     sql["s4_profile"] = """
