@@ -53,7 +53,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff(buf: bytes) -> str | None:
     """Container kind from magic bytes:
-    'bmp'|'ppm'|'png'|'wav'|'jpeg'|None."""
+    'bmp'|'ppm'|'png'|'wav'|'jpeg'|'gif'|None."""
     if len(buf) >= 2 and buf[:2] == b"BM":
         return "bmp"
     if len(buf) >= 2 and buf[:2] == b"P6":
@@ -64,6 +64,8 @@ def sniff(buf: bytes) -> str | None:
         return "wav"
     if len(buf) >= 3 and buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(buf) >= 6 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -543,7 +545,8 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 def decode_media(buf: bytes) -> dict:
     """Sniff + decode one payload. Returns a uniform metadata dict:
 
-    ``kind`` ('bmp'|'ppm'|'png'|'wav'), ``width``/``height``/``channels``,
+    ``kind`` ('bmp'|'ppm'|'png'|'jpeg'|'gif'|'wav'),
+    ``width``/``height``/``channels``,
     ``sample_rate`` (0 for images), ``n_samples`` (decoded scalar count:
     h*w*channels for images, frames*channels for audio), ``content_sum`` (exact
     integer sum of the DECODED scalars — container headers and BMP row
@@ -554,6 +557,19 @@ def decode_media(buf: bytes) -> dict:
     guard for codecs this environment cannot host.
     """
     kind = sniff(bytes(buf))
+    if kind == "gif":
+        frames, _delays = decode_gif(bytes(buf))
+        stack = np.stack(frames)  # (n_frames, H, W, 3)
+        return {
+            "kind": kind,
+            "width": stack.shape[2],
+            "height": stack.shape[1],
+            "channels": stack.shape[3],
+            "sample_rate": 0,
+            "n_samples": int(stack.size),  # frames × H × W × 3
+            "content_sum": int(stack.sum(dtype=np.int64)),
+            "content": stack,
+        }
     if kind in ("bmp", "ppm", "png", "jpeg"):
         px = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png,
               "jpeg": decode_jpeg}[kind](bytes(buf))
@@ -581,8 +597,8 @@ def decode_media(buf: bytes) -> dict:
         }
     raise NotImplementedError(
         f"unsupported container (magic {bytes(buf)[:4]!r}): only "
-        f"BMP/PPM/PNG/JPEG/WAV decode in this environment; other codecs "
-        f"need libraries not installed here"
+        f"BMP/PPM/PNG/JPEG/GIF/WAV decode in this environment; other "
+        f"codecs need libraries not installed here"
     )
 
 
@@ -1152,3 +1168,298 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ GIF
+# GIF87a/89a (round 10): palette-indexed, LZW-compressed, LOSSLESS —
+# and the one stdlib-decodable container with real MULTI-FRAME
+# animation, which upgrades frame sampling from a byte-chunk stand-in
+# to genuine frame extraction. Pure Python LZW (variable 3..12-bit
+# codes, clear/end codes, 4096-entry dictionary) + numpy composition.
+
+
+def _lzw_decode_gif(data: bytes, min_code: int, expected: int) -> bytes:
+    """GIF-variant LZW: LSB-first variable-width codes."""
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + width <= total:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = dict(base)
+            next_code = end + 1
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("corrupt GIF LZW stream (bad first code)")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream (code out of range)")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= expected:
+            break
+    if len(out) < expected:
+        raise ValueError(
+            f"GIF LZW stream produced {len(out)} of {expected} pixels"
+        )
+    return bytes(out[:expected])
+
+
+def _lzw_encode_gif(indices: bytes, min_code: int) -> bytes:
+    """Mirror of _lzw_decode_gif — emits clear up front, resets the
+    dictionary at 4096 entries, ends with the end-of-information code."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # one emit LATER than the table-size parity suggests: the
+            # decoder's table trails the encoder's by one entry (it adds
+            # nothing for the first code after clear), so it widens one
+            # code-stream position later — calibrated by round-trip test
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # dictionary full: clear and restart (keeps decoder in sync)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames, palette, delays_cs=None, transparent: int | None = None
+) -> bytes:
+    """Palette-indexed frames → GIF (GIF89a when animated/transparent,
+    GIF87a for a single opaque frame). ``frames`` is a list of (h, w)
+    uint8 index arrays (all the same size), ``palette`` an (n≤256, 3)
+    uint8 RGB table; ``delays_cs`` per-frame delays in centiseconds
+    (defaults to 10); ``transparent`` marks one palette index as
+    transparent via a Graphic Control Extension. Pixels are LZW-encoded
+    losslessly — the decoded frames reproduce ``palette[frames[i]]``
+    exactly, which is what lets the driver oracle recompute GIF sums in
+    closed form."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    pal = np.asarray(palette, dtype=np.uint8)
+    if not frames or any(f.ndim != 2 for f in frames):
+        raise ValueError("encode_gif expects a list of (h, w) uint8 index frames")
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError("encode_gif expects an (n<=256, 3) uint8 palette")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all GIF frames must share one size")
+    if any(int(f.max(initial=0)) >= len(pal) for f in frames):
+        raise ValueError("GIF frame index out of palette range")
+    # GCT size: power of two >= len(pal), minimum 2
+    bits = max(1, (max(len(pal), 2) - 1).bit_length())
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[: len(pal)] = pal
+    animated = len(frames) > 1 or transparent is not None
+    out = bytearray(b"GIF89a" if animated else b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size, bg 0, aspect 0
+    out += gct.tobytes()
+    delays = delays_cs or [10] * len(frames)
+    min_code = max(2, bits)
+    for f, delay in zip(frames, delays):
+        if animated:
+            packed = 0x01 if transparent is not None else 0x00
+            out += bytes([0x21, 0xF9, 4, packed])
+            out += struct.pack("<H", int(delay))
+            out += bytes([transparent or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([min_code])
+        out += _gif_subblocks(_lzw_encode_gif(f.tobytes(), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(buf: bytes):
+    """GIF87a/89a → (frames, delays_cs): every frame composed onto the
+    logical-screen canvas as (H, W, 3) uint8 RGB. Global and local color
+    tables, interlacing, transparency (transparent pixels leave the
+    canvas unchanged), disposal methods 0/1 (keep) and 2 (restore to
+    background color); disposal 3 (restore-previous) raises
+    NotImplementedError. The pixel path is lossless LZW, so decoded
+    frames equal the encoded palette lookups exactly."""
+    if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF stream")
+    w, h = struct.unpack_from("<HH", buf, 6)
+    _check_decode_dims(w, h, "GIF")
+    packed, bg, _aspect = buf[10], buf[11], buf[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    delay = 0
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if pos >= len(buf):
+                raise ValueError("truncated GIF extension")
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = buf[pos]
+                gce = buf[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+                disposal = (gce[0] >> 2) & 0x07
+                delay = struct.unpack_from("<H", gce, 1)[0]
+                transparent = gce[3] if gce[0] & 0x01 else None
+                if buf[pos] != 0:
+                    raise ValueError("malformed GIF graphic control extension")
+                pos += 1
+            else:  # comment / application / plain text: skip sub-blocks
+                while True:
+                    if pos >= len(buf):
+                        raise ValueError("truncated GIF extension sub-blocks")
+                    n = buf[pos]
+                    pos += 1
+                    if n == 0:
+                        break
+                    pos += n
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block {b0:#04x}")
+        # image descriptor
+        left, top, iw, ih = struct.unpack_from("<HHHH", buf, pos)
+        ipacked = buf[pos + 8]
+        pos += 9
+        _check_decode_dims(max(iw, 1), max(ih, 1), "GIF")
+        if left + iw > w or top + ih > h:
+            raise ValueError("GIF frame extends past the logical screen")
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if lct is None:
+            raise ValueError("GIF image with no color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(buf):
+                raise ValueError("truncated GIF image data")
+            n = buf[pos]
+            pos += 1
+            if n == 0:
+                break
+            data += buf[pos : pos + n]
+            pos += n
+        idx = np.frombuffer(
+            _lzw_decode_gif(bytes(data), min_code, iw * ih), np.uint8
+        ).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows arrive in the 4-pass order
+            de = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, ih, step)
+                de[list(rows)] = idx[src : src + len(rows)]
+                src += len(rows)
+            idx = de
+        if int(idx.max(initial=0)) >= len(lct):
+            raise ValueError("GIF pixel index out of color-table range")
+        if disposal == 3:
+            raise NotImplementedError(
+                "GIF disposal method 3 (restore previous) unsupported"
+            )
+        region = canvas[top : top + ih, left : left + iw]
+        px = lct[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = px[mask]
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:  # restore background before the next frame
+            bg_rgb = lct[bg] if bg < len(lct) else 0
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        disposal = 0
+        transparent = None
+        delay = 0
+    if not frames:
+        raise ValueError("GIF stream contains no image frames")
+    return frames, delays

@@ -309,7 +309,10 @@ def resize_images(
                     rows.append({"id": int(rid), "width": 0, "height": 0,
                                  "channels": 0, "payload": None})
                     continue
-                px = _resize_plane(m["content"], height, width, method)
+                content = m["content"]
+                if content.ndim == 4:  # animated (GIF): resize frame 0
+                    content = content[0]
+                px = _resize_plane(content, height, width, method)
                 rows.append(
                     {
                         "id": int(rid),
@@ -324,3 +327,61 @@ def resize_images(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+MEDIA_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_media_frames(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    every: int = 1,
+) -> DataFrame:
+    """REAL frame extraction (round 10) — the genuine version of what
+    ``sample_frames`` stands in for with byte chunks: decode an ANIMATED
+    container (GIF; single-image containers count as one frame), keep
+    every ``every``-th composed frame, re-encode each losslessly as PNG,
+    and emit one row per sampled frame. Arrow-batched ``mapInPandas``,
+    map-only — output partitioning follows the source rows, exactly like
+    a production frame-extraction stage; no shuffle at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataforge_spark import codecs
+
+        for pdf in batches:
+            rows: list[dict[str, Any]] = []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                m = codecs.decode_media(bytes(payload))
+                content = m["content"]
+                if m["sample_rate"]:
+                    raise NotImplementedError(
+                        "sample_media_frames got an audio payload"
+                    )
+                frames = content if content.ndim == 4 else content[None]
+                for fi in range(0, len(frames), every):
+                    px = frames[fi]
+                    rows.append(
+                        {
+                            "id": int(rid),
+                            "frame_idx": fi,
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                            "channels": px.shape[2],
+                            "payload": codecs.encode_png(px),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FRAME_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=MEDIA_FRAME_SCHEMA)

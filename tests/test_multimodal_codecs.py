@@ -105,9 +105,10 @@ def test_sniff_and_decode_media_dispatch():
 
 
 def test_decode_media_unknown_container_raises():
-    # GIF: a real format this environment has no codec for
+    # TIFF: a real format this environment has no codec for (GIF gained
+    # one in round 10, so it moved out of this test)
     with pytest.raises(NotImplementedError, match="unsupported container"):
-        codecs.decode_media(b"GIF89a" + b"\x00" * 16)
+        codecs.decode_media(b"II*\x00" + b"\x00" * 16)
 
 
 def test_unsupported_bmp_variants_raise():
@@ -169,7 +170,7 @@ def test_real_decode_guard_raises_in_spark(spark):
     from dataforge_spark.multimodal import extract_features
 
     df = spark.createDataFrame(
-        [(0, bytearray(b"GIF89a" + b"\x00" * 16))], "doc_id long, payload binary"
+        [(0, bytearray(b"II*\x00" + b"\x00" * 16))], "doc_id long, payload binary"
     )
     with pytest.raises(Exception, match="unsupported container"):
         extract_features(df, fake_decode=False).collect()
@@ -751,3 +752,154 @@ def test_decode_dims_cap_guards():
     struct.pack_into(">HH", jp, i + 5, 60000, 60000)  # h, w after precision
     with pytest.raises(ValueError, match="decode cap"):
         codecs.decode_jpeg(bytes(jp))
+
+
+# -------------------------------------------------------- round 10: GIF
+
+
+_GIF_PAL = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                    dtype=np.uint8)
+
+
+def test_gif_multiframe_roundtrip():
+    """LZW is lossless: decoded frames equal the palette lookups exactly;
+    delays survive the GCE round-trip."""
+    frames = [rng.integers(0, 4, size=(7, 9), dtype=np.uint8) for _ in range(3)]
+    buf = codecs.encode_gif(frames, _GIF_PAL, delays_cs=[5, 10, 15])
+    out, delays = codecs.decode_gif(buf)
+    assert delays == [5, 10, 15] and len(out) == 3
+    for f, o in zip(frames, out):
+        np.testing.assert_array_equal(o, _GIF_PAL[f])
+
+
+def test_gif_lzw_width_growth_and_dict_reset():
+    """A 256-color 120x120 frame pushes the LZW dictionary through every
+    code width up to 12 bits and across a 4096-entry reset."""
+    pal256 = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(120, 120), dtype=np.uint8)
+    out, _ = codecs.decode_gif(codecs.encode_gif([idx], pal256))
+    np.testing.assert_array_equal(out[0], pal256[idx])
+
+
+def test_gif_transparency_composition():
+    """A transparent index leaves the prior canvas visible — frame 2
+    must show frame 1's pixels wherever frame 2 is transparent."""
+    f1 = np.zeros((4, 4), np.uint8)          # all red
+    f2 = np.full((4, 4), 3, np.uint8)        # all (7,8,9)...
+    f2[0, :] = 1                              # ...except row 0 transparent=1
+    buf = codecs.encode_gif([f1, f2], _GIF_PAL, transparent=1)
+    out, _ = codecs.decode_gif(buf)
+    np.testing.assert_array_equal(out[0], _GIF_PAL[np.zeros((4, 4), np.uint8)])
+    exp2 = _GIF_PAL[f2]
+    exp2[0, :] = _GIF_PAL[0]  # transparent row shows frame 1 (red)
+    np.testing.assert_array_equal(out[1], exp2)
+
+
+def test_gif_forward_built_stream():
+    """Container + LZW bytes assembled by hand (spec, not our encoder):
+    a 2x2 frame with indices [0,1,2,3], min code size 2 → code stream
+    clear(4),0,1,2,3,end(5); widths: 3,3,3,3,4,4 (the decoder widens
+    after its table hits 8 entries on the third data code)."""
+
+    def pack_lsb(codes_widths):
+        acc = nbits = 0
+        out = bytearray()
+        for code, width in codes_widths:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    lzw = pack_lsb([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)])
+    gct = np.zeros((4, 3), np.uint8)
+    gct[:] = _GIF_PAL
+    buf = (
+        b"GIF87a" + struct.pack("<HH", 2, 2)
+        + bytes([0x80 | 0x01, 0, 0])          # GCT present, size 2^(1+1)=4
+        + gct.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2])                           # LZW min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    out, _ = codecs.decode_gif(buf)
+    np.testing.assert_array_equal(
+        out[0], _GIF_PAL[np.array([[0, 1], [2, 3]], np.uint8)]
+    )
+
+
+def test_gif_interlaced_decode():
+    """Interlaced frames arrive in the 4-pass row order; the decoder must
+    scatter them back. Forward-build: permute the rows of the LZW input
+    into pass order and set the interlace flag."""
+    idx = rng.integers(0, 4, size=(8, 5), dtype=np.uint8)
+    order = [0, 4, 2, 6, 1, 3, 5, 7]  # 8 rows: pass1 0; pass2 4; pass3 2,6; pass4 odd
+    permuted = idx[order]
+    lzw = codecs._lzw_encode_gif(permuted.tobytes(), 2)
+    buf = (
+        b"GIF87a" + struct.pack("<HH", 5, 8)
+        + bytes([0x80 | 0x01, 0, 0]) + _GIF_PAL.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 5, 8)
+        + bytes([0x40])                        # interlace flag
+        + bytes([2]) + codecs._gif_subblocks(lzw) + b"\x3b"
+    )
+    out, _ = codecs.decode_gif(buf)
+    np.testing.assert_array_equal(out[0], _GIF_PAL[idx])
+
+
+def test_gif_guards():
+    with pytest.raises(ValueError, match="not a GIF"):
+        codecs.decode_gif(b"GIF99a" + b"\x00" * 16)
+    frames = [np.zeros((3, 3), np.uint8)]
+    buf = bytearray(codecs.encode_gif(frames, _GIF_PAL))
+    with pytest.raises(ValueError, match="truncated GIF image data"):
+        codecs.decode_gif(bytes(buf[:-6]))
+    with pytest.raises(ValueError, match="out of palette range"):
+        codecs.encode_gif([np.full((2, 2), 9, np.uint8)], _GIF_PAL)
+    # dimension cap applies to GIF headers too
+    big = bytearray(buf)
+    struct.pack_into("<HH", big, 6, 60000, 60000)
+    with pytest.raises(ValueError, match="decode cap"):
+        codecs.decode_gif(bytes(big))
+
+
+def test_gif_decode_media_and_resize():
+    frames = [rng.integers(0, 4, size=(6, 6), dtype=np.uint8) for _ in range(2)]
+    buf = codecs.encode_gif(frames, _GIF_PAL)
+    assert codecs.sniff(buf) == "gif"
+    m = codecs.decode_media(buf)
+    assert (m["kind"], m["width"], m["height"], m["channels"]) == ("gif", 6, 6, 3)
+    assert m["n_samples"] == 2 * 6 * 6 * 3
+    exp = sum(int(_GIF_PAL[f].sum(dtype=np.int64)) for f in frames)
+    assert m["content_sum"] == exp
+
+
+def test_sample_media_frames_spark(spark):
+    """Real frame extraction: 3-frame GIF, every 2nd frame → frames 0, 2
+    re-encoded as PNG; a single-image container yields one frame."""
+    from dataforge_spark.multimodal import sample_media_frames
+
+    frames = [rng.integers(0, 4, size=(5, 4), dtype=np.uint8) for _ in range(3)]
+    gif = codecs.encode_gif(frames, _GIF_PAL)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(gif)), (1, bytearray(codecs.encode_png(img)))],
+        "doc_id long, payload binary",
+    )
+    got = {(r["id"], r["frame_idx"]): r
+           for r in sample_media_frames(df, every=2).collect()}
+    assert set(got) == {(0, 0), (0, 2), (1, 0)}
+    np.testing.assert_array_equal(
+        codecs.decode_png(bytes(got[(0, 0)]["payload"])), _GIF_PAL[frames[0]]
+    )
+    np.testing.assert_array_equal(
+        codecs.decode_png(bytes(got[(0, 2)]["payload"])), _GIF_PAL[frames[2]]
+    )
+    np.testing.assert_array_equal(
+        codecs.decode_png(bytes(got[(1, 0)]["payload"])), img
+    )
