@@ -1255,9 +1255,9 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       recomputes the same histogram from characters) — k=bucket, n=count;
     - ``frame``: every-4th 16-byte frame sample — k=frame_idx, n=0,
       s=frame hex;
-    - ``media`` (round 8; PNG round 9; all PNG variants round 10): REAL
-      container decode — each doc_id gets a genuine encoded payload by
-      ``doc_id mod 7``:
+    - ``media`` (round 8; PNG round 9; all PNG variants + GIF round
+      10): REAL container decode — each doc_id gets a genuine encoded
+      payload by ``doc_id mod 8``:
         0: 8×4 24-bit BMP, pixel bytes ``(doc_id + j) % 256``;
         1: mono 16-bit 8 kHz WAV, samples ``((doc_id*7 + j*13) % 65536)
            - 32768``;
@@ -1270,7 +1270,11 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            (265/275/510/279);
         6: 4×4 16-bit grayscale Adam7-INTERLACED PNG, samples
            ``(doc_id*3 + j*257) % 65536`` — exercises the round-10
-           deep-pixel + interlace decode in the oracle row.
+           deep-pixel + interlace decode in the oracle row;
+        7: THREE-frame 4×4 GIF (LZW, lossless), frame ``f`` indices
+           ``(doc_id + f*16 + j) % 4`` over the fixed 4-color palette —
+           k sums all frames (CASE over per-index RGB totals
+           255/255/255/24), n = 3·4·4·3.
       All decoded by the pure-stdlib codecs (`dataforge_spark.codecs`);
       k = exact integer sum of the DECODED scalars (header/padding/
       compression excluded — only a real decode produces it), n =
@@ -1326,7 +1330,7 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for rid in ids:
             rid = int(rid)
-            v = rid % 7
+            v = rid % 8
             if v == 0:
                 px = ((rid + np.arange(96)) % 256).astype(np.uint8)
                 out.append(codecs.encode_bmp(px.reshape(4, 8, 3)))
@@ -1348,9 +1352,13 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx = ((rid + np.arange(25)) % 4).astype(np.uint8)
                 out.append(codecs.encode_png_palette(
                     idx.reshape(5, 5), pal, trns=bytes([10, 20])))
-            else:  # 16-bit grayscale, Adam7-interlaced
+            elif v == 6:  # 16-bit grayscale, Adam7-interlaced
                 px = ((rid * 3 + np.arange(16) * 257) % 65536).astype(np.uint16)
                 out.append(codecs.encode_png(px.reshape(4, 4, 1), interlace=True))
+            else:  # three-frame GIF (lossless LZW)
+                frames = [((rid + f * 16 + np.arange(16)) % 4)
+                          .astype(np.uint8).reshape(4, 4) for f in range(3)]
+                out.append(codecs.encode_gif(frames, pal))
         return pd.Series(out)
 
     media = media_meta(
@@ -1372,9 +1380,9 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (src = floor((out+0.5)·src_dim/4)), so DuckDB recomputes the whole
     # chain closed-form for every image variant; WAV (doc_id ≡ 1 mod 7)
     # is excluded — resize is an image operator.
-    from dataforge_spark.multimodal import resize_images
+    from dataforge_spark.multimodal import resize_images, sample_media_frames
 
-    imgs = docs.where(F.col("doc_id") % 7 != 1).select(
+    imgs = docs.where(F.col("doc_id") % 8 != 1).select(
         "doc_id", _synth_payload("doc_id").alias("payload")
     )
     resized = resize_images(imgs, 4, 4, method="nearest")
@@ -1390,9 +1398,29 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sample_rate").cast("string"),
         ).alias("s"),
     )
+
+    # vframes leg (round 10): REAL frame extraction — every 2nd frame of
+    # the 3-frame GIFs (frames 0 and 2), each re-encoded as PNG and
+    # decoded AGAIN; k = that frame's pixel sum, closed-form in DuckDB
+    # because GIF's LZW is lossless. The composite id (doc_id·4 +
+    # frame_idx) threads the frame ordinal through media_meta.
+    gifs = docs.where(F.col("doc_id") % 8 == 7).select(
+        "doc_id", _synth_payload("doc_id").alias("payload")
+    )
+    vf = sample_media_frames(gifs, every=2)
+    vleg = media_meta(
+        vf.select((F.col("id") * 4 + F.col("frame_idx")).alias("cid"), "payload"),
+        id_col="cid",
+    ).select(
+        F.lit("vframes").alias("op"),
+        F.floor(F.col("id") / 4).cast("bigint").alias("doc_id"),
+        F.col("content_sum").alias("k"),
+        F.col("n_samples").alias("n"),
+        F.concat(F.lit("f"), (F.col("id") % 4).cast("string")).alias("s"),
+    )
     return (
         meta.unionByName(feat).unionByName(frames).unionByName(media)
-        .unionByName(rz)
+        .unionByName(rz).unionByName(vleg)
     )
 
 
@@ -2581,31 +2609,31 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
                  CAST(96 AS BIGINT) AS n, 'bmp:8x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 95)) AS u(j)
-          WHERE d.doc_id % 7 = 0 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 0 GROUP BY d.doc_id
           UNION ALL
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum(((d.doc_id * 7 + u.j * 13) % 65536) - 32768) AS BIGINT) AS k,
                  CAST(32 AS BIGINT) AS n, 'wav:0x0@8000' AS s
           FROM documents d, UNNEST(generate_series(0, 31)) AS u(j)
-          WHERE d.doc_id % 7 = 1 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 1 GROUP BY d.doc_id
           UNION ALL
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
                  CAST(96 AS BIGINT) AS n, 'png:6x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 95)) AS u(j)
-          WHERE d.doc_id % 7 = 2 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 2 GROUP BY d.doc_id
           UNION ALL
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
                  CAST(24 AS BIGINT) AS n, 'png:8x3@0' AS s
           FROM documents d, UNNEST(generate_series(0, 23)) AS u(j)
-          WHERE d.doc_id % 7 = 3 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 3 GROUP BY d.doc_id
           UNION ALL
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum((d.doc_id + u.j) % 256) AS BIGINT) AS k,
                  CAST(40 AS BIGINT) AS n, 'png:5x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 39)) AS u(j)
-          WHERE d.doc_id % 7 = 4 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 4 GROUP BY d.doc_id
           UNION ALL
           -- palette lookup: per-index RGBA scalar totals
           -- idx0=(255,0,0,a10)=265  idx1=(0,255,0,a20)=275
@@ -2616,13 +2644,24 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 2 THEN 510 ELSE 279 END) AS BIGINT) AS k,
                  CAST(100 AS BIGINT) AS n, 'png:5x5@0' AS s
           FROM documents d, UNNEST(generate_series(0, 24)) AS u(j)
-          WHERE d.doc_id % 7 = 5 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 5 GROUP BY d.doc_id
           UNION ALL
           SELECT 'media' AS op, d.doc_id,
                  CAST(sum((d.doc_id * 3 + u.j * 257) % 65536) AS BIGINT) AS k,
                  CAST(16 AS BIGINT) AS n, 'png:4x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 15)) AS u(j)
-          WHERE d.doc_id % 7 = 6 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 6 GROUP BY d.doc_id
+          UNION ALL
+          -- v7: three-frame GIF — lossless LZW, so the decoded sum over
+          -- ALL frames is the palette CASE-sum (RGB totals 255/255/255/24)
+          SELECT 'media' AS op, d.doc_id,
+                 CAST(sum(CASE (d.doc_id + ff.i * 16 + u.j) % 4
+                          WHEN 0 THEN 255 WHEN 1 THEN 255
+                          WHEN 2 THEN 255 ELSE 24 END) AS BIGINT) AS k,
+                 CAST(144 AS BIGINT) AS n, 'gif:4x4@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 2)) AS ff(i),
+               UNNEST(generate_series(0, 15)) AS u(j)
+          WHERE d.doc_id % 8 = 7 GROUP BY d.doc_id
         ),
         -- resize leg (r10): 4x4 NEAREST resize of every image variant,
         -- recomputed closed-form: src index = floor((out+0.5)*src/4).
@@ -2637,7 +2676,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(48 AS BIGINT) AS n, 'png:4x4@0' AS s
           FROM documents d, g4 yy, g4 xx,
                UNNEST(generate_series(0, 2)) AS cc(i)
-          WHERE d.doc_id % 7 = 0 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 0 GROUP BY d.doc_id
           UNION ALL
           -- v2: RGBA PNG 4x6x4 -> sy=i, sx=floor((jx+0.5)*1.5)
           SELECT 'resize' AS op, d.doc_id,
@@ -2647,7 +2686,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(64 AS BIGINT) AS n, 'png:4x4@0' AS s
           FROM documents d, g4 yy, g4 xx,
                UNNEST(generate_series(0, 3)) AS cc(i)
-          WHERE d.doc_id % 7 = 2 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 2 GROUP BY d.doc_id
           UNION ALL
           -- v3: gray 3x8 -> sy=floor((i+0.5)*0.75), sx=2*jx+1
           SELECT 'resize' AS op, d.doc_id,
@@ -2656,7 +2695,7 @@ def oracle_sql() -> dict[str, str]:
                            + 2 * xx.i + 1) % 256) AS BIGINT) AS k,
                  CAST(16 AS BIGINT) AS n, 'png:4x4@0' AS s
           FROM documents d, g4 yy, g4 xx
-          WHERE d.doc_id % 7 = 3 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 3 GROUP BY d.doc_id
           UNION ALL
           -- v4: gray+alpha 4x5x2 -> sy=i, sx=floor((jx+0.5)*1.25)
           SELECT 'resize' AS op, d.doc_id,
@@ -2666,7 +2705,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(32 AS BIGINT) AS n, 'png:4x4@0' AS s
           FROM documents d, g4 yy, g4 xx,
                UNNEST(generate_series(0, 1)) AS cc(i)
-          WHERE d.doc_id % 7 = 4 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 4 GROUP BY d.doc_id
           UNION ALL
           -- v5: palette 5x5 -> RGBA; sy=sx=floor((t+0.5)*1.25);
           -- per-index RGBA totals as in the media leg
@@ -2678,18 +2717,40 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 2 THEN 510 ELSE 279 END) AS BIGINT) AS k,
                  CAST(64 AS BIGINT) AS n, 'png:4x4@0' AS s
           FROM documents d, g4 yy, g4 xx
-          WHERE d.doc_id % 7 = 5 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 5 GROUP BY d.doc_id
           UNION ALL
           -- v6: 16-bit gray 4x4 -> identity resize, uint16 preserved
           SELECT 'resize' AS op, d.doc_id,
                  CAST(sum((d.doc_id * 3 + u.j * 257) % 65536) AS BIGINT) AS k,
                  CAST(16 AS BIGINT) AS n, 'png:4x4@0' AS s
           FROM documents d, UNNEST(generate_series(0, 15)) AS u(j)
-          WHERE d.doc_id % 7 = 6 GROUP BY d.doc_id
+          WHERE d.doc_id % 8 = 6 GROUP BY d.doc_id
+          UNION ALL
+          -- v7: GIF -> resize uses frame 0 (identity 4x4), RGB lookup
+          SELECT 'resize' AS op, d.doc_id,
+                 CAST(sum(CASE (d.doc_id + u.j) % 4
+                          WHEN 0 THEN 255 WHEN 1 THEN 255
+                          WHEN 2 THEN 255 ELSE 24 END) AS BIGINT) AS k,
+                 CAST(48 AS BIGINT) AS n, 'png:4x4@0' AS s
+          FROM documents d, UNNEST(generate_series(0, 15)) AS u(j)
+          WHERE d.doc_id % 8 = 7 GROUP BY d.doc_id
+        ),
+        -- vframes (r10): every 2nd frame of the 3-frame GIFs (f = 0, 2),
+        -- per-frame pixel sums — real frame extraction, oracle-checked
+        vframes AS (
+          SELECT 'vframes' AS op, d.doc_id,
+                 CAST(sum(CASE (d.doc_id + ff.i * 16 + u.j) % 4
+                          WHEN 0 THEN 255 WHEN 1 THEN 255
+                          WHEN 2 THEN 255 ELSE 24 END) AS BIGINT) AS k,
+                 CAST(48 AS BIGINT) AS n,
+                 'f' || CAST(ff.i AS VARCHAR) AS s
+          FROM documents d, UNNEST(generate_series(0, 2, 2)) AS ff(i),
+               UNNEST(generate_series(0, 15)) AS u(j)
+          WHERE d.doc_id % 8 = 7 GROUP BY d.doc_id, ff.i
         )
         SELECT * FROM meta UNION ALL SELECT * FROM feat
         UNION ALL SELECT * FROM frame UNION ALL SELECT * FROM media
-        UNION ALL SELECT * FROM rz
+        UNION ALL SELECT * FROM rz UNION ALL SELECT * FROM vframes
     """
 
     sql["stream_dedup_profile"] = """
