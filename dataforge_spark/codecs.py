@@ -724,6 +724,11 @@ def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
 
 def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol."""
+    if sum(bits) > len(vals):
+        raise ValueError(
+            f"malformed JPEG DHT: bit counts claim {sum(bits)} symbols, "
+            f"{len(vals)} present"
+        )
     out: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -1075,7 +1080,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows the segment
+            if not body:
+                raise ValueError("malformed JPEG SOS segment (empty)")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError(
+                    f"malformed JPEG SOS segment ({len(body)} bytes for "
+                    f"{ns} components)"
+                )
             sel = []
             for i in range(ns):
                 cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
@@ -1381,9 +1393,13 @@ def decode_gif(buf: bytes):
             label = buf[pos]
             pos += 1
             if label == 0xF9:  # graphic control
+                if pos >= len(buf):
+                    raise ValueError("truncated GIF extension")
                 size = buf[pos]
                 gce = buf[pos + 1 : pos + 1 + size]
                 pos += 1 + size
+                if size < 4 or len(gce) < 4 or pos >= len(buf):
+                    raise ValueError("malformed GIF graphic control extension")
                 disposal = (gce[0] >> 2) & 0x07
                 delay = struct.unpack_from("<H", gce, 1)[0]
                 transparent = gce[3] if gce[0] & 0x01 else None
@@ -1403,6 +1419,8 @@ def decode_gif(buf: bytes):
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block {b0:#04x}")
         # image descriptor
+        if pos + 9 > len(buf):
+            raise ValueError("truncated GIF image descriptor")
         left, top, iw, ih = struct.unpack_from("<HHHH", buf, pos)
         ipacked = buf[pos + 8]
         pos += 9
@@ -1416,6 +1434,8 @@ def decode_gif(buf: bytes):
             pos += n * 3
         if lct is None:
             raise ValueError("GIF image with no color table")
+        if pos >= len(buf):
+            raise ValueError("truncated GIF image data")
         min_code = buf[pos]
         pos += 1
         data = bytearray()
