@@ -127,6 +127,9 @@ def _encode_value(typ: str, v: Any) -> bytes:
 def _decode_value(typ: str, buf: bytes, pos: int) -> tuple[Any, int]:
     if typ == "null":
         return None, pos
+    need = {"boolean": 1, "float": 4, "double": 8}.get(typ)
+    if need is not None and pos + need > len(buf):
+        raise ValueError(f"truncated Avro {typ} value")
     if typ == "boolean":
         return buf[pos] == 1, pos + 1
     if typ in ("int", "long"):
@@ -149,6 +152,12 @@ def _decode_value(typ: str, buf: bytes, pos: int) -> tuple[Any, int]:
 
 def _field_spec(avro_field: dict) -> tuple[str, str, bool, bool]:
     """(name, primitive type, nullable, is_timestamp_micros)."""
+    if (
+        not isinstance(avro_field, dict)
+        or "name" not in avro_field
+        or "type" not in avro_field
+    ):
+        raise ValueError(f"malformed Avro field spec {avro_field!r}")
     name = avro_field["name"]
     ft = avro_field["type"]
     nullable = False
@@ -194,15 +203,30 @@ def avro_schema_of(df: DataFrame, name: str = "row") -> str:
     )
 
 
-def spark_schema_of(avro_json: str) -> T.StructType:
-    """The Spark schema for a flat Avro record schema (JSON)."""
-    sch = json.loads(avro_json)
+def _parse_record_schema(avro_json: str) -> list:
+    """Validated field list of a top-level record schema — untrusted
+    input, so malformed JSON / non-object / missing fields raise
+    ValueError rather than json or Key/Type errors."""
+    try:
+        sch = json.loads(avro_json)
+    except ValueError as e:
+        raise ValueError(f"malformed Avro schema JSON: {e}") from None
+    if not isinstance(sch, dict):
+        raise ValueError("malformed Avro schema (not a JSON object)")
     if sch.get("type") != "record":
         raise NotImplementedError(
             f"only top-level record schemas supported, got {sch.get('type')!r}"
         )
+    fields = sch.get("fields")
+    if not isinstance(fields, list):
+        raise ValueError("malformed Avro record schema (no fields list)")
+    return fields
+
+
+def spark_schema_of(avro_json: str) -> T.StructType:
+    """The Spark schema for a flat Avro record schema (JSON)."""
     out = []
-    for f in sch["fields"]:
+    for f in _parse_record_schema(avro_json):
         name, ft, nullable, is_ts = _field_spec(f)
         st = T.TimestampType() if is_ts else _AVRO_TO_SPARK[ft]
         out.append(T.StructField(name, st, nullable))
@@ -292,6 +316,15 @@ def _decode_ocf(buf: bytes):
     """Parse one OCF byte string → (avro_schema_json, list of row dicts)."""
     if buf[:4] != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
+
+    def read_len(pos: int, what: str) -> tuple[int, int]:
+        # a NEGATIVE length would walk `pos` backwards and loop forever
+        # on crafted input (found by the round-10 fuzz sweep)
+        n, pos = _zigzag_decode(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError(f"malformed Avro {what} length {n}")
+        return n, pos
+
     pos = 4
     meta: dict[str, bytes] = {}
     while True:
@@ -302,10 +335,10 @@ def _decode_ocf(buf: bytes):
             n = -n
             _, pos = _zigzag_decode(buf, pos)
         for _ in range(n):
-            kl, pos = _zigzag_decode(buf, pos)
-            k = buf[pos : pos + kl].decode()
+            kl, pos = read_len(pos, "metadata key")
+            k = buf[pos : pos + kl].decode(errors="replace")
             pos += kl
-            vl, pos = _zigzag_decode(buf, pos)
+            vl, pos = read_len(pos, "metadata value")
             meta[k] = bytes(buf[pos : pos + vl])
             pos += vl
     if "avro.schema" not in meta:
@@ -316,12 +349,7 @@ def _decode_ocf(buf: bytes):
         raise NotImplementedError(f"unsupported Avro codec {codec!r}")
     sync = buf[pos : pos + 16]
     pos += 16
-    sch = json.loads(avro_json)
-    if sch.get("type") != "record":
-        raise NotImplementedError(
-            f"only top-level record schemas supported, got {sch.get('type')!r}"
-        )
-    specs = [_field_spec(f) for f in sch["fields"]]
+    specs = [_field_spec(f) for f in _parse_record_schema(avro_json)]
     rows: list[dict] = []
     while pos < len(buf):
         n, pos = _zigzag_decode(buf, pos)
@@ -334,7 +362,10 @@ def _decode_ocf(buf: bytes):
             raise ValueError("Avro block sync-marker mismatch (corrupt file)")
         pos += 16
         if codec == "deflate":
-            payload = zlib.decompressobj(-15).decompress(payload)
+            try:
+                payload = zlib.decompressobj(-15).decompress(payload)
+            except zlib.error as e:
+                raise ValueError(f"corrupt Avro deflate block: {e}") from None
         bp = 0
         for _ in range(n):
             row = {}

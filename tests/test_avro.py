@@ -175,3 +175,47 @@ def test_avro_cli_e2e(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     prof = json.loads(r2.stdout)
     assert prof["shape"]["rows"] == 3  # one duplicate dropped
+
+
+def test_avro_fuzz_contract():
+    """Untrusted-input contract: _decode_ocf raises only ValueError /
+    NotImplementedError on malformed bytes — and TERMINATES. The
+    round-10 fuzz sweep found a genuine non-termination class (negative
+    varint lengths walking the cursor backwards through the metadata
+    map), plus Key/Index/zlib.error leaks via mutated-but-valid-JSON
+    schemas, truncated fixed-width values and corrupt deflate blocks;
+    all fixed, this pins them (seeded, 300 mutations per codec)."""
+    import numpy as np
+
+    from dataforge_spark.avro import _encode_ocf
+
+    specs = [("a", "long", False, False), ("b", "string", True, False),
+             ("c", "double", False, False), ("e", "boolean", False, False)]
+    schema = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": "long"},
+                   {"name": "b", "type": ["null", "string"]},
+                   {"name": "c", "type": "double"},
+                   {"name": "e", "type": "boolean"}],
+    })
+    rows = [{"a": i, "b": None if i % 3 == 0 else f"s{i}", "c": i * 1.5,
+             "e": bool(i % 2)} for i in range(20)]
+    r = np.random.default_rng(7)
+    for codec in ("null", "deflate"):
+        seed = _encode_ocf(rows, specs, schema, codec)
+        for _ in range(300):
+            m = bytearray(seed)
+            for _ in range(r.integers(1, 4)):
+                op = r.integers(0, 3)
+                if op == 0 and len(m) > 1:
+                    m[r.integers(0, len(m))] = r.integers(0, 256)
+                elif op == 1 and len(m) > 4:
+                    m = m[: r.integers(1, len(m))]
+                else:
+                    i = r.integers(0, len(m))
+                    m[i:i] = bytes(r.integers(0, 256, size=r.integers(1, 5),
+                                              dtype=np.uint8).tolist())
+            try:
+                _decode_ocf(bytes(m))
+            except (ValueError, NotImplementedError):
+                pass  # the contract
