@@ -1128,13 +1128,33 @@ def q_sim_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed sliding-window aggregation (streaming.sliding_counts): 1 h
-    windows sliding every 30 min per event_type over the events STREAM —
-    each event lands in two overlapping windows, maintained by the
-    streaming state store behind a 2 h watermark. Drained with a
-    complete-mode memory sink (aggregate streams can't append until the
-    watermark closes a window)."""
-    from dataforge_spark.streaming import run_aggregate_to_memory, sliding_counts
+    """Two windowed streaming operators as one tagged union over
+    (op, s, k, n, v) — round 10 widened the r5 sliding-window row with
+    the stream-stream join class:
+
+    - ``wagg``: keyed sliding-window aggregation
+      (streaming.sliding_counts): 1 h windows sliding every 30 min per
+      event_type — each event lands in two overlapping windows,
+      maintained by the streaming state store behind a 2 h watermark;
+      complete-mode memory sink (aggregate streams can't append until
+      the watermark closes a window). s = window start, k = event_type,
+      n = count, v = value sum.
+    - ``sjoin`` (round 10): watermarked STREAM-STREAM interval join
+      (streaming.interval_join_stream) — the attribution shape:
+      'impressions' (event_id ≡ 0 mod 10) inner-joined to 'clicks'
+      (≡ 5 mod 10) of the same user whose click time falls within
+      [imp_ts, imp_ts + 30 min]; two independent file-source streams
+      over the same input (a streaming self-join), pairs drained
+      through the production parquet sink, then summarized per user:
+      k = user_id, n = pair count, v = click-value sum. Both sides'
+      join state is bounded by watermark + interval — the property
+      that matters on unbounded input."""
+    from dataforge_spark.streaming import (
+        interval_join_stream,
+        run_aggregate_to_memory,
+        run_to_parquet_df,
+        sliding_counts,
+    )
 
     _utc(spark)
     ev = _events(spark, sf_dir)
@@ -1143,12 +1163,33 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sliding_counts(stream, ts_col="ts", key_col="event_type",
                          window="1 hour", slide="30 minutes", watermark="2 hours")
     got = run_aggregate_to_memory(agg)
-    return got.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
-        "event_type",
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.round("sum_value", 4).alias("sum_value"),
+    wagg = got.select(
+        F.lit("wagg").alias("op"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+        F.col("event_type").alias("k"),
+        F.col("n_events").cast("bigint").alias("n"),
+        F.round("sum_value", 4).alias("v"),
     )
+
+    imp = read_events_stream(spark, path, ev.schema).where(
+        F.col("event_id") % 10 == 0
+    ).select(F.col("user_id").alias("i_user"), F.col("ts").alias("i_ts"))
+    clk = read_events_stream(spark, path, ev.schema).where(
+        F.col("event_id") % 10 == 5
+    ).select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value")
+    pairs = interval_join_stream(
+        imp, clk, "i_user", "c_user", "i_ts", "c_ts",
+        upper="30 minutes", watermark="2 hours",
+    )
+    joined = run_to_parquet_df(pairs)
+    sjoin = joined.groupBy("i_user").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("v"),
+    ).select(
+        F.lit("sjoin").alias("op"), F.lit("").alias("s"),
+        F.col("i_user").cast("string").alias("k"), "n", "v",
+    )
+    return wagg.unionByName(sjoin)
 
 
 def q_o4_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2915,10 +2956,23 @@ def oracle_sql() -> dict[str, str]:
                             - k*1800) * 1000000) AS w_start
           FROM events, UNNEST([0, 1]) AS u(k)
         )
-        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
-          event_type, count(*) AS n_events,
-          round(sum(value), 4) AS sum_value
-        FROM wins GROUP BY 1, 2
+        SELECT 'wagg' AS op,
+          strftime(w_start, '%Y-%m-%d %H:%M:%S') AS s,
+          event_type AS k, count(*) AS n,
+          round(sum(value), 4) AS v
+        FROM wins GROUP BY 1, 2, 3
+        UNION ALL
+        -- r10 sjoin leg: batch recomputation of the watermarked
+        -- stream-stream interval join (inner, same user, click within
+        -- [imp_ts, imp_ts + 30 min]), summarized per user
+        SELECT 'sjoin' AS op, '' AS s,
+          CAST(i.user_id AS VARCHAR) AS k, count(*) AS n,
+          round(sum(c.value), 4) AS v
+        FROM (SELECT user_id, ts FROM events WHERE event_id % 10 = 0) i
+        JOIN (SELECT user_id, ts, value FROM events WHERE event_id % 10 = 5) c
+          ON c.user_id = i.user_id
+         AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
+        GROUP BY i.user_id
     """
 
     # Deterministic model output (seeded RNG + sorted fit values → the

@@ -288,6 +288,47 @@ def sessionize_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    lower: str = "0 seconds",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (round 10) — the
+    enrichment/attribution shape (clicks joined to the impressions they
+    follow within a bound): ``right.right_ts ∈ [left.left_ts + lower,
+    left.left_ts + upper]`` per key. Both sides carry watermarks, so
+    Spark buffers join state only inside watermark + interval bounds —
+    bounded state on unbounded streams, the property that makes this
+    viable at 100 TB/day (each side shuffles once on its key; matching
+    is local to the key partition).
+
+    Works identically on BATCH frames (the watermark is a no-op there).
+    Callers must give the two sides DISTINCT column names (rename before
+    calling) — required for streaming self-joins, where same-lineage
+    attribute references are ambiguous."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"interval_join_stream requires distinct column names on the "
+            f"two sides; shared: {sorted(overlap)}"
+        )
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(f"interval {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {upper}"))
+    )
+    return l.join(r, cond, how)
+
+
 def sessionize_native(
     events: DataFrame,
     user_col: str = "user_id",

@@ -625,3 +625,51 @@ def test_sessionize_stream_event_time_eviction(spark, tmp_path):
             spark.readStream.schema("user_id bigint, ts timestamp").parquet(src),
             gap_minutes=30, evict_after_minutes=10,
         )
+
+
+def test_interval_join_stream_differential(spark, tmp_path):
+    """Round 10: the watermarked stream-stream interval join must equal
+    the same join run as a plain BATCH join (the operator is a no-op
+    wrapper there) — pair-for-pair, on a synthetic corpus dense enough
+    to guarantee in-window matches AND out-of-window non-matches."""
+    import pandas as _pd
+
+    from dataforge_spark.streaming import interval_join_stream, run_to_parquet_df
+
+    t0 = _pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    for eid in range(400):  # 10 users, one event every 7 minutes each
+        rows.append((eid, eid % 10, t0 + _pd.Timedelta(minutes=7 * (eid // 10)),
+                     float(eid % 13)))
+    ev = spark.createDataFrame(
+        _pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    )
+
+    def legs(src):
+        imp = src.where(F.col("event_id") % 4 == 0).select(
+            F.col("user_id").alias("i_user"), F.col("ts").alias("i_ts"))
+        clk = src.where(F.col("event_id") % 4 == 2).select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), "value")
+        return imp, clk
+
+    path = str(tmp_path / "sj_in")
+    ev.coalesce(2).write.mode("overwrite").parquet(path)
+    s_imp, _ = legs(spark.readStream.schema(ev.schema).parquet(path))
+    _, s_clk = legs(spark.readStream.schema(ev.schema).parquet(path))
+    streamed = run_to_parquet_df(interval_join_stream(
+        s_imp, s_clk, "i_user", "c_user", "i_ts", "c_ts",
+        upper="30 minutes", watermark="2 hours"))
+    b_imp, b_clk = legs(ev)
+    batch = interval_join_stream(
+        b_imp, b_clk, "i_user", "c_user", "i_ts", "c_ts", upper="30 minutes")
+    key = lambda r: (r["i_user"], r["i_ts"], r["c_ts"], r["value"])  # noqa: E731
+    got = sorted(map(key, streamed.collect()))
+    exp = sorted(map(key, batch.collect()))
+    assert got == exp and len(exp) > 0
+    # the interval bound really binds: the unwindowed join is bigger
+    assert len(exp) < b_imp.join(
+        b_clk, F.col("i_user") == F.col("c_user")).count()
+
+    with pytest.raises(ValueError, match="distinct column names"):
+        interval_join_stream(b_imp, b_imp, "i_user", "i_user",
+                             "i_ts", "i_ts", upper="1 hour")

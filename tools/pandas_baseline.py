@@ -537,7 +537,7 @@ def b_dedup_spans():
 
 def b_stream_window_agg():
     # sliding 1h/30min keyed window counts: two-shift expansion
-    ev = load("events")[["ts", "event_type", "value"]]
+    ev = load("events")[["event_id", "ts", "user_id", "event_type", "value"]]
     # normalize to epoch seconds regardless of the loaded datetime unit
     sec = ev["ts"].astype("datetime64[us]").astype("int64") // 10**6
     grid = (sec // 1800) * 1800
@@ -547,7 +547,15 @@ def b_stream_window_agg():
     agg = both.groupby(["ws", "event_type"]).agg(
         n=("value", "size"), sv=("value", "sum")
     )
-    return agg.shape
+    # sjoin leg (r10, mirrors the widened Spark row): impressions x
+    # clicks per user within [imp_ts, imp_ts + 30 min], per-user summary
+    imp = ev.loc[ev["event_id"] % 10 == 0, ["user_id", "ts"]]
+    clk = ev.loc[ev["event_id"] % 10 == 5, ["user_id", "ts", "value"]]
+    m = imp.merge(clk, on="user_id", suffixes=("_i", "_c"))
+    m = m[(m["ts_c"] >= m["ts_i"])
+          & (m["ts_c"] <= m["ts_i"] + pd.Timedelta(minutes=30))]
+    sj = m.groupby("user_id").agg(n=("value", "size"), v=("value", "sum"))
+    return (agg.shape, sj.shape)
 
 
 def b_o4_isolation_forest():
