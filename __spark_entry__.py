@@ -1171,6 +1171,25 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 4).alias("v"),
     )
 
+    return wagg.unionByName(_stream_sjoin_leg(spark, sf_dir))
+
+
+def _stream_sjoin_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sjoin leg of q_stream_window_agg (also benched standalone as
+    ``stream_sjoin``). A stream-stream join maintains FOUR state stores
+    per shuffle partition per side, and every micro-batch commits all
+    of them — at this gate's scale (60k rows/side) that flat
+    per-partition commit cost dominates (A/B at sf0.1: 32 → 8 → 4
+    partitions = 7.2 → 2.7 → 2.1 s), so the leg pins the state
+    partitioning to 8 for the drain (captured/restored around the query
+    start). At 100 TB the same knob goes the OTHER way: state-partition
+    count should track state volume, exactly like the sessionizer's
+    (more partitions = more parallel state work once data dominates)."""
+    from dataforge_spark.streaming import interval_join_stream, run_to_parquet_df
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    path = _stream_input_path(spark, sf_dir, "ev", lambda: ev)
     imp = read_events_stream(spark, path, ev.schema).where(
         F.col("event_id") % 10 == 0
     ).select(F.col("user_id").alias("i_user"), F.col("ts").alias("i_ts"))
@@ -1181,15 +1200,43 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         imp, clk, "i_user", "c_user", "i_ts", "c_ts",
         upper="30 minutes", watermark="2 hours",
     )
-    joined = run_to_parquet_df(pairs)
-    sjoin = joined.groupBy("i_user").agg(
+    # capture WITHOUT a default and restore unconditionally — conf.get
+    # with a default returns the default, not the session value, and a
+    # guarded restore leaks the override into the shared session
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        joined = run_to_parquet_df(pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+    return joined.groupBy("i_user").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("v"),
     ).select(
         F.lit("sjoin").alias("op"), F.lit("").alias("s"),
         F.col("i_user").cast("string").alias("k"), "n", "v",
     )
-    return wagg.unionByName(sjoin)
+
+
+def q_stream_sjoin_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the stream-stream join leg alone — benched as its own
+    row (`stream_sjoin`) so the r1-r9 `stream_window_agg` bench history
+    stays 1:1 comparable (that name keeps timing only the wagg leg)."""
+    return _stream_sjoin_leg(spark, sf_dir)
+
+
+def q_stream_wagg_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the sliding-window aggregation leg alone — the
+    pre-r10 meaning of the `stream_window_agg` bench row."""
+    from dataforge_spark.streaming import run_aggregate_to_memory, sliding_counts
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    path = _stream_input_path(spark, sf_dir, "ev", lambda: ev)
+    stream = read_events_stream(spark, path, ev.schema)
+    agg = sliding_counts(stream, ts_col="ts", key_col="event_type",
+                         window="1 hour", slide="30 minutes", watermark="2 hours")
+    return run_aggregate_to_memory(agg)
 
 
 def q_o4_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:

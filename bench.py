@@ -82,10 +82,16 @@ BENCH_QUERIES = [
     "curation_split",
     "curation_contamination",
     "curation_pack",
-    # round-4/5 driver rows
+    # round-4/5 driver rows. r10: the registry row widened into a
+    # (wagg + sjoin) union, but the BENCH name keeps timing only the
+    # wagg leg (r1-r9 1:1 comparability); the stream-stream join is its
+    # own row below.
     "stream_window_agg",
     "o4_isolation_forest",
     "sim_ivf_disk_topk",
+    # r10: watermarked stream-stream interval join (impressions×clicks),
+    # drained through the production parquet sink
+    "stream_sjoin",
 ]
 
 
@@ -366,6 +372,9 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
     # registry union row stream_sessionize stays for the fold check
     qs["stream_sessionize_native"] = entry.q_stream_sessionize_native
     qs["stream_sessionize_stateful"] = entry.q_stream_sessionize_stateful
+    # r10: wagg/sjoin legs timed separately (union row stays for folds)
+    qs["stream_window_agg"] = entry.q_stream_wagg_only
+    qs["stream_sjoin"] = entry.q_stream_sjoin_only
     # prewarm the sf1 read paths + stream input copies
     entry._events(spark, sf1_dir).write.format("noop").mode("overwrite").save()
     entry.prewarm_stream_inputs(spark, sf1_dir)
@@ -500,7 +509,8 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
     # (data-proportional) part is the recorded row minus that constant
     if stream_overhead_sec is not None:
         out["stream_overhead_sec"] = stream_overhead_sec
-        for row in ("stream_sessionize_stateful", "stream_window_agg"):
+        for row in ("stream_sessionize_stateful", "stream_window_agg",
+                    "stream_sjoin"):
             if row in spark_sec:
                 # raw SIGNED value (VERDICT r9 nit 7): a negative number
                 # means the flat overhead estimate exceeded the measured
@@ -701,6 +711,9 @@ def main() -> None:
     # BENCH_QUERIES comment); registry union row stays for correctness
     qs["stream_sessionize_native"] = entry.q_stream_sessionize_native
     qs["stream_sessionize_stateful"] = entry.q_stream_sessionize_stateful
+    # r10: wagg/sjoin legs timed separately (union row stays for the gate)
+    qs["stream_window_agg"] = entry.q_stream_wagg_only
+    qs["stream_sjoin"] = entry.q_stream_sjoin_only
 
     # JIT pre-compilation: run every headline query once at sf0.001 (tiny
     # data, the SAME plan shapes) before the clock starts. The text rows

@@ -537,7 +537,7 @@ def b_dedup_spans():
 
 def b_stream_window_agg():
     # sliding 1h/30min keyed window counts: two-shift expansion
-    ev = load("events")[["event_id", "ts", "user_id", "event_type", "value"]]
+    ev = load("events")[["ts", "event_type", "value"]]
     # normalize to epoch seconds regardless of the loaded datetime unit
     sec = ev["ts"].astype("datetime64[us]").astype("int64") // 10**6
     grid = (sec // 1800) * 1800
@@ -547,15 +547,20 @@ def b_stream_window_agg():
     agg = both.groupby(["ws", "event_type"]).agg(
         n=("value", "size"), sv=("value", "sum")
     )
-    # sjoin leg (r10, mirrors the widened Spark row): impressions x
+    return agg.shape
+
+
+def b_stream_sjoin():
+    # r10 twin of the stream-stream interval join row: impressions x
     # clicks per user within [imp_ts, imp_ts + 30 min], per-user summary
+    ev = load("events")[["event_id", "ts", "user_id", "value"]]
     imp = ev.loc[ev["event_id"] % 10 == 0, ["user_id", "ts"]]
     clk = ev.loc[ev["event_id"] % 10 == 5, ["user_id", "ts", "value"]]
     m = imp.merge(clk, on="user_id", suffixes=("_i", "_c"))
     m = m[(m["ts_c"] >= m["ts_i"])
           & (m["ts_c"] <= m["ts_i"] + pd.Timedelta(minutes=30))]
     sj = m.groupby("user_id").agg(n=("value", "size"), v=("value", "sum"))
-    return (agg.shape, sj.shape)
+    return sj.shape
 
 
 def b_o4_isolation_forest():
@@ -628,6 +633,7 @@ BENCHES = {
     "stream_sessionize_native": b_sessionize_native,
     "stream_sessionize_stateful": b_sessionize,
     "stream_window_agg": b_stream_window_agg,
+    "stream_sjoin": b_stream_sjoin,
     "pipeline_e2e": b_pipeline_e2e,
     "join_asof": b_join_asof,
     "join_range": b_join_range,
