@@ -219,3 +219,58 @@ def test_avro_fuzz_contract():
                 _decode_ocf(bytes(m))
             except (ValueError, NotImplementedError):
                 pass  # the contract
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_avro_wire_roundtrip_property(data):
+    """Property: any flat record of supported primitives (with random
+    nullability and values, both codecs) survives _encode_ocf →
+    _decode_ocf bit-exactly — pure wire-format check, no Spark."""
+    from dataforge_spark.avro import _decode_ocf, _encode_ocf
+
+    types = {
+        "long": st.integers(-(2**63), 2**63 - 1),
+        "int": st.integers(-(2**31), 2**31 - 1),
+        "double": st.floats(allow_nan=False, width=64),
+        "float": st.floats(allow_nan=False, width=32),
+        "boolean": st.booleans(),
+        "string": st.text(max_size=20),
+        "bytes": st.binary(max_size=20),
+    }
+    n_fields = data.draw(st.integers(1, 5))
+    specs = []
+    fields_json = []
+    for i in range(n_fields):
+        t = data.draw(st.sampled_from(sorted(types)))
+        nullable = data.draw(st.booleans())
+        specs.append((f"f{i}", t, nullable, False))
+        fields_json.append(
+            {"name": f"f{i}", "type": ["null", t] if nullable else t}
+        )
+    schema = json.dumps({"type": "record", "name": "r", "fields": fields_json})
+    n_rows = data.draw(st.integers(0, 8))
+    rows = []
+    for _ in range(n_rows):
+        row = {}
+        for name, t, nullable, _ in specs:
+            if nullable and data.draw(st.booleans()):
+                row[name] = None
+            else:
+                row[name] = data.draw(types[t])
+        rows.append(row)
+    codec = data.draw(st.sampled_from(["null", "deflate"]))
+    got_schema, got = _decode_ocf(_encode_ocf(rows, specs, schema, codec))
+    assert json.loads(got_schema) == json.loads(schema)
+    assert len(got) == len(rows)
+    for g, e in zip(got, rows):
+        for name, t, _n, _ts in specs:
+            if t == "float" and e[name] is not None:
+                import struct as _struct
+
+                assert g[name] == _struct.unpack("<f", _struct.pack("<f", e[name]))[0]
+            else:
+                assert g[name] == e[name], (name, t)
