@@ -452,14 +452,13 @@ def read_avro(
     expected = avro_schema
 
     def run(batches):
+        reader_specs = [_field_spec(f)
+                        for f in _parse_record_schema(expected)]
         for pdf in batches:
             for content in pdf["content"]:
                 got, rows = _decode_ocf(bytes(content))
                 if json.loads(got) != json.loads(expected):
-                    raise ValueError(
-                        "Avro schema mismatch across part files "
-                        f"(expected {expected}, found {got})"
-                    )
+                    rows = _resolve_rows(rows, got, reader_specs)
                 yield pd.DataFrame(rows, columns=cols)
 
     df = files.select("content").mapInPandas(run, schema=out_schema)
@@ -468,3 +467,56 @@ def read_avro(
 
         return with_row_id(df)
     return df
+
+
+# the spec's numeric promotion lattice (writer type -> allowed reader types)
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+}
+
+
+def _resolve_rows(rows: list[dict], writer_json: str, reader_specs) -> list[dict]:
+    """Reader-schema resolution per the Avro spec's evolution rules
+    (round 10): fields match by NAME; writer-only fields are dropped
+    (they were already decoded — container blocks cannot be skipped
+    field-wise); reader-only fields fill with null when the reader
+    declares them nullable (this module's stand-in for field defaults)
+    and raise otherwise; int→long→float→double promotions apply. Lets a
+    directory mix part files written under compatible schema versions —
+    the normal state of a long-lived dataset."""
+    writer = {}
+    for f in _parse_record_schema(writer_json):
+        name, ft, nullable, is_ts = _field_spec(f)
+        writer[name] = (ft, nullable, is_ts)
+    out = []
+    plan = []
+    for name, rt, r_nullable, r_ts in reader_specs:
+        w = writer.get(name)
+        if w is None:
+            if not r_nullable:
+                raise ValueError(
+                    f"Avro evolution: reader field {name!r} is non-nullable "
+                    f"and absent from a part file's writer schema"
+                )
+            plan.append((name, None))
+            continue
+        wt, _w_nullable, w_ts = w
+        if w_ts != r_ts or (wt != rt and rt not in _PROMOTIONS.get(wt, ())):
+            raise ValueError(
+                f"Avro evolution: field {name!r} written as {wt!r} cannot "
+                f"be read as {rt!r}"
+            )
+        caster = float if rt in ("float", "double") and wt != rt else None
+        plan.append((name, ("copy", caster)))
+    for row in rows:
+        o = {}
+        for name, action in plan:
+            if action is None:
+                o[name] = None
+            else:
+                v = row[name]
+                o[name] = action[1](v) if (action[1] and v is not None) else v
+        out.append(o)
+    return out

@@ -274,3 +274,50 @@ def test_avro_wire_roundtrip_property(data):
                 assert g[name] == _struct.unpack("<f", _struct.pack("<f", e[name]))[0]
             else:
                 assert g[name] == e[name], (name, t)
+
+
+def test_avro_schema_evolution_across_part_files(spark, tmp_path):
+    """Round 10: a directory mixing part files from compatible schema
+    versions reads under the newest (reader) schema — old files'
+    missing nullable column fills with NULL, int widens to long, and
+    writer-only columns are dropped; a non-nullable reader field absent
+    from a writer raises."""
+    import glob
+    import os
+    import shutil
+
+    v1 = spark.createDataFrame([(1, 10), (2, 20)], "a int, extra int")
+    v2 = spark.createDataFrame([(3, "x")], "a bigint, b string")
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "dataset")
+    write_avro(v1.coalesce(1), p1, codec="null")
+    write_avro(v2.coalesce(1), p2, codec="null")
+    shutil.copy(glob.glob(f"{p1}/part-*.avro")[0],
+                os.path.join(p2, "part-00009.avro"))
+
+    reader = json.dumps({
+        "type": "record", "name": "row",
+        "fields": [{"name": "a", "type": "long"},
+                   {"name": "b", "type": ["null", "string"]}],
+    })
+    got = sorted(
+        (r["a"], r["b"]) for r in read_avro(spark, p2, avro_schema=reader).collect()
+    )
+    assert got == [(1, None), (2, None), (3, "x")]
+
+    # non-nullable reader field absent from the v1 writer: loud failure
+    strict = json.dumps({
+        "type": "record", "name": "row",
+        "fields": [{"name": "a", "type": "long"},
+                   {"name": "b", "type": "string"}],
+    })
+    with pytest.raises(Exception, match="non-nullable"):
+        read_avro(spark, p2, avro_schema=strict).collect()
+
+    # incompatible change (long -> int narrowing) is rejected
+    narrow = json.dumps({
+        "type": "record", "name": "row",
+        "fields": [{"name": "a", "type": "int"},
+                   {"name": "b", "type": ["null", "string"]}],
+    })
+    with pytest.raises(Exception, match="cannot"):
+        read_avro(spark, p2, avro_schema=narrow).collect()
