@@ -940,6 +940,9 @@ def main() -> None:
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
+    # Keep the UNTRIMMED final-line dict in the detail file so nothing
+    # trimmed by the byte-budget enforcer below is ever lost.
+    detail["final_line_full"] = json.loads(json.dumps(out))
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh)
@@ -947,7 +950,66 @@ def main() -> None:
     except OSError as exc:
         out["detail_file_error"] = str(exc)
     print("BENCH_DETAIL " + json.dumps(detail), flush=True)
-    print(json.dumps(out), flush=True)
+    print(json.dumps(enforce_line_budget(out)), flush=True)
+
+
+# Drop order for the final-line byte budget: least essential first. The
+# driver captures only the last ~2 KB of stdout (VERDICT r10 nit 1 —
+# r10's line overflowed and the artifact recorded `parsed: null`), so
+# the final line is HARD-capped here: everything droppable already rides
+# in bench_detail.json ("final_line_full"), and the core contract keys
+# (metric/value/unit/queries/sf) plus the sf1 ratio are kept last.
+_LINE_DROP_ORDER: list[tuple[str, ...]] = [
+    ("recall",),
+    ("jsonl",),
+    ("crossover",),
+    ("calibration_sec",),
+    ("stream_setup_sec",),
+    ("stream_overhead_sec",),
+    ("stream_sessionize_stateful_steady_sec",),
+    ("stream_window_agg_steady_sec",),
+    ("ivf_index_build_sec",),
+    ("pq_index_build_sec",),
+    ("headline_attempts",),
+    ("sf1", "calibration_sec"),
+    ("sf1", "pandas_calibration_sec"),
+    ("sf1", "spark_attempts"),
+    ("sf1", "pandas_attempts"),
+    ("sf1", "runs"),
+    ("sf1", "wagg_steady_sec"),
+    ("sf1", "sess_stateful_steady_sec"),
+    ("wall_sec",),
+    ("runs_per_query",),
+    ("crossover_60m",),
+]
+
+
+def enforce_line_budget(out: dict, budget: int | None = None) -> dict:
+    """Trim `out` in-place until its JSON encoding fits the driver's
+    tail-capture budget (default 1900 bytes — measured cap is ~2048;
+    the margin absorbs key drift). Drops optional keys in
+    `_LINE_DROP_ORDER`, then falls back to 2-decimal query times. The
+    untrimmed dict is preserved in bench_detail.json."""
+    if budget is None:
+        budget = int(os.environ.get("SPARK_GRAFT_LINE_BUDGET", "1900"))
+    # The counter lives IN the dict while trimming so the length checks
+    # account for its own bytes (full line: bench_detail.json).
+    for path in _LINE_DROP_ORDER:
+        if len(json.dumps(out)) <= budget:
+            break
+        node: dict = out
+        for key in path[:-1]:
+            node = node.get(key, {}) if isinstance(node, dict) else {}
+        if isinstance(node, dict) and path[-1] in node:
+            node.pop(path[-1])
+            out["trimmed_keys"] = out.get("trimmed_keys", 0) + 1
+    if len(json.dumps(out)) > budget and isinstance(out.get("queries"), dict):
+        out["queries"] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in out["queries"].items()
+        }
+        out["trimmed_keys"] = out.get("trimmed_keys", 0) + 1
+    return out
 
 
 if __name__ == "__main__":
