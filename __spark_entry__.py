@@ -259,11 +259,16 @@ def q_s1_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``orc``:   write_orc (zstd) → read_orc;
     - ``avro``:  write_avro (deflate OCF, pure-Python wire format —
       `dataforge_spark/avro.py`) → read_avro (binaryFile +
-      mapInPandas block decode) — round 10.
+      mapInPandas block decode) — round 10;
+    - ``avro_arr`` (round 11): the EMBEDDINGS table — ``vec_id bigint,
+      embedding array<float>, label int`` — through snappy-codec Avro,
+      attesting the complex-type encoding (block-framed arrays) and
+      the snappy block codec; the checksum folds every float element
+      (exact 4-byte IEEE round-trip, cast to double before summing).
 
     Each leg emits the same summary (row count, value checksum,
-    distinct counts), so one oracle row proves all four sinks preserve
-    the data and all four scans read it back losslessly."""
+    distinct counts), so one oracle row proves all five sinks preserve
+    the data and all five scans read it back losslessly."""
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value", "props")
     run = uuid.uuid4().hex[:8]
 
@@ -311,9 +316,30 @@ def q_s1_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_avro(ev, avro_path, codec="deflate")
     avro_leg = _leg("avro", read_avro(spark, avro_path))
 
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_avro_path = f"/tmp/dataforge_avro_arr_{run}"
+    write_avro(emb, emb_avro_path, codec="snappy")
+    emb_back = read_avro(spark, emb_avro_path)
+    avro_arr_leg = emb_back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x.cast("double"),
+                )
+            ),
+            2,
+        ).alias("sum_value"),
+        F.count_distinct(F.size("embedding")).alias("n_props"),
+        F.count_distinct("label").alias("n_types"),
+        F.count(F.when(F.lit(False), F.lit(1))).alias("n_corrupt"),
+    ).withColumn("variant", F.lit("avro_arr"))
+
     return (
         csv_leg.unionByName(jsonl_leg).unionByName(orc_leg)
-        .unionByName(avro_leg)
+        .unionByName(avro_leg).unionByName(avro_arr_leg)
     )
 
 
@@ -1466,7 +1492,7 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-encode → decode AGAIN via media_meta; k = the resized pixel sum.
     # Nearest-neighbor index maps are exact integer functions
     # (src = floor((out+0.5)·src_dim/4)), so DuckDB recomputes the whole
-    # chain closed-form for every image variant; WAV (doc_id ≡ 1 mod 7)
+    # chain closed-form for every image variant; WAV (doc_id ≡ 1 mod 8)
     # is excluded — resize is an image operator.
     from dataforge_spark.multimodal import resize_images, sample_media_frames
 
@@ -1918,6 +1944,13 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT n, sum_value, n_props, n_types,
                CAST(0 AS BIGINT) AS n_corrupt, 'avro' AS variant FROM stats
+        UNION ALL
+        SELECT count(*) AS n,
+               round(sum(list_sum(CAST(embedding AS DOUBLE[]))), 2) AS sum_value,
+               count(DISTINCT len(embedding)) AS n_props,
+               count(DISTINCT label) AS n_types,
+               CAST(0 AS BIGINT) AS n_corrupt, 'avro_arr' AS variant
+        FROM embeddings
     """
 
     sql["s4_profile"] = """
@@ -2689,7 +2722,7 @@ def oracle_sql() -> dict[str, str]:
         -- payload constructions arithmetically (decoded-scalar sum +
         -- count); matching k proves the Spark side really encoded AND
         -- decoded the container (raw byte sums include header/padding/
-        -- DEFLATE bytes and differ). Round 10: doc_id mod 7 rotates
+        -- DEFLATE bytes and differ). Round 10: doc_id mod 8 rotates
         -- every supported container variant through the oracle —
         -- grayscale / gray+alpha / palette+tRNS / 16-bit Adam7 PNG
         media AS (

@@ -1338,6 +1338,11 @@ def encode_gif(
     out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size, bg 0, aspect 0
     out += gct.tobytes()
     delays = delays_cs or [10] * len(frames)
+    if len(delays) != len(frames):
+        # zip() would silently DROP trailing frames (ADVICE r10)
+        raise ValueError(
+            f"delays_cs has {len(delays)} entries for {len(frames)} frames"
+        )
     min_code = max(2, bits)
     for f, delay in zip(frames, delays):
         if animated:
@@ -1475,7 +1480,10 @@ def decode_gif(buf: bytes):
         frames.append(canvas.copy())
         delays.append(delay)
         if disposal == 2:  # restore background before the next frame
-            bg_rgb = lct[bg] if bg < len(lct) else 0
+            # the background color index refers to the GLOBAL color
+            # table (ADVICE r10) — a frame's local table must not be
+            # used for the restore, matching the initial canvas fill
+            bg_rgb = gct[bg] if gct is not None and bg < len(gct) else 0
             canvas[top : top + ih, left : left + iw] = bg_rgb
         disposal = 0
         transparent = None

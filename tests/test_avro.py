@@ -123,21 +123,30 @@ def test_avro_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="sync-marker mismatch"):
         _decode_ocf(bytes(raw))
 
-    # unsupported codec in metadata (patch "null" -> "snappy" with its
-    # zigzag length prefix: len 4 -> 0x08, len 6 -> 0x0c)
+    # unsupported codec in metadata (patch "null" -> "zstd", same length
+    # so the zigzag prefix 0x08 stays valid; snappy is SUPPORTED as of
+    # round 11)
     buf = bytearray(open(part, "rb").read())
-    buf = buf.replace(b"\x08null", b"\x0csnappy", 1)
-    with pytest.raises(NotImplementedError, match="snappy"):
+    buf = buf.replace(b"\x08null", b"\x08zstd", 1)
+    with pytest.raises(NotImplementedError, match="zstd"):
         _decode_ocf(bytes(buf))
 
-    # nested schemas are out of scope, loudly
-    nested = json.dumps({
+    # enums are out of scope, loudly (nested records are supported now)
+    enum = json.dumps({
         "type": "record", "name": "r",
-        "fields": [{"name": "x", "type": {"type": "record", "name": "s",
-                                          "fields": []}}],
+        "fields": [{"name": "x", "type": {"type": "enum", "name": "e",
+                                          "symbols": ["A", "B"]}}],
     })
     with pytest.raises(NotImplementedError, match="complex"):
-        spark_schema_of(nested)
+        spark_schema_of(enum)
+
+    # bare-null field type: clean error, not a KeyError (ADVICE r10)
+    bare_null = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "x", "type": "null"}],
+    })
+    with pytest.raises(NotImplementedError, match="null"):
+        spark_schema_of(bare_null)
 
 
 
@@ -190,18 +199,24 @@ def test_avro_fuzz_contract():
     from dataforge_spark.avro import _encode_ocf
 
     specs = [("a", "long", False, False), ("b", "string", True, False),
-             ("c", "double", False, False), ("e", "boolean", False, False)]
+             ("c", "double", False, False), ("e", "boolean", False, False),
+             ("xs", ("array", "float", True, False), True, False)]
     schema = json.dumps({
         "type": "record", "name": "r",
         "fields": [{"name": "a", "type": "long"},
                    {"name": "b", "type": ["null", "string"]},
                    {"name": "c", "type": "double"},
-                   {"name": "e", "type": "boolean"}],
+                   {"name": "e", "type": "boolean"},
+                   {"name": "xs", "type": ["null", {
+                       "type": "array", "items": ["null", "float"]}]}],
     })
     rows = [{"a": i, "b": None if i % 3 == 0 else f"s{i}", "c": i * 1.5,
-             "e": bool(i % 2)} for i in range(20)]
+             "e": bool(i % 2),
+             "xs": None if i % 5 == 0 else [float(j) if j % 2 else None
+                                            for j in range(i % 4)]}
+            for i in range(20)]
     r = np.random.default_rng(7)
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "snappy"):
         seed = _encode_ocf(rows, specs, schema, codec)
         for _ in range(300):
             m = bytearray(seed)
@@ -321,3 +336,210 @@ def test_avro_schema_evolution_across_part_files(spark, tmp_path):
     })
     with pytest.raises(Exception, match="cannot"):
         read_avro(spark, p2, avro_schema=narrow).collect()
+
+
+# ---------------------------------------------------------------- round 11
+
+
+def test_avro_complex_types_spark_roundtrip(spark, tmp_path):
+    """Arrays (incl. nullable elements), string-keyed maps and nested
+    records round-trip through write_avro -> read_avro with schema
+    fidelity (VERDICT r10 task 2)."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, [1.5, -2.25], {"a": 10, "b": None}, (7, "x"), [None, "s"]),
+        (2, [], {}, (8, None), []),
+        (3, None, None, None, None),
+    ]
+    ddl = (
+        "id bigint, emb array<float>, m map<string,bigint>, "
+        "rec struct<p: bigint, q: string>, tags array<string>"
+    )
+    df = spark.createDataFrame(rows, ddl)
+    path = str(tmp_path / "complex")
+    write_avro(df, path, codec="deflate")
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    exp = sorted(df.collect(), key=lambda r: r["id"])
+    assert got == exp
+    # and an explicit-reader pass over the same schema JSON
+    from dataforge_spark.avro import avro_schema_of
+
+    back2 = read_avro(spark, path, avro_schema=avro_schema_of(df))
+    assert back2.count() == 3
+
+
+def test_avro_embeddings_table_roundtrip(spark, tmp_path):
+    """The driver's embeddings table (vec_id bigint, embedding
+    array<float>, label int) round-trips value-identically — the VERDICT
+    r10 'done =' criterion for the Avro array work."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emb_avro")
+    write_avro(emb, path, codec="snappy")
+    back = read_avro(spark, path)
+    assert back.schema == emb.schema
+
+    def fingerprint(df):
+        return sorted(
+            (r["vec_id"], r["label"], tuple(r["embedding"]))
+            for r in df.collect()
+        )
+
+    assert fingerprint(back) == fingerprint(emb)
+
+
+def test_avro_long_precision_with_nulls(spark, tmp_path):
+    """ADVICE r10 (medium): a nullable long column must not round-trip
+    through float64 — 2**53 + 1 must survive exactly when a None is
+    present in the same column."""
+    big = 9007199254740993  # 2**53 + 1: float64 rounds it to ...992
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, -big)], "id bigint, v bigint"
+    )
+    path = str(tmp_path / "precision")
+    write_avro(df, path, codec="null")
+    got = {r["id"]: r["v"] for r in read_avro(spark, path).collect()}
+    assert got == {1: big, 2: None, 3: -big}
+
+
+def test_avro_snappy_roundtrip_and_wire(spark, tmp_path):
+    """snappy codec (VERDICT r10 task 7): Spark round-trip, a
+    hand-assembled raw-snappy stream exercising copy elements (incl.
+    the overlapping-copy rule), and the CRC guard."""
+    from dataforge_spark.avro import (
+        _snappy_compress,
+        _snappy_decompress,
+        _encode_ocf,
+    )
+
+    # literal-only encoder output decodes back bit-exactly
+    for data in (b"", b"x", b"hello snappy" * 1000, bytes(range(256)) * 300):
+        assert _snappy_decompress(_snappy_compress(data)) == data
+
+    # hand-built stream: literal "ab" then an overlapping copy
+    # (offset 2, length 6) => "ab" + "ababab" = "abababab"
+    stream = bytes([8]) + bytes([(2 - 1) << 2]) + b"ab" + bytes(
+        [((6 - 4) << 2) | 1, 2]  # tag-1 copy: len 6, offset 2
+    )
+    assert _snappy_decompress(stream) == b"abababab"
+
+    # malformed: offset beyond output
+    bad = bytes([4]) + bytes([(1 - 1) << 2]) + b"a" + bytes([(0 << 2) | 1, 9])
+    with pytest.raises(ValueError):
+        _snappy_decompress(bad)
+
+    # Spark round-trip under codec="snappy"
+    df = spark.createDataFrame(
+        [(i, f"s{i}" * 20) for i in range(500)], "id bigint, s string"
+    )
+    path = str(tmp_path / "snappy")
+    write_avro(df, path, codec="snappy")
+    back = read_avro(spark, path)
+    assert back.count() == 500
+    assert back.agg({"id": "sum"}).collect()[0][0] == 499 * 500 // 2
+
+    # CRC guard: flip a byte inside the block payload
+    import glob
+
+    part = glob.glob(f"{path}/part-*.avro")[0]
+    raw = bytearray(open(part, "rb").read())
+    raw[-30] ^= 0xFF  # inside the final block's compressed payload
+    with pytest.raises(ValueError):
+        _decode_ocf(bytes(raw))
+
+
+def test_avro_sink_streams_blocks(tmp_path, monkeypatch):
+    """VERDICT r10 task 3: the sink writes block-by-block — the largest
+    single write is ~one encoded block, not the whole partition."""
+    from dataforge_spark.avro import _write_ocf
+
+    class SpyFile:
+        def __init__(self):
+            self.writes = []
+            self.parts = []
+
+        def write(self, b):
+            self.writes.append(len(b))
+            self.parts.append(bytes(b))
+            return len(b)
+
+    rows = [{"a": i, "b": "x" * 50} for i in range(1000)]
+    specs = [("a", "long", False, False), ("b", "string", False, False)]
+    schema = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": "long"},
+                   {"name": "b", "type": "string"}],
+    })
+    fh = SpyFile()
+    _write_ocf(fh, rows, specs, schema, codec="null", block_records=100)
+    # header + 10 block writes; no write holds more than one block
+    assert len(fh.writes) == 11
+    one_row = 1 + 52  # varint(a) ≈1 + len-prefixed 50-char string
+    assert max(fh.writes[1:]) < 100 * (one_row + 4) + 64
+    # and the concatenated stream is a valid OCF
+    _, got = _decode_ocf(b"".join(fh.parts))
+    assert len(got) == 1000 and got[0] == {"a": 0, "b": "x" * 50}
+
+
+def test_avro_nested_record_forward_built_stream():
+    """Hand-assembled OCF bytes for a NESTED record (spec, not our
+    encoder): outer record {id long, inner {p long, q string}} —
+    the decoder maps it to nested dicts."""
+    schema = (
+        b'{"type":"record","name":"o","fields":['
+        b'{"name":"id","type":"long"},'
+        b'{"name":"inner","type":{"type":"record","name":"i","fields":['
+        b'{"name":"p","type":"long"},{"name":"q","type":"string"}]}}]}'
+    )
+    sync = bytes(range(50, 66))
+    meta = (
+        _zigzag_encode(2)
+        + _zigzag_encode(len(b"avro.schema")) + b"avro.schema"
+        + _zigzag_encode(len(schema)) + schema
+        + _zigzag_encode(len(b"avro.codec")) + b"avro.codec"
+        + _zigzag_encode(4) + b"null"
+        + _zigzag_encode(0)
+    )
+    # row: id=5, inner=(p=-3, q="hi") => zigzag(5)=0x0a, zigzag(-3)=0x05,
+    # len2=0x04
+    payload = b"\x0a" + b"\x05" + b"\x04hi"
+    buf = (
+        _MAGIC + meta + sync
+        + _zigzag_encode(1) + _zigzag_encode(len(payload)) + payload + sync
+    )
+    got_schema, rows = _decode_ocf(buf)
+    assert rows == [{"id": 5, "inner": {"p": -3, "q": "hi"}}]
+
+
+def test_avro_array_forward_built_stream():
+    """Hand-assembled array encoding including a NEGATIVE-count block
+    with a byte size (writers may emit those; ours doesn't)."""
+    schema = (
+        b'{"type":"record","name":"o","fields":['
+        b'{"name":"xs","type":{"type":"array","items":"long"}}]}'
+    )
+    sync = bytes(range(16, 32))
+    meta = (
+        _zigzag_encode(2)
+        + _zigzag_encode(len(b"avro.schema")) + b"avro.schema"
+        + _zigzag_encode(len(schema)) + schema
+        + _zigzag_encode(len(b"avro.codec")) + b"avro.codec"
+        + _zigzag_encode(4) + b"null"
+        + _zigzag_encode(0)
+    )
+    # array in two blocks: [1,2] then negative-count block [-3] then end
+    items1 = _zigzag_encode(1) + _zigzag_encode(2)
+    items2 = _zigzag_encode(-3)
+    payload = (
+        _zigzag_encode(2) + items1
+        + _zigzag_encode(-1) + _zigzag_encode(len(items2)) + items2
+        + _zigzag_encode(0)
+    )
+    buf = (
+        _MAGIC + meta + sync
+        + _zigzag_encode(1) + _zigzag_encode(len(payload)) + payload + sync
+    )
+    _, rows = _decode_ocf(buf)
+    assert rows == [{"xs": [1, 2, -3]}]

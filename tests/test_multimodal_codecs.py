@@ -950,3 +950,74 @@ def test_decoder_fuzz_contract():
                 codecs.decode_media(bytes(m))
             except (ValueError, NotImplementedError):
                 pass  # the contract
+
+
+def test_gif_disposal2_restores_global_background(monkeypatch=None):
+    """ADVICE r10: disposal method 2 must restore with the GLOBAL color
+    table's background color even when the disposed frame used a LOCAL
+    color table. Hand-built stream: GCT bg=1 (green-ish), frame 1 is
+    full-canvas from an LCT whose entries differ, disposal=2; frame 2
+    redraws only the top-left pixel. The untouched pixels of frame 2
+    must equal gct[1], not lct[1]."""
+
+    def pack_lsb(codes_widths):
+        acc = nbits = 0
+        out = bytearray()
+        for code, width in codes_widths:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    gct = np.array([[9, 9, 9], [0, 200, 0], [1, 1, 1], [2, 2, 2]], np.uint8)
+    lct = np.array([[50, 0, 0], [0, 0, 50], [60, 60, 0], [0, 60, 60]], np.uint8)
+    # frame 1: 2x2 indices [0,1,2,3]; frame 2: 1x1 index [3]
+    lzw_full = pack_lsb([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)])
+    lzw_one = pack_lsb([(4, 3), (3, 3), (5, 3)])
+    buf = (
+        b"GIF89a" + struct.pack("<HH", 2, 2)
+        + bytes([0x80 | 0x01, 1, 0])           # GCT size 4, bg index 1
+        + gct.tobytes()
+        # GCE: disposal=2, no transparency
+        + bytes([0x21, 0xF9, 4, 2 << 2]) + struct.pack("<H", 5) + bytes([0, 0])
+        # frame 1 with a LOCAL color table (flag 0x80, size bits 1 -> 4)
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0x80 | 0x01])
+        + lct.tobytes()
+        + bytes([2]) + bytes([len(lzw_full)]) + lzw_full + b"\x00"
+        # GCE: disposal=0
+        + bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", 5) + bytes([0, 0])
+        # frame 2: 1x1 at origin, no LCT
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+        + bytes([2]) + bytes([len(lzw_one)]) + lzw_one + b"\x00"
+        + b"\x3b"
+    )
+    frames, _ = codecs.decode_gif(buf)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(
+        frames[0], lct[np.array([[0, 1], [2, 3]], np.uint8)]
+    )
+    # frame 2: top-left redrawn from the GCT; the other three pixels
+    # restored to gct[bg=1], NOT lct[1]
+    np.testing.assert_array_equal(frames[1][0, 0], gct[3])
+    for y, x in ((0, 1), (1, 0), (1, 1)):
+        np.testing.assert_array_equal(frames[1][y, x], gct[1])
+
+
+def test_gif_encode_delays_length_mismatch_raises():
+    """ADVICE r10: a delays list shorter (or longer) than frames must
+    error instead of silently dropping trailing frames."""
+    frames = [np.zeros((2, 2), np.uint8), np.ones((2, 2), np.uint8)]
+    with pytest.raises(ValueError, match="delays"):
+        codecs.encode_gif(frames, _GIF_PAL, delays_cs=[5])
+    with pytest.raises(ValueError, match="delays"):
+        codecs.encode_gif(frames, _GIF_PAL, delays_cs=[5, 10, 15])
+    # exact-length still works
+    out, delays = codecs.decode_gif(
+        codecs.encode_gif(frames, _GIF_PAL, delays_cs=[5, 10])
+    )
+    assert delays == [5, 10] and len(out) == 2
