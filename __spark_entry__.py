@@ -1206,12 +1206,20 @@ def _stream_sjoin_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shuffle partition per side, and every micro-batch commits all
     of them — at this gate's scale (60k rows/side) that flat
     per-partition commit cost dominates (A/B at sf0.1: 32 → 8 → 4
-    partitions = 7.2 → 2.7 → 2.1 s), so the leg pins the state
-    partitioning to 8 for the drain (captured/restored around the query
-    start). At 100 TB the same knob goes the OTHER way: state-partition
-    count should track state volume, exactly like the sessionizer's
-    (more partitions = more parallel state work once data dominates)."""
-    from dataforge_spark.streaming import interval_join_stream, run_to_parquet_df
+    partitions = 7.2 → 2.7 → 2.1 s), so the leg sizes the state
+    partitioning from the input's Catalyst plan bytes
+    (streaming.suggest_state_partitions — round 11, replacing the
+    pinned 8; captured/restored around the query start). At 100 TB the
+    same knob goes the OTHER way: state-partition count should track
+    state volume, exactly like the sessionizer's (more partitions =
+    more parallel state work once data dominates) — which is what the
+    plan-bytes-linear suggestion does."""
+    from dataforge_spark.partitioning import plan_size_bytes
+    from dataforge_spark.streaming import (
+        interval_join_stream,
+        run_to_parquet_df,
+        suggest_state_partitions,
+    )
 
     _utc(spark)
     ev = _events(spark, sf_dir)
@@ -1230,7 +1238,8 @@ def _stream_sjoin_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a default returns the default, not the session value, and a
     # guarded restore leaks the override into the shared session
     cur = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    n_parts = suggest_state_partitions(spark, plan_size_bytes(ev))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
         joined = run_to_parquet_df(pairs)
     finally:

@@ -45,6 +45,49 @@ def read_events_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
+def suggest_state_partitions(
+    spark: SparkSession,
+    plan_bytes: int | None,
+    bytes_per_partition: int = 4 << 20,
+    min_partitions: int = 4,
+) -> int:
+    """Scale-aware ``spark.sql.shuffle.partitions`` for STATEFUL
+    streaming queries (VERDICT r10 task 4 — replaces the pinned 8 in
+    the sjoin drain).
+
+    Stateful operators pay a FLAT per-state-partition cost every
+    micro-batch: a stream-stream join commits four state stores per
+    shuffle partition per side per batch, so at small volume fewer
+    partitions win, while past the crossover more partitions win
+    because the per-key state work parallelizes (the sessionizer A/B:
+    32→8→4 state partitions = 3.6→6.6→11.5 s at sf1). Measured A/B for
+    the interval-join drain on this box (sf0.1 ≈ 2 MB plan bytes,
+    sf1 ≈ 23 MB; best-of-3 drains, steady calibrations, round 11 —
+    full table in PLANS.md):
+
+    ========  ====  ====  ====  ====  ====
+    fixed →     4     6     8    16    32
+    sf0.1     3.0   3.3   8.8   9.8   6.8
+    sf1       2.4   2.6   2.4   3.7   6.5
+    ========  ====  ====  ====  ====  ====
+
+    The suggestion lands 4 at sf0.1 (the optimum) and 6 at sf1 (within
+    noise of the 4/8 optima); 32 — the session default at gate scale —
+    costs 2-3x at both.
+
+    ``plan_bytes`` is the Catalyst-estimated size of the batch twin of
+    the stream input (``partitioning.plan_size_bytes`` — parquet footer
+    stats, no job); pass ``None`` when unknown and the session default
+    stays untouched (returns the current setting). The default divisor
+    (4 MB of footer bytes per state partition) lands the gate scales on
+    their measured optima; at cluster scale the linear growth in
+    ``plan_bytes`` dominates and the suggestion tracks state volume,
+    which is the property that matters at 100 TB."""
+    if plan_bytes is None:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(min_partitions, -(-int(plan_bytes) // bytes_per_partition))
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

@@ -673,3 +673,21 @@ def test_interval_join_stream_differential(spark, tmp_path):
     with pytest.raises(ValueError, match="distinct column names"):
         interval_join_stream(b_imp, b_imp, "i_user", "i_user",
                              "i_ts", "i_ts", upper="1 hour")
+
+
+def test_suggest_state_partitions(spark):
+    """Round 11 (VERDICT r10 task 4): state-partition sizing is linear
+    in plan bytes with a floor, and unknown sizes leave the session
+    default untouched."""
+    from dataforge_spark.streaming import suggest_state_partitions
+
+    # floor at small volume (the gate regime, where fewer partitions win)
+    assert suggest_state_partitions(spark, 0) == 4
+    assert suggest_state_partitions(spark, 2 << 20) == 4
+    # linear growth past the floor: 23 MB / 4 MB -> 6 (the sf1 point)
+    assert suggest_state_partitions(spark, 23 << 20) == 6
+    # at cluster scale the count tracks state volume
+    assert suggest_state_partitions(spark, 40 << 30) == 10240
+    # None = unknown -> echo the current session setting
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert suggest_state_partitions(spark, None) == cur
