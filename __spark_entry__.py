@@ -1343,11 +1343,37 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data prep over documents: quality gate →
-    language gate → exact dedup (near-dups planted) → per-source token
-    accounting. The composition the extension surface exists for."""
+    """End-to-end training-data prep over documents as one tagged union
+    (round 11 widened to driver-oracle the previously pytest-only
+    curation components — VERDICT r10 task 5). Legs share
+    ``(op, k, n_docs, total_tokens, avg_quality, x)``:
+
+    - ``prep``: quality gate → language gate → exact dedup (near-dups
+      planted) → per-source token accounting, k = source — the original
+      composition the extension surface exists for;
+    - ``chunk``: `curation.chunk_documents(max_tokens=32, overlap=8)`
+      grouped by chunk_id — the oracle recomputes every chunk boundary
+      closed-form (token-array slices), avg_quality carries the mean
+      chunk TEXT length (pins the reassembled strings, not just
+      counts), x the mean chunk token count;
+    - ``qf``: `curation.quality_filter` verdicts grouped by the keep
+      flag — avg_quality pins the quality signal, x the two Gopher
+      repetition fractions (rep_top + rep_dup means), total_tokens the
+      whitespace token mass per verdict;
+    - ``sample``: `curation.sample_n_per_group(10 per source, key
+      doc_id)` — n_docs pins the exact per-group count, total_tokens =
+      sum(doc_id) pins the exact MEMBERSHIP (the md5-bucket ranking is
+      engine-reproducible, like curation_split's oracle).
+    """
+    from dataforge_spark.curation import (
+        chunk_documents,
+        quality_filter,
+        sample_n_per_group,
+    )
+
+    docs_raw = _t(spark, sf_dir, "documents")
     docs = _docs_with_dups(spark, sf_dir).join(
-        _t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id", "left"
+        docs_raw.select("doc_id", "source"), "doc_id", "left"
     )
     # planted dups carry doc_id+100000 → source null; treat as 'dup'
     docs = docs.withColumn("source", F.coalesce("source", F.lit("dup")))
@@ -1360,10 +1386,57 @@ def q_llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = scored.where((F.col("q") >= 0.5) & (F.col("lang") == "en"))
     deduped = dedup_exact(kept, text_col="text", id_col="doc_id")
-    return deduped.groupBy("source").agg(
+    prep_leg = deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
         F.round(F.avg("q"), 6).alias("avg_quality"),
+    ).select(
+        F.lit("prep").alias("op"), F.col("source").alias("k"),
+        "n_docs", "total_tokens", "avg_quality", F.lit(0.0).alias("x"),
+    )
+
+    chunk_leg = chunk_documents(
+        docs_raw.select("doc_id", "text"), max_tokens=32, overlap=8
+    ).groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chunk_n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg(F.length("chunk_text")), 6).alias("avg_quality"),
+        F.round(F.avg("chunk_n_tokens"), 6).alias("x"),
+    ).select(
+        F.lit("chunk").alias("op"),
+        F.col("chunk_id").cast("string").alias("k"),
+        "n_docs", "total_tokens", "avg_quality", "x",
+    )
+
+    qf_leg = quality_filter(docs_raw.select("doc_id", "text")).select(
+        "keep", "quality", "rep_top_frac", "rep_dup_frac",
+        token_count(F.col("text")).alias("n_tok"),
+    ).groupBy("keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(
+            F.avg("rep_top_frac") + F.avg("rep_dup_frac"), 6
+        ).alias("x"),
+    ).select(
+        F.lit("qf").alias("op"), F.col("keep").cast("string").alias("k"),
+        "n_docs", "total_tokens", "avg_quality", "x",
+    )
+
+    sample_leg = sample_n_per_group(
+        docs_raw.select("doc_id", "source"), 10, "source", ["doc_id"], seed=0
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("total_tokens"),
+    ).select(
+        F.lit("sample").alias("op"), F.col("source").alias("k"),
+        "n_docs", "total_tokens",
+        F.lit(0.0).alias("avg_quality"), F.lit(0.0).alias("x"),
+    )
+
+    return (
+        prep_leg.unionByName(chunk_leg)
+        .unionByName(qf_leg).unionByName(sample_leg)
     )
 
 
@@ -2647,11 +2720,15 @@ def oracle_sql() -> dict[str, str]:
 
     # llm_prep: planted dups have higher ids → dedup keeps the originals,
     # and a dup's original passes the same gates (same text), so the
-    # result is documents filtered on quality+language, grouped by source.
+    # prep leg is documents filtered on quality+language, grouped by
+    # source. Round 11 adds the chunk / qf / sample legs (closed-form
+    # chunk boundaries, Gopher repetition fractions, md5-bucket ranked
+    # sampling — the same bucket expression curation_split's oracle uses).
     sql["llm_prep_pipeline"] = rf"""
         WITH t AS (
           SELECT doc_id, source, text,
             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+            regexp_split_to_array(trim(text), '\s+') AS rtoks,
             CASE WHEN trim(text) = '' THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
           FROM documents
@@ -2684,12 +2761,77 @@ def oracle_sql() -> dict[str, str]:
                    AND hits_es >= hits_fr THEN 'es'
               ELSE 'unknown' END AS lang
           FROM h
+        ),
+        -- chunk leg: chunk_documents(max_tokens=32, overlap=8) =>
+        -- stride 24; chunk i = tokens [i*24+1, i*24+32] (1-based)
+        ch AS (
+          SELECT doc_id,
+            unnest(range(CAST(greatest(1, ceil((n_tok - 8) / 24.0)) AS INT)))
+              AS chunk_id,
+            rtoks
+          FROM t WHERE n_tok > 0
+        ),
+        chx AS (
+          SELECT chunk_id,
+            list_slice(rtoks, chunk_id * 24 + 1, chunk_id * 24 + 32) AS chunk
+          FROM ch
+        ),
+        -- qf leg: Gopher bigram repetition over ORIGINAL-case tokens
+        g AS (
+          SELECT doc_id, array_to_string(list_slice(rtoks, i, i + 1), ' ') AS gm
+          FROM t, UNNEST(generate_series(1, len(rtoks) - 1)) AS u(i)
+        ),
+        gc AS (SELECT doc_id, gm, count(*) AS cnt FROM g GROUP BY 1, 2),
+        rep AS (
+          SELECT doc_id, sum(cnt) AS total, max(cnt) AS top,
+                 sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+          FROM gc GROUP BY 1
+        ),
+        qf AS (
+          SELECT s.doc_id, s.q, s.n_tok,
+                 COALESCE(r.top::DOUBLE / r.total, 0.0) AS rep_top,
+                 COALESCE(r.dup::DOUBLE / r.total, 0.0) AS rep_dup
+          FROM scored s
+          LEFT JOIN rep r ON r.doc_id = s.doc_id AND r.total > 0
+        ),
+        -- sample leg: split_bucket(seed=0, key=doc_id) ranking, 10/group
+        sb AS (
+          SELECT doc_id, source,
+            ('0x' || substr(md5('0' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 1000000 AS bkt
+          FROM documents
+        ),
+        sr AS (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rk
+          FROM sb
         )
-        SELECT source, count(*) AS n_docs,
+        SELECT 'prep' AS op, source AS k, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-               round(avg(q), 6) AS avg_quality
+               round(avg(q), 6) AS avg_quality, 0.0 AS x
         FROM scored WHERE q >= 0.5 AND lang = 'en'
         GROUP BY source
+        UNION ALL
+        SELECT 'chunk' AS op, CAST(chunk_id AS VARCHAR) AS k,
+               count(*) AS n_docs,
+               CAST(sum(len(chunk)) AS BIGINT) AS total_tokens,
+               round(avg(length(array_to_string(chunk, ' '))), 6) AS avg_quality,
+               round(avg(len(chunk)), 6) AS x
+        FROM chx GROUP BY chunk_id
+        UNION ALL
+        SELECT 'qf' AS op,
+               CAST((q >= 0.5 AND rep_top <= 0.3 AND rep_dup <= 0.5)
+                    AS VARCHAR) AS k,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(avg(q), 6) AS avg_quality,
+               round(avg(rep_top) + avg(rep_dup), 6) AS x
+        FROM qf GROUP BY 1, 2
+        UNION ALL
+        SELECT 'sample' AS op, source AS k, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS total_tokens,
+               0.0 AS avg_quality, 0.0 AS x
+        FROM sr WHERE rk <= 10 GROUP BY source
     """
 
     # The corpus is pure ASCII (verified: octet_length(encode(text)) ==
