@@ -1460,7 +1460,8 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         2: 6×4 RGBA PNG, pixel bytes ``(doc_id + j) % 256``;
         3: 8×3 grayscale PNG, same byte formula over 24 scalars;
         4: 5×4 gray+alpha PNG, same formula over 40 scalars;
-        5: 5×5 palette PNG (PLTE 4 entries + tRNS[10,20]) with indices
+        5: 5×5 palette PNG (PLTE 4 entries + tRNS[10,20], packed at
+           depth 2 — sub-byte scanlines, round 11) with indices
            ``(doc_id + j) % 4`` — decodes through the lookup to RGBA,
            so k is a CASE-sum over the per-index scalar totals
            (265/275/510/279);
@@ -1544,10 +1545,13 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif v == 4:  # gray+alpha (color type 4)
                 px = ((rid + np.arange(40)) % 256).astype(np.uint8)
                 out.append(codecs.encode_png(px.reshape(4, 5, 2)))
-            elif v == 5:  # palette + tRNS (color type 3 → RGBA lookup)
+            elif v == 5:  # palette + tRNS (color type 3 → RGBA lookup);
+                # round 11: packed at depth 2 (sub-byte scanlines) — the
+                # decoded RGBA is identical, so the oracle SQL is
+                # unchanged while the row now attests the 1/2/4-bit path
                 idx = ((rid + np.arange(25)) % 4).astype(np.uint8)
                 out.append(codecs.encode_png_palette(
-                    idx.reshape(5, 5), pal, trns=bytes([10, 20])))
+                    idx.reshape(5, 5), pal, trns=bytes([10, 20]), depth=2))
             elif v == 6:  # 16-bit grayscale, Adam7-interlaced
                 px = ((rid * 3 + np.arange(16) * 257) % 65536).astype(np.uint16)
                 out.append(codecs.encode_png(px.reshape(4, 4, 1), interlace=True))

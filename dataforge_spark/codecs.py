@@ -21,8 +21,9 @@ container bytes end-to-end:
   reconstructs all five scanline filter types (None / Sub / Up /
   Average / Paeth) at the spec's byte-level filter distance; the
   encoder emits filter-0 scanlines (decode of our own output is then a
-  straight memcpy). Sub-byte depths (1/2/4-bit) raise
-  ``NotImplementedError``.
+  straight memcpy). Sub-byte depths (1/2/4-bit gray and palette —
+  round 11) pack/unpack MSB-first per the spec; gray sub-byte samples
+  are returned raw (0..2**depth−1), not 8-bit-rescaled.
 - **JPEG** (round 10): baseline sequential DCT (SOF0) — grayscale and
   YCbCr 4:4:4 / 4:2:0, stream-defined DQT/DHT tables, DRI restart
   markers, byte-unstuffing, float IDCT; encoder with Annex K typical
@@ -204,20 +205,51 @@ def _check_decode_dims(w: int, h: int, kind: str) -> None:
         )
 
 
-def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
-    """(h, w[, ch]) uint8/uint16 → 8- or 16-bit PNG (dtype picks the bit
-    depth; 16-bit samples are written big-endian per the spec). Channel
-    count picks the color type: 1 → grayscale (0), 2 → gray+alpha (4),
+def _pack_subbyte_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) sample values (< 2**depth) → (h, ceil(w·depth/8)) packed
+    scanline bytes, MSB-first within each byte per the PNG spec; the
+    last byte of a row is zero-padded."""
+    h, w = samples.shape
+    per = 8 // depth
+    pad = (-w) % per
+    padded = np.pad(samples.astype(np.uint8), ((0, 0), (0, pad)))
+    grouped = padded.reshape(h, -1, per)
+    out = np.zeros(grouped.shape[:2], dtype=np.uint8)
+    for i in range(per):
+        out = (out << depth) | grouped[:, :, i]
+    return out
+
+
+def _unpack_subbyte_rows(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) packed scanline bytes → (h, w) sample values,
+    MSB-first within each byte per the PNG spec (row padding bits
+    discarded)."""
+    bits = np.unpackbits(np.ascontiguousarray(rows), axis=1)
+    grouped = bits.reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (
+        (grouped * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :w]
+    )
+
+
+def encode_png(
+    pixels: np.ndarray, interlace: bool = False, depth: int | None = None
+) -> bytes:
+    """(h, w[, ch]) uint8/uint16 → PNG (dtype picks 8- vs 16-bit;
+    16-bit samples are written big-endian per the spec). Channel count
+    picks the color type: 1 → grayscale (0), 2 → gray+alpha (4),
     3 → truecolor (2), 4 → RGBA (6); a 2-D array is treated as
-    grayscale. ``interlace=True`` emits the seven Adam7 passes. Every
-    scanline uses filter 0 (None): DEFLATE already removes most
-    redundancy at these sizes and the decode of our own output stays a
-    straight memcpy."""
+    grayscale. ``depth`` of 1/2/4 (round 11) packs a GRAYSCALE image
+    sub-byte, MSB-first — sample values must be < 2**depth and are
+    stored raw (no 8-bit rescale), matching the decoder. ``interlace=
+    True`` emits the seven Adam7 passes. Every scanline uses filter 0
+    (None): DEFLATE already removes most redundancy at these sizes and
+    the decode of our own output stays a straight memcpy."""
     src = np.asarray(pixels)
     if src.dtype == np.uint16:
-        depth, wire = 16, ">u2"
+        bitdepth, wire = 16, ">u2"
     elif src.dtype == np.uint8:
-        depth, wire = 8, np.uint8
+        bitdepth, wire = 8, np.uint8
     else:
         raise ValueError(f"encode_png expects uint8 or uint16 pixels, got {src.dtype}")
     px = src
@@ -226,17 +258,35 @@ def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
     if px.ndim != 3 or px.shape[2] not in _PNG_CTYPE_BY_CH:
         raise ValueError("encode_png expects (h, w, 1|2|3|4) pixels")
     h, w, ch = px.shape
+    sub_byte = depth in (1, 2, 4)
+    if depth is not None and not sub_byte:
+        raise ValueError(f"depth must be 1, 2 or 4 when given, got {depth}")
+    if sub_byte:
+        if ch != 1 or src.dtype != np.uint8:
+            raise ValueError("sub-byte encode_png requires (h, w[, 1]) uint8")
+        if int(px.max(initial=0)) >= (1 << depth):
+            raise ValueError(
+                f"sample {int(px.max())} out of range for depth {depth}"
+            )
+        bitdepth = depth
     ctype = _PNG_CTYPE_BY_CH[ch]
     wire_px = np.ascontiguousarray(px.astype(wire))
+
+    def scan_rows(plane: np.ndarray) -> bytes:
+        # plane: (rows, cols, ch) in wire dtype → filter-0 scanlines
+        if sub_byte:
+            packed = _pack_subbyte_rows(plane[:, :, 0], depth)
+            return b"".join(b"\x00" + packed[y].tobytes() for y in range(len(packed)))
+        return b"".join(b"\x00" + plane[y].tobytes() for y in range(len(plane)))
+
     if not interlace:
-        raw = b"".join(b"\x00" + wire_px[y].tobytes() for y in range(h))
+        raw = scan_rows(wire_px)
     else:
         parts = []
-        for x0, y0, dx, dy, _pw, ph in _adam7_passes(w, h):
-            sub = np.ascontiguousarray(wire_px[y0::dy, x0::dx])
-            parts.extend(b"\x00" + sub[y].tobytes() for y in range(ph))
+        for x0, y0, dx, dy, _pw, _ph in _adam7_passes(w, h):
+            parts.append(scan_rows(np.ascontiguousarray(wire_px[y0::dy, x0::dx])))
         raw = b"".join(parts)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, ctype, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -246,21 +296,35 @@ def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
 
 
 def encode_png_palette(
-    idx: np.ndarray, palette: np.ndarray, trns: bytes | None = None
+    idx: np.ndarray,
+    palette: np.ndarray,
+    trns: bytes | None = None,
+    depth: int = 8,
 ) -> bytes:
     """(h, w) uint8 palette indices + (n, 3) uint8 palette → color-type-3
-    PNG (8-bit, non-interlaced, filter-0 scanlines). ``trns`` appends a
-    tRNS alpha chunk (entries past its length default to opaque 255 per
-    the spec, which the decoder honors)."""
+    PNG (non-interlaced, filter-0 scanlines). ``depth`` of 1/2/4
+    (round 11) packs indices sub-byte, MSB-first — the common web-crawl
+    palette-PNG layout. ``trns`` appends a tRNS alpha chunk (entries
+    past its length default to opaque 255 per the spec, which the
+    decoder honors)."""
     ix = np.asarray(idx, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     if ix.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
         raise ValueError("encode_png_palette expects (h, w) indices and (n, 3) palette")
-    if int(ix.max(initial=0)) >= len(pal):
-        raise ValueError(f"palette index {int(ix.max())} out of range ({len(pal)})")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth must be 1, 2, 4 or 8, got {depth}")
+    if int(ix.max(initial=0)) >= min(len(pal), 1 << depth):
+        raise ValueError(
+            f"palette index {int(ix.max())} out of range "
+            f"({len(pal)} entries, depth {depth})"
+        )
     h, w = ix.shape
-    raw = b"".join(b"\x00" + ix[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    if depth == 8:
+        raw = b"".join(b"\x00" + ix[y].tobytes() for y in range(h))
+    else:
+        packed = _pack_subbyte_rows(ix, depth)
+        raw = b"".join(b"\x00" + packed[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal.tobytes())
     if trns is not None:
         out += _png_chunk(b"tRNS", trns)
@@ -360,17 +424,18 @@ def _inflate_bounded(chunks, need: int) -> bytes:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """8- and 16-bit gray / gray+alpha / truecolor / RGBA / 8-bit
-    palette PNG → (h, w, 1|2|3|4) uint8 (or uint16 for depth 16), both
-    sequential and Adam7-interlaced. Chunk CRCs are verified (a cut-off
-    or bit-rotted download fails loudly, like the other decoders); all
-    five scanline filters reconstruct, operating at the byte level with
-    the depth-scaled filter distance per the spec. Palette images
-    (color type 3, depth 8) decode through the PLTE lookup to RGB —
-    RGBA when a tRNS alpha chunk is present. Sub-byte depths (1/2/4)
-    raise NotImplementedError. The IDAT inflate is bounded by the
-    expected pixel-stream size, so a crafted decompression bomb raises
-    instead of exhausting memory."""
+    """Gray (1/2/4/8/16-bit) / gray+alpha / truecolor / RGBA (8/16-bit)
+    / palette (1/2/4/8-bit) PNG → (h, w, 1|2|3|4) uint8 (or uint16 for
+    depth 16), both sequential and Adam7-interlaced. Chunk CRCs are
+    verified (a cut-off or bit-rotted download fails loudly, like the
+    other decoders); all five scanline filters reconstruct, operating at
+    the byte level with the depth-scaled filter distance per the spec
+    (distance 1 for sub-byte depths). Palette images decode through the
+    PLTE lookup to RGB — RGBA when a tRNS alpha chunk is present.
+    Sub-byte GRAY samples are returned raw (0..2**depth−1, no 8-bit
+    rescale — lossless, matching encode_png). The IDAT inflate is
+    bounded by the expected pixel-stream size, so a crafted
+    decompression bomb raises instead of exhausting memory."""
     if len(buf) < 8 or buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos, ihdr, idat, ended = 8, None, [], False
@@ -409,41 +474,58 @@ def decode_png(buf: bytes) -> np.ndarray:
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG IHDR (interlace={interlace})")
     paletted = ctype == 3
-    if (
-        depth not in (8, 16)
-        or (ctype not in _PNG_CH_BY_CTYPE and not paletted)
-        or (paletted and depth != 8)
-    ):
+    # spec-legal depth/ctype combinations this decoder covers: gray 0 →
+    # 1/2/4/8/16; palette 3 → 1/2/4/8; truecolor/alpha 2/4/6 → 8/16
+    depth_ok = (
+        depth in (1, 2, 4, 8, 16)
+        if ctype == 0
+        else depth in (1, 2, 4, 8)
+        if paletted
+        else depth in (8, 16) and ctype in _PNG_CH_BY_CTYPE
+    )
+    if not depth_ok:
         raise NotImplementedError(
-            f"only 8/16-bit gray/truecolor and 8-bit palette PNG supported "
+            f"unsupported PNG depth/color-type combination "
             f"(depth={depth}, color type={ctype})"
         )
     _check_decode_dims(w, h, "PNG")
-    # palette scanlines carry one index byte per pixel; the filters
-    # operate on those index bytes (bpp=1), lookup happens after
+    # palette scanlines carry one index per pixel; the filters operate
+    # on the packed bytes (bpp=1 for sub-byte rows), lookup happens after
     ch = 1 if paletted else _PNG_CH_BY_CTYPE[ctype]
-    bps = depth // 8  # bytes per sample; filter distance is ch * bps
-    bpp = ch * bps
+    sub_byte = depth in (1, 2, 4)
+    bpp = 1 if sub_byte else ch * (depth // 8)  # filter distance, bytes
+
+    def row_bytes(width: int) -> int:
+        return (width * depth + 7) // 8 if sub_byte else width * bpp
+
     if interlace == 0:
-        stride = w * bpp
+        stride = row_bytes(w)
         need = h * (1 + stride)
         raw = _inflate_bounded(idat, need)
         if len(raw) != need:
             raise ValueError(f"PNG pixel stream {len(raw)} bytes, expected {need}")
-        flat = _png_unfilter(raw, h, stride, bpp)
+        rows = _png_unfilter(raw, h, stride, bpp)
+        flat = (
+            _unpack_subbyte_rows(rows, w, depth) if sub_byte else rows
+        )
     else:  # Adam7: seven independently-filtered sub-images, scattered back
         passes = list(_adam7_passes(w, h))
-        need = sum(ph * (1 + pw * bpp) for *_xy, pw, ph in passes)
+        need = sum(ph * (1 + row_bytes(pw)) for *_xy, pw, ph in passes)
         raw = _inflate_bounded(idat, need)
         if len(raw) != need:
             raise ValueError(f"PNG pixel stream {len(raw)} bytes, expected {need}")
-        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        full = np.zeros((h, w, 1 if sub_byte else bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
-            sub = _png_unfilter(raw, ph, pw * bpp, bpp, pos=off)
-            off += ph * (1 + pw * bpp)
-            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-        flat = full.reshape(h, w * bpp)
+            sub = _png_unfilter(raw, ph, row_bytes(pw), bpp, pos=off)
+            off += ph * (1 + row_bytes(pw))
+            if sub_byte:
+                full[y0::dy, x0::dx] = _unpack_subbyte_rows(sub, pw, depth)[
+                    :, :, None
+                ]
+            else:
+                full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        flat = full.reshape(h, w) if sub_byte else full.reshape(h, w * bpp)
     if depth == 16:
         # samples are big-endian uint16 pairs
         px = (

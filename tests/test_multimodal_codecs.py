@@ -1021,3 +1021,104 @@ def test_gif_encode_delays_length_mismatch_raises():
         codecs.encode_gif(frames, _GIF_PAL, delays_cs=[5, 10])
     )
     assert delays == [5, 10] and len(out) == 2
+
+
+# ----------------------------------------------------- round 11: sub-byte PNG
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (8, 5), (13, 7)])
+def test_png_subbyte_gray_roundtrip(depth, w, h):
+    """1/2/4-bit grayscale round-trips raw sample values, sequential and
+    Adam7 (widths chosen to exercise row-padding bits)."""
+    px = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+    for interlace in (False, True):
+        buf = codecs.encode_png(px, interlace=interlace, depth=depth)
+        out = codecs.decode_png(buf)
+        assert out.shape == (h, w, 1)
+        np.testing.assert_array_equal(out[:, :, 0], px)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_palette_roundtrip(depth):
+    """1/2/4-bit palette indices pack sub-byte and decode through the
+    PLTE lookup (with tRNS alpha)."""
+    n_colors = 1 << depth
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(5, 9), dtype=np.uint8)
+    buf = codecs.encode_png_palette(idx, pal, depth=depth)
+    out = codecs.decode_png(buf)
+    np.testing.assert_array_equal(out, pal[idx])
+    # with transparency: first entry alpha 33
+    buf_t = codecs.encode_png_palette(idx, pal, trns=bytes([33]), depth=depth)
+    out_t = codecs.decode_png(buf_t)
+    assert out_t.shape == (5, 9, 4)
+    alpha = np.where(idx == 0, 33, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out_t[:, :, 3], alpha)
+    np.testing.assert_array_equal(out_t[:, :, :3], pal[idx])
+
+
+def test_png_subbyte_forward_built_stream():
+    """Hand-packed 4-bit palette scanlines (spec, not our encoder):
+    3x2 indices [[1,0,3],[2,15,4]] pack MSB-first to rows 0x10,0x30 /
+    0x2F,0x40 — decoded through a 16-entry palette."""
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    raw = b"\x00" + bytes([0x10, 0x30]) + b"\x00" + bytes([0x2F, 0x40])
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0)
+    buf = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"PLTE", pal.tobytes())
+        + codecs._png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(buf)
+    np.testing.assert_array_equal(
+        out, pal[np.array([[1, 0, 3], [2, 15, 4]], np.uint8)]
+    )
+
+
+def test_png_subbyte_sub_filter_reconstructs():
+    """Sub-byte rows filter at the BYTE level with distance 1 (spec):
+    a hand-built 1-bit image whose second row uses the Sub filter."""
+    # 16x2, 1-bit: row bytes r0 = [0xA5, 0x3C]; r1 = [0x5A, 0xC3]
+    r0 = bytes([0xA5, 0x3C])
+    r1 = bytes([0x5A, 0xC3])
+    # Sub-filtered encoding of r1: f[0] = r1[0], f[1] = r1[1]-r1[0] mod 256
+    f1 = bytes([0x5A, (0xC3 - 0x5A) & 0xFF])
+    raw = b"\x00" + r0 + b"\x01" + f1
+    ihdr = struct.pack(">IIBBBBB", 16, 2, 1, 0, 0, 0, 0)
+    buf = (
+        codecs._PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(buf)[:, :, 0]
+    exp = np.unpackbits(
+        np.frombuffer(r0 + r1, np.uint8).reshape(2, 2), axis=1
+    )
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_png_subbyte_guards():
+    # sample out of range for the declared depth
+    with pytest.raises(ValueError, match="out of range"):
+        codecs.encode_png(np.array([[4]], np.uint8), depth=2)
+    # sub-byte on multi-channel input
+    with pytest.raises(ValueError, match="uint8"):
+        codecs.encode_png(np.zeros((2, 2, 3), np.uint8), depth=4)
+    # palette index beyond the depth's range
+    with pytest.raises(ValueError, match="out of range"):
+        codecs.encode_png_palette(
+            np.array([[3]], np.uint8),
+            np.zeros((16, 3), np.uint8), depth=1,
+        )
+    # sub-byte truecolor stays rejected (not spec-legal)
+    px = np.zeros((2, 2, 3), np.uint8)
+    b = bytearray(codecs.encode_png(px))
+    b[8 + 8 + 8] = 2  # depth 2, ctype 2
+    body = bytes(b[8 + 8 : 8 + 8 + 13])
+    struct.pack_into(">I", b, 8 + 8 + 13, zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError, match="depth=2"):
+        codecs.decode_png(bytes(b))
