@@ -905,7 +905,7 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 def encode_jpeg(
     pixels: np.ndarray, quality: int = 90, subsample: str = "444",
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
     """(h, w) / (h, w, 1) uint8 grayscale or (h, w, 3) uint8 RGB →
     baseline sequential JFIF JPEG with the Annex K typical quantization
@@ -913,8 +913,14 @@ def encode_jpeg(
     '444' (no chroma subsampling) or '420' (2x2-mean chroma, 16x16
     MCUs). ``restart_interval`` > 0 emits a DRI segment and RSTn markers
     every that many MCUs (DC predictors reset — what real encoders emit
-    for error resilience). Lossy by nature — see decode_jpeg for the
-    error bounds the tests pin."""
+    for error resilience). ``progressive=True`` (round 11) emits a SOF2
+    stream with spectral selection AND successive approximation (DC at
+    Al=1 + refinement; per-component AC bands 1-5 / 6-63 at Al=1 +
+    refinements) — the SAME quantized coefficients as the baseline
+    stream, so both decode bit-identically; EOB runs are always length 1
+    (valid, and representable in the Annex K tables, which lack EOBn
+    symbols). Lossy by nature — see decode_jpeg for the error bounds
+    the tests pin."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -967,6 +973,15 @@ def encode_jpeg(
     dc_c = _huff_encode_table(_HUFF_DC_CHROMA)
     ac_c = _huff_encode_table(_HUFF_AC_CHROMA)
     tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart_interval is unsupported with progressive=True"
+            )
+        return _encode_jpeg_progressive(
+            h, w, gray, samp, comp_blocks, ql, qc, tabs
+        )
 
     # interleaved MCU scan
     bw = _BitWriter()
@@ -1021,6 +1036,190 @@ def encode_jpeg(
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
+
+
+def _emit_ac_first(bw, zzvec, ss, se, al, ac_tab) -> None:
+    """One block of a first-pass AC scan (Ah=0): band [ss, se], point
+    transform = magnitude >> al (round toward zero), runs + categories
+    like the sequential scan, plain EOB (run length 1) when the band
+    has trailing zeros."""
+    tvals = []
+    for k in range(ss, se + 1):
+        c = int(zzvec[k])
+        t = abs(c) >> al
+        tvals.append(t if c >= 0 else -t)
+    last = -1
+    for i, t in enumerate(tvals):
+        if t:
+            last = i
+    if last < 0:
+        code, ln = ac_tab[0x00]
+        bw.write(code, ln)
+        return
+    r = 0
+    for i in range(last + 1):
+        t = tvals[i]
+        if t == 0:
+            r += 1
+            if r == 16:
+                code, ln = ac_tab[0xF0]  # ZRL
+                bw.write(code, ln)
+                r = 0
+            continue
+        s = _category(t)
+        code, ln = ac_tab[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if last < se - ss:
+        code, ln = ac_tab[0x00]
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, zzvec, ss, se, al, ac_tab) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-significant
+    coefficients (magnitude>>al == 1) code as (run<<4)|1 + sign bit;
+    already-significant coefficients passed over buffer one correction
+    bit each, flushed after the next symbol (the spec's G.1.2.3
+    procedure, EOB-run length fixed at 1)."""
+    tvals = [abs(int(zzvec[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, t in enumerate(tvals):
+        if t == 1:
+            eob = i
+    r = 0
+    br_bits: list[int] = []
+
+    def flush_bits() -> None:
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits.clear()
+
+    for i, t in enumerate(tvals):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            code, ln = ac_tab[0xF0]  # ZRL over 16 zero-history positions
+            bw.write(code, ln)
+            r -= 16
+            flush_bits()
+        if t > 1:  # already significant: one correction bit
+            br_bits.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        code, ln = ac_tab[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zzvec[ss + i]) >= 0 else 0, 1)
+        flush_bits()
+        r = 0
+    if r > 0 or br_bits:
+        code, ln = ac_tab[0x00]  # EOB (run of exactly 1)
+        bw.write(code, ln)
+        flush_bits()
+
+
+def _encode_jpeg_progressive(
+    h, w, gray, samp, comp_blocks, ql, qc, tabs
+) -> bytes:
+    """SOF2 assembly for encode_jpeg(progressive=True): DC scan (all
+    components, Al=1) + DC refinement, then per component AC 1-5 and
+    6-63 at Al=1 with their refinements — the full successive-
+    approximation machinery, restricted to EOB runs of 1 so the Annex K
+    tables suffice."""
+    ncomp = 1 if gray else 3
+    maxh = max(sh for sh, _ in samp)
+    maxv = max(sv for _, sv in samp)
+    # zigzag coefficient grids per component
+    zzg = [
+        blocks.reshape(blocks.shape[0], blocks.shape[1], 64)[:, :, _ZIGZAG]
+        for blocks in comp_blocks
+    ]
+    mcu_rows = comp_blocks[0].shape[0] // samp[0][1]
+    mcu_cols = comp_blocks[0].shape[1] // samp[0][0]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + ql.astype(np.uint8).reshape(64)[_ZIGZAG].tobytes())
+    if not gray:
+        out += _seg(0xDB, b"\x01" + qc.astype(np.uint8).reshape(64)[_ZIGZAG].tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    for cls, tid, spec in ((0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA),
+                           (0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)):
+        if gray and tid == 1:
+            continue
+        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1]))
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            tid = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (tid << 4) | tid])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # ---- scan 1: DC, all components, Al=1 (interleaved MCU order)
+    out += sos(list(range(ncomp)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                dc_tab = tabs[ci][0]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(zzg[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _category(diff)
+                        code, ln = dc_tab[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+    out += bw.flush()
+
+    # ---- scan 2: DC refinement (Ah=1, Al=0): one raw bit per block
+    out += sos(list(range(ncomp)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(
+                            int(zzg[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1
+                        )
+    out += bw.flush()
+
+    # ---- per-component AC scans over the NON-INTERLEAVED grid
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        bcols = -(-(w * sh) // (8 * maxh))
+        brows = -(-(h * sv) // (8 * maxv))
+        ac_tab = tabs[ci][1]
+        for ss_b, se_b, ah, al in ((1, 5, 0, 1), (6, 63, 0, 1),
+                                   (1, 5, 1, 0), (6, 63, 1, 0)):
+            out += sos([ci], ss_b, se_b, ah, al)
+            bw = _BitWriter()
+            for by in range(brows):
+                for bx in range(bcols):
+                    if ah == 0:
+                        _emit_ac_first(bw, zzg[ci][by, bx], ss_b, se_b, al,
+                                       ac_tab)
+                    else:
+                        _emit_ac_refine(bw, zzg[ci][by, bx], ss_b, se_b, al,
+                                        ac_tab)
+            out += bw.flush()
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 class _BitReader:
@@ -1097,16 +1296,40 @@ class _BitReader:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _skip_jpeg_entropy(buf: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment: stuffed 0xFF00 bytes and
+    RSTn markers belong to the segment; 0xFF fill bytes before a marker
+    are skipped; the returned position is ON the 0xFF of the next real
+    marker (or EOF)."""
+    n = len(buf)
+    while pos + 1 < n:
+        if buf[pos] == 0xFF:
+            nxt = buf[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline sequential DCT JPEG (SOF0) → (h, w, 1) grayscale or
+    """Huffman DCT JPEG — baseline sequential (SOF0), extended
+    sequential (SOF1) and PROGRESSIVE (SOF2, round 11: spectral
+    selection + successive approximation, DC/AC refinement scans, EOB
+    runs, non-interleaved scan geometry) → (h, w, 1) grayscale or
     (h, w, 3) RGB uint8. Parses DQT/DHT tables from the stream (any
-    conforming tables, not just the Annex K typical ones), honors DRI
-    restart intervals, handles interleaved multi-component scans with
-    per-component sampling factors (4:4:4 and 4:2:0 are the tested
-    layouts; any h×v ≤ 2×2 grid decodes), nearest-neighbor chroma
-    upsample, float IDCT. Progressive (SOF2), arithmetic coding (SOF9+),
-    12-bit precision and hierarchical modes raise NotImplementedError;
-    structural corruption raises ValueError."""
+    conforming tables, not just the Annex K typical ones; progressive
+    scans snapshot tables at each SOS since they may be redefined
+    between scans), honors DRI restart intervals, handles interleaved
+    multi-component scans with per-component sampling factors (4:4:4
+    and 4:2:0 are the tested layouts; any h×v ≤ 2×2 grid decodes),
+    nearest-neighbor chroma upsample, float IDCT. Arithmetic coding
+    (SOF9+), 12-bit precision and hierarchical modes raise
+    NotImplementedError; structural corruption raises ValueError."""
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -1115,6 +1338,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     sof = None
     dri = 0
     scan = None
+    progressive = False
+    scans: list[tuple] = []  # progressive scan snapshots
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at byte {pos}")
@@ -1144,7 +1369,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + n])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical wire
+            # decode) / SOF2 progressive (round 11)
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -1153,11 +1380,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, hv, tqi = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tqi))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) supported, got SOF "
-                f"marker {marker:#x}"
+                f"only baseline/extended-sequential/progressive huffman "
+                f"JPEG supported, got SOF marker {marker:#x}"
             )
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
@@ -1165,7 +1393,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if not body:
                 raise ValueError("malformed JPEG SOS segment (empty)")
             ns = body[0]
-            if len(body) < 1 + 2 * ns:
+            if len(body) < 1 + 2 * ns + 3:
                 raise ValueError(
                     f"malformed JPEG SOS segment ({len(body)} bytes for "
                     f"{ns} components)"
@@ -1174,11 +1402,25 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 sel.append((cs, tabs >> 4, tabs & 0x0F))
-            scan = (sel, pos + 2 + ln)
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            data_pos = pos + 2 + ln
+            if not progressive:
+                scan = (sel, data_pos)
+                break
+            # progressive: snapshot the scan (tables/DRI may be redefined
+            # between scans), skip its entropy bytes, keep parsing
+            scans.append(
+                (sel, ss, se, ah_al >> 4, ah_al & 0x0F, dict(huff), dri,
+                 data_pos)
+            )
+            pos = _skip_jpeg_entropy(buf, data_pos)
+            continue
         pos += 2 + ln
-    if sof is None or scan is None:
-        raise ValueError("JPEG stream missing SOF0/SOS segment")
+    if sof is None or (scan is None and not scans):
+        raise ValueError("JPEG stream missing SOF/SOS segment")
+    if progressive:
+        return _decode_jpeg_progressive(bytes(buf), sof, qt, scans)
     h, w, comps = sof
     _check_decode_dims(w, h, "JPEG")
     sel, data_pos = scan
@@ -1218,6 +1460,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     for bx in range(sh):
                         zz = np.zeros(64)
                         s = br.huff(dct)
+                        if s > 15:  # crafted-table guard (see the
+                            # progressive DC path; fuzz find)
+                            raise ValueError(f"invalid JPEG DC category {s}")
                         preds[cid] += br.extend(s)
                         zz[0] = preds[cid]
                         k = 1
@@ -1243,6 +1488,13 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px8
             mcu_done += 1
 
+    return _compose_jpeg_planes(planes, comps, maxh, maxv, h, w)
+
+
+def _compose_jpeg_planes(planes, comps, maxh, maxv, h, w) -> np.ndarray:
+    """Per-component float planes → upsampled/cropped uint8 image
+    (grayscale or YCbCr→RGB), shared by the sequential and progressive
+    paths."""
     out_planes = []
     for cid, sh, sv, _tqi in comps:
         p = planes[cid]
@@ -1262,6 +1514,197 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_progressive(buf: bytes, sof, qt, scans) -> np.ndarray:
+    """Progressive JPEG (SOF2) scan replay: every scan updates the
+    per-component DCT coefficient grids (zigzag order, successive-
+    approximation bit planes applied as they arrive — DC first/refine,
+    AC first with EOB runs, AC refinement with correction bits per the
+    spec's G.1.2 procedures); one dequantize + IDCT at the end. Scan
+    geometry: interleaved scans walk MCUs, single-component scans walk
+    the component's own ceil(dim/8) block grid (which is SMALLER than
+    the MCU-padded grid for subsampled components)."""
+    h, w, comps = sof
+    _check_decode_dims(w, h, "JPEG")
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    if maxh > 2 or maxv > 2:
+        raise NotImplementedError("JPEG sampling factors above 2 unsupported")
+    mcu_cols = -(-w // (8 * maxh))
+    mcu_rows = -(-h // (8 * maxv))
+    meta = {}
+    zz: dict[int, np.ndarray] = {}  # cid -> (brows, bcols, 64) zigzag coefs
+    for cid, sh, sv, tqi in comps:
+        meta[cid] = (sh, sv, tqi)
+        zz[cid] = np.zeros((mcu_rows * sv, mcu_cols * sh, 64), dtype=np.int64)
+
+    for sel, ss, se, ah, al, huff, dri, data_pos in scans:
+        if not (0 <= ss <= se <= 63) or al > 13:
+            raise ValueError(f"invalid JPEG scan band Ss={ss} Se={se} Al={al}")
+        dc_scan = ss == 0
+        if dc_scan and se != 0:
+            raise ValueError("progressive JPEG DC scan must have Se=0")
+        if not dc_scan and len(sel) != 1:
+            raise ValueError("progressive JPEG AC scans must be single-component")
+        for cs, _td, _ta in sel:
+            if cs not in meta:
+                raise ValueError(f"JPEG scan references unknown component {cs}")
+        br = _BitReader(buf, data_pos)
+        preds = {cs: 0 for cs, *_ in sel}
+        eob_run = 0
+
+        def dc_block(cz: np.ndarray, cs: int, dct: dict) -> None:
+            nonlocal preds
+            if ah == 0:  # first pass: DPCM of (DC >> Al)
+                s = br.huff(dct)
+                if s > 15:  # a crafted table can code any 0-255 symbol;
+                    # a huge category would read s garbage bits and
+                    # overflow the coefficient store (fuzz find)
+                    raise ValueError(f"invalid JPEG DC category {s}")
+                preds[cs] += br.extend(s)
+                cz[0] = preds[cs] << al
+            else:  # refinement: one raw bit
+                if br.bits(1):
+                    cz[0] |= 1 << al
+        p1 = 1 << al
+        m1 = -(1 << al)
+
+        def ac_block_first(cz: np.ndarray, act: dict) -> None:
+            nonlocal eob_run
+            if eob_run > 0:
+                eob_run -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = br.huff(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:  # EOBn: run of 2^r + bits(r) blocks
+                        eob_run = (1 << r) - 1
+                        if r:
+                            eob_run += br.bits(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC coefficient overrun")
+                cz[k] = br.extend(s) << al
+                k += 1
+
+        def ac_block_refine(cz: np.ndarray, act: dict) -> None:
+            # spec G.1.2.3 (the libjpeg-documented procedure): newly-
+            # significant coefficients arrive as ±1<<Al; every nonzero
+            # coefficient passed over contributes one correction bit
+            nonlocal eob_run
+            k = ss
+            if eob_run == 0:
+                while k <= se:
+                    rs = br.huff(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eob_run = 1 << r
+                            if r:
+                                eob_run += br.bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid JPEG AC refinement magnitude"
+                            )
+                        val = p1 if br.bits(1) else m1
+                    while k <= se:
+                        if cz[k] != 0:
+                            if br.bits(1) and (cz[k] & p1) == 0:
+                                cz[k] += p1 if cz[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        cz[k] = val
+                    k += 1
+            if eob_run > 0:
+                while k <= se:
+                    if cz[k] != 0:
+                        if br.bits(1) and (cz[k] & p1) == 0:
+                            cz[k] += p1 if cz[k] >= 0 else m1
+                    k += 1
+                eob_run -= 1
+
+        def do_unit(cz: np.ndarray, cs: int, dct, act) -> None:
+            if dc_scan:
+                dc_block(cz, cs, dct)
+            elif ah == 0:
+                ac_block_first(cz, act)
+            else:
+                ac_block_refine(cz, act)
+
+        def restart_if_due(done: int) -> None:
+            nonlocal preds, eob_run
+            if dri and done and done % dri == 0:
+                br.restart()
+                preds = {cs: 0 for cs, *_ in sel}
+                eob_run = 0
+
+        tables = {}
+        for cs, td, ta in sel:
+            dct = huff.get((0, td)) if dc_scan and ah == 0 else None
+            act = huff.get((1, ta)) if not dc_scan else None
+            if dc_scan and ah == 0 and dct is None:
+                raise ValueError("JPEG scan references a missing huffman table")
+            if not dc_scan and act is None:
+                raise ValueError("JPEG scan references a missing huffman table")
+            tables[cs] = (dct, act)
+
+        if len(sel) > 1:  # interleaved (DC scans only, per the checks above)
+            done = 0
+            for my in range(mcu_rows):
+                for mx in range(mcu_cols):
+                    restart_if_due(done)
+                    for cs, _td, _ta in sel:
+                        sh, sv, _tqi = meta[cs]
+                        dct, act = tables[cs]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                do_unit(
+                                    zz[cs][my * sv + by, mx * sh + bx],
+                                    cs, dct, act,
+                                )
+                    done += 1
+        else:  # non-interleaved: the component's own ceil(dim/8) grid
+            cs = sel[0][0]
+            sh, sv, _tqi = meta[cs]
+            # ceil(ceil(dim·samp/maxsamp)/8) == ceil(dim·samp/(8·maxsamp))
+            bcols = -(-(w * sh) // (8 * maxh))
+            brows = -(-(h * sv) // (8 * maxv))
+            dct, act = tables[cs]
+            done = 0
+            for by in range(brows):
+                for bx in range(bcols):
+                    restart_if_due(done)
+                    do_unit(zz[cs][by, bx], cs, dct, act)
+                    done += 1
+
+    # one dequantize + IDCT per component at the end
+    planes = {}
+    for cid, sh, sv, tqi in comps:
+        if tqi not in qt:
+            raise ValueError(f"JPEG component uses missing quant table {tqi}")
+        grid = zz[cid]
+        brows, bcols, _ = grid.shape
+        nat = np.zeros((brows, bcols, 64))
+        nat[:, :, _ZIGZAG] = grid
+        coef = nat.reshape(brows, bcols, 8, 8) * qt[tqi]
+        px8 = np.einsum("ji,abjk,kl->abil", _DCT8, coef, _DCT8) + 128.0
+        planes[cid] = (
+            px8.transpose(0, 2, 1, 3).reshape(brows * 8, bcols * 8)
+        )
+    return _compose_jpeg_planes(planes, comps, maxh, maxv, h, w)
 
 
 # ------------------------------------------------------------------ GIF

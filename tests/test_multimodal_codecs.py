@@ -628,11 +628,19 @@ def test_jpeg_guards():
     with pytest.raises(ValueError, match="truncated"):
         codecs.decode_jpeg(bytes(buf[:-20]))  # cut inside the scan
 
-    # flip SOF0 -> SOF2 (progressive): find the FFC0 marker
+    # flip SOF0 -> SOF3 (lossless): still out of scope, loudly
     i = bytes(buf).index(b"\xff\xc0")
+    lossless = bytearray(buf)
+    lossless[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF"):
+        codecs.decode_jpeg(bytes(lossless))
+
+    # flip SOF0 -> SOF2: progressive DECODES now (round 11), so a
+    # baseline full-band scan relabeled progressive is MALFORMED
+    # (a DC scan with Se=63) and must raise cleanly
     prog = bytearray(buf)
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF"):
+    with pytest.raises(ValueError, match="Se=0"):
         codecs.decode_jpeg(bytes(prog))
 
     # 12-bit precision: first SOF body byte
@@ -927,6 +935,12 @@ def test_decoder_fuzz_contract():
                                   trns=bytes([9])),
         codecs.encode_jpeg(px, quality=90),
         codecs.encode_jpeg(px, quality=80, subsample="420", restart_interval=1),
+        # round 11: progressive stream + sub-byte PNGs (the r11 fuzz
+        # sweep found a DC-category OverflowError on crafted tables)
+        codecs.encode_jpeg(px, quality=85, subsample="420", progressive=True),
+        codecs.encode_png((px[:, :, 0] % 16).astype(np.uint8), depth=4),
+        codecs.encode_png_palette((px[:, :, 0] % 4).astype(np.uint8), pal,
+                                  depth=2),
         codecs.encode_wav(samples),
         codecs.encode_gif([(px[:, :, 0] % 4).astype(np.uint8)] * 2, pal),
     ]
@@ -1122,3 +1136,175 @@ def test_png_subbyte_guards():
     struct.pack_into(">I", b, 8 + 8 + 13, zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
     with pytest.raises(NotImplementedError, match="depth=2"):
         codecs.decode_png(bytes(b))
+
+
+# ------------------------------------------------- round 11: progressive JPEG
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (24, 17), (33, 9)])
+def test_jpeg_progressive_gray_matches_baseline(shape):
+    """progressive=True emits the SAME quantized coefficients as the
+    baseline stream, so both decode BIT-identically — a differential
+    pin of the whole SOF2 path (spectral selection + successive
+    approximation, DC/AC first + refinement scans)."""
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=90))
+    prog = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=90,
+                                                 progressive=True))
+    np.testing.assert_array_equal(base, prog)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_jpeg_progressive_color_matches_baseline(sub):
+    """Color + (for 420) subsampled components: the non-interleaved AC
+    scan geometry (component-own ceil(dim/8) grid, smaller than the
+    MCU-padded grid) must line up between encoder and decoder."""
+    px = rng.integers(0, 256, size=(21, 35, 3), dtype=np.uint8)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=85,
+                                                 subsample=sub))
+    prog = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=85,
+                                                 subsample=sub,
+                                                 progressive=True))
+    np.testing.assert_array_equal(base, prog)
+
+
+def _prog_sos(ss, se, ah, al):
+    from dataforge_spark.codecs import _seg
+
+    return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+
+def test_jpeg_progressive_refinement_zrl_correction_order():
+    """Adversarial refinement stream: a >16-zero-history run whose span
+    holds an already-significant coefficient BEYOND the 16th zero — the
+    ZRL + buffered-correction-bit convention must agree between emitter
+    and decoder (hand-built single-block stream, identity quant, decoded
+    pixels compared against a direct IDCT of the intended
+    coefficients)."""
+    from dataforge_spark.codecs import (
+        _DCT8,
+        _HUFF_AC_LUMA,
+        _HUFF_DC_LUMA,
+        _ZIGZAG,
+        _BitWriter,
+        _category,
+        _emit_ac_first,
+        _emit_ac_refine,
+        _huff_encode_table,
+        _seg,
+    )
+
+    zz = np.zeros(64, dtype=np.int64)
+    zz[1] = 4    # significant at Al=1
+    zz[19] = 6   # significant, beyond the 16th zero of the later run
+    zz[22] = 1   # newly significant only at the Al=0 refinement
+    zz[40] = -5  # negative, odd -> correction bit 1 at Al=0
+
+    dc_tab = _huff_encode_table(_HUFF_DC_LUMA)
+    ac_tab = _huff_encode_table(_HUFF_AC_LUMA)
+    q = np.ones((8, 8))
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + q.astype(np.uint8).reshape(64)[_ZIGZAG].tobytes())
+    out += _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_HUFF_DC_LUMA[0]) + bytes(_HUFF_DC_LUMA[1]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_HUFF_AC_LUMA[0]) + bytes(_HUFF_AC_LUMA[1]))
+    out += _prog_sos(0, 0, 0, 1)
+    bw = _BitWriter()
+    v = int(zz[0]) >> 1
+    s = _category(v)
+    c, ln = dc_tab[s]
+    bw.write(c, ln)
+    if s:
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+    out += bw.flush()
+    out += _prog_sos(0, 0, 1, 0)
+    bw = _BitWriter()
+    bw.write(int(zz[0]) & 1, 1)
+    out += bw.flush()
+    out += _prog_sos(1, 63, 0, 1)
+    bw = _BitWriter()
+    _emit_ac_first(bw, zz, 1, 63, 1, ac_tab)
+    out += bw.flush()
+    out += _prog_sos(1, 63, 1, 0)
+    bw = _BitWriter()
+    _emit_ac_refine(bw, zz, 1, 63, 0, ac_tab)
+    out += bw.flush()
+    out += b"\xff\xd9"
+
+    got = codecs.decode_jpeg(bytes(out))[:, :, 0].astype(float)
+    nat = np.zeros(64)
+    nat[_ZIGZAG] = zz
+    exp = np.clip(np.round(_DCT8.T @ (nat.reshape(8, 8) * q) @ _DCT8 + 128.0),
+                  0, 255)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_jpeg_progressive_eob_run_decodes():
+    """EOBn (runs > 1) need custom huffman tables (Annex K has no EOBn
+    symbols): hand-built 16x8 gray stream — two blocks, one EOB2 run
+    covering both after the first block's single coefficient. Decoder
+    must skip the second block and apply the run."""
+    from dataforge_spark.codecs import (
+        _DCT8,
+        _ZIGZAG,
+        _BitWriter,
+        _huff_encode_table,
+        _seg,
+    )
+
+    # custom tables: DC cats 0-3 at 3 bits; AC symbols EOB(0x00),
+    # EOB2(0x10), (run 0, size 1)=0x01 at 3 bits each
+    dc_bits = [0] * 16
+    dc_bits[2] = 4  # four 3-bit codes (index = code length - 1)
+    dc_vals = [0, 1, 2, 3]
+    ac_bits = [0] * 16
+    ac_bits[2] = 3
+    ac_vals = [0x00, 0x10, 0x01]
+    dc_tab = _huff_encode_table((dc_bits, dc_vals))
+    ac_tab = _huff_encode_table((ac_bits, ac_vals))
+
+    q = np.ones((8, 8))
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + q.astype(np.uint8).reshape(64)[_ZIGZAG].tobytes())
+    out += _seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    # DC scan (Al=0): both blocks DC = 0 -> cat 0 twice
+    out += _prog_sos(0, 0, 0, 0)
+    bw = _BitWriter()
+    c, ln = dc_tab[0]
+    bw.write(c, ln)
+    bw.write(c, ln)
+    out += bw.flush()
+    # AC scan 1-63 (Al=0): block 1: coef zz[1]=1 -> symbol 0x01 + bit,
+    # then EOB2 (0x10) + 1 appended bit (0) -> run = 2 + 0: covers the
+    # rest of block 1 AND all of block 2
+    out += _prog_sos(1, 63, 0, 0)
+    bw = _BitWriter()
+    c, ln = ac_tab[0x01]
+    bw.write(c, ln)
+    bw.write(1, 1)  # +1
+    c, ln = ac_tab[0x10]
+    bw.write(c, ln)
+    bw.write(0, 1)  # appended run bits
+    out += bw.flush()
+    out += b"\xff\xd9"
+
+    got = codecs.decode_jpeg(bytes(out))[:, :, 0].astype(float)
+    nat = np.zeros(64)
+    nat[_ZIGZAG[1]] = 1.0
+    exp1 = np.clip(np.round(_DCT8.T @ (nat.reshape(8, 8) * q) @ _DCT8 + 128.0),
+                   0, 255)
+    exp2 = np.full((8, 8), 128.0)
+    np.testing.assert_array_equal(got[:, :8], exp1)
+    np.testing.assert_array_equal(got[:, 8:], exp2)
+
+
+def test_jpeg_progressive_guards():
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    with pytest.raises(ValueError, match="restart_interval"):
+        codecs.encode_jpeg(px, progressive=True, restart_interval=4)
+    # decode_media dispatches progressive streams too
+    buf = codecs.encode_jpeg(px, progressive=True)
+    m = codecs.decode_media(buf)
+    assert (m["kind"], m["width"], m["height"]) == ("jpeg", 16, 16)
