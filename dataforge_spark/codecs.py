@@ -24,12 +24,15 @@ container bytes end-to-end:
   straight memcpy). Sub-byte depths (1/2/4-bit gray and palette —
   round 11) pack/unpack MSB-first per the spec; gray sub-byte samples
   are returned raw (0..2**depth−1), not 8-bit-rescaled.
-- **JPEG** (round 10): baseline sequential DCT (SOF0) — grayscale and
-  YCbCr 4:4:4 / 4:2:0, stream-defined DQT/DHT tables, DRI restart
-  markers, byte-unstuffing, float IDCT; encoder with Annex K typical
-  tables (quality-scaled) for round-trip tests. JPEG is LOSSY, so this
+- **JPEG** (rounds 10-11): huffman DCT — baseline sequential (SOF0),
+  extended sequential (SOF1) incl. 12-bit precision, and progressive
+  (SOF2, spectral selection + successive approximation) — grayscale and
+  YCbCr 4:4:4 / 4:2:0, stream-defined DQT/DHT tables (8- and 16-bit
+  quant entries), DRI restart markers, byte-unstuffing, float IDCT;
+  encoder with Annex K typical tables (quality-scaled) for round-trip
+  tests, plus progressive and 12-bit emit modes. JPEG is LOSSY, so this
   codec is pytest-pinned with error bounds rather than driver-oracle'd.
-  Progressive (SOF2) / arithmetic / 12-bit raise ``NotImplementedError``.
+  Arithmetic coding / hierarchical mode raise ``NotImplementedError``.
 - **WAV**: RIFF PCM (format tag 1), 8/16/32-bit integer samples, any
   channel count; chunk-walking decoder tolerates extra chunks (LIST,
   fact, ...).
@@ -685,13 +688,16 @@ def decode_media(buf: bytes) -> dict:
 
 
 # ----------------------------------------------------------------- JPEG
-# Baseline sequential DCT JPEG (SOF0), pure numpy + stdlib (round 10).
-# Grayscale and YCbCr 4:4:4 / 4:2:0; the constants below (zigzag order,
+# Huffman DCT JPEG, pure numpy + stdlib: baseline sequential SOF0
+# (round 10), extended sequential SOF1 incl. 12-bit precision and
+# PROGRESSIVE SOF2 with successive approximation (round 11). Grayscale
+# and YCbCr 4:4:4 / 4:2:0; the constants below (zigzag order,
 # quantization and Huffman table specs) are the JPEG standard's Annex K
-# reference tables. Progressive (SOF2), arithmetic coding, 12-bit
-# precision and fancier subsampling raise NotImplementedError. JPEG is
-# LOSSY: decode(encode(x)) approximates x (tests bound the error), so
-# unlike BMP/PNG/WAV this codec is pytest-pinned, not driver-oracle'd.
+# reference tables (the 12-bit encoder adds full-range tables — Annex K
+# stops at 8-bit categories). Arithmetic coding, hierarchical mode and
+# fancier subsampling raise NotImplementedError. JPEG is LOSSY:
+# decode(encode(x)) approximates x (tests bound the error), so unlike
+# BMP/PNG/WAV this codec is pytest-pinned, not driver-oracle'd.
 
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -766,6 +772,18 @@ _HUFF_AC_CHROMA = (
      0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
      0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
      0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# Full-range tables for the 12-BIT encoder (round 11): Annex K stops at
+# 8-bit-sized categories, but 12-bit DC diffs reach category 15 and AC
+# magnitudes category 14. Flat canonical codes — DC: 16 categories at 5
+# bits; AC: EOB, ZRL and every (run 0-15, size 1-15) symbol at 8 bits
+# (242 codes < 256, prefix-free by construction). Not optimal, just
+# valid — our 12-bit streams exist for decoder round-trip tests.
+_HUFF_DC_FULL = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_HUFF_AC_FULL = (
+    [0] * 7 + [242] + [0] * 8,
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 16)],
 )
 
 
@@ -906,6 +924,7 @@ def _seg(marker: int, body: bytes) -> bytes:
 def encode_jpeg(
     pixels: np.ndarray, quality: int = 90, subsample: str = "444",
     restart_interval: int = 0, progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """(h, w) / (h, w, 1) uint8 grayscale or (h, w, 3) uint8 RGB →
     baseline sequential JFIF JPEG with the Annex K typical quantization
@@ -921,7 +940,20 @@ def encode_jpeg(
     (valid, and representable in the Annex K tables, which lack EOBn
     symbols). Lossy by nature — see decode_jpeg for the error bounds
     the tests pin."""
-    px = np.asarray(pixels, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12:
+        if progressive:
+            raise ValueError("progressive 12-bit encode unsupported "
+                             "(decode handles SOF2 at 12-bit)")
+        px = np.asarray(pixels)
+        if px.dtype != np.uint16:
+            raise ValueError("12-bit encode_jpeg expects uint16 pixels")
+        if int(px.max(initial=0)) > 4095:
+            raise ValueError("12-bit encode_jpeg samples must be <= 4095")
+    else:
+        px = np.asarray(pixels, dtype=np.uint8)
+    center = float(1 << (precision - 1))
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
     gray = px.ndim == 2
@@ -935,15 +967,15 @@ def encode_jpeg(
     ql, qc = _quant_tables(quality)
 
     if gray:
-        planes = [px.astype(np.float64) - 128.0]
+        planes = [px.astype(np.float64) - center]
         qts = [ql]
         samp = [(1, 1)]
     else:
         rgb = px.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         if subsample == "420":
             # 2x2 mean over an edge-padded even grid
             cbp = _pad_to(cb, 2, 2)
@@ -953,7 +985,7 @@ def encode_jpeg(
             samp = [(2, 2), (1, 1), (1, 1)]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        planes = [y - center, cb - center, cr - center]
         qts = [ql, qc, qc]
 
     # per-component quantized DCT blocks. Each component plane (already
@@ -966,13 +998,24 @@ def encode_jpeg(
         p = _pad_to(plane, 8 * sv, 8 * sh)
         blk = _blocks_of(p)
         coef = np.einsum("ij,abjk,lk->abil", _DCT8, blk, _DCT8)
-        comp_blocks.append(np.round(coef / qt).astype(np.int64))
+        q = np.round(coef / qt).astype(np.int64)
+        if precision == 12:
+            # keep AC categories <= 14 and DC-diff categories <= 15, the
+            # ranges the full tables (and the 12-bit spec) cover; the
+            # clamp only binds at quality ~100 on extreme blocks
+            q = np.clip(q, -16383, 16383)
+        comp_blocks.append(q)
 
-    dc_l = _huff_encode_table(_HUFF_DC_LUMA)
-    ac_l = _huff_encode_table(_HUFF_AC_LUMA)
-    dc_c = _huff_encode_table(_HUFF_DC_CHROMA)
-    ac_c = _huff_encode_table(_HUFF_AC_CHROMA)
-    tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+    if precision == 12:
+        dc_f = _huff_encode_table(_HUFF_DC_FULL)
+        ac_f = _huff_encode_table(_HUFF_AC_FULL)
+        tabs = [(dc_f, ac_f)] * len(planes)
+    else:
+        dc_l = _huff_encode_table(_HUFF_DC_LUMA)
+        ac_l = _huff_encode_table(_HUFF_AC_LUMA)
+        dc_c = _huff_encode_table(_HUFF_DC_CHROMA)
+        ac_c = _huff_encode_table(_HUFF_AC_CHROMA)
+        tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
 
     if progressive:
         if restart_interval:
@@ -1014,13 +1057,19 @@ def encode_jpeg(
     if not gray:
         out += _seg(0xDB, b"\x01" + qc.astype(np.uint8).reshape(64)[_ZIGZAG].tobytes())
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += _seg(0xC0, sof)
-    for cls, tid, spec in ((0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA),
-                           (0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)):
+    # 12-bit requires extended sequential (SOF1); baseline SOF0 is 8-bit
+    out += _seg(0xC1 if precision == 12 else 0xC0, sof)
+    if precision == 12:
+        dht_specs = ((0, 0, _HUFF_DC_FULL), (1, 0, _HUFF_AC_FULL),
+                     (0, 1, _HUFF_DC_FULL), (1, 1, _HUFF_AC_FULL))
+    else:
+        dht_specs = ((0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA),
+                     (0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA))
+    for cls, tid, spec in dht_specs:
         if gray and tid == 1:
             continue
         out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1]))
@@ -1354,12 +1403,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid JPEG quant-table precision {pq}")
                 tbl = np.empty(64, dtype=np.float64)
-                tbl[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
+                if pq == 0:  # 8-bit entries
+                    tbl[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
+                    off += 65
+                else:  # 16-bit big-endian entries (12-bit streams)
+                    tbl[_ZIGZAG] = np.frombuffer(body, ">u2", 64, off + 1)
+                    off += 129
                 qt[tq] = tbl.reshape(8, 8)
-                off += 65
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(body):
@@ -1372,14 +1425,23 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):
             # SOF0 baseline / SOF1 extended sequential (identical wire
             # decode) / SOF2 progressive (round 11)
+            if len(body) < 6:
+                raise ValueError(f"malformed JPEG SOF segment ({len(body)} bytes)")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if len(body) < 6 + 3 * nc:
+                raise ValueError(
+                    f"malformed JPEG SOF segment ({len(body)} bytes for "
+                    f"{nc} components)"
+                )
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+                # baseline (SOF0) is 8-bit by definition; SOF1/SOF2
+                # also carry 12-bit (round 11)
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
             comps = []
             for i in range(nc):  # component specs follow the 6-byte header
                 cid, hv, tqi = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tqi))
-            sof = (h, w, comps)
+            sof = (h, w, comps, prec)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1388,6 +1450,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 f"JPEG supported, got SOF marker {marker:#x}"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("malformed JPEG DRI segment")
             dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             if not body:
@@ -1421,7 +1485,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError("JPEG stream missing SOF/SOS segment")
     if progressive:
         return _decode_jpeg_progressive(bytes(buf), sof, qt, scans)
-    h, w, comps = sof
+    h, w, comps, prec = sof
+    center = float(1 << (prec - 1))
     _check_decode_dims(w, h, "JPEG")
     sel, data_pos = scan
     maxh = max(c[1] for c in comps)
@@ -1482,19 +1547,23 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         blk = np.empty(64)
                         blk[_ZIGZAG] = zz
                         coef = blk.reshape(8, 8) * qt[tqi]
-                        px8 = _DCT8.T @ coef @ _DCT8 + 128.0
+                        px8 = _DCT8.T @ coef @ _DCT8 + center
                         y0 = (my * sv + by) * 8
                         x0 = (mx * sh + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px8
             mcu_done += 1
 
-    return _compose_jpeg_planes(planes, comps, maxh, maxv, h, w)
+    return _compose_jpeg_planes(planes, comps, maxh, maxv, h, w, prec)
 
 
-def _compose_jpeg_planes(planes, comps, maxh, maxv, h, w) -> np.ndarray:
-    """Per-component float planes → upsampled/cropped uint8 image
-    (grayscale or YCbCr→RGB), shared by the sequential and progressive
-    paths."""
+def _compose_jpeg_planes(planes, comps, maxh, maxv, h, w, prec=8) -> np.ndarray:
+    """Per-component float planes → upsampled/cropped image (grayscale
+    or YCbCr→RGB), shared by the sequential and progressive paths.
+    8-bit → uint8 clipped 0..255; 12-bit → uint16 clipped 0..4095 with
+    the chroma center at 2048."""
+    center = float(1 << (prec - 1))
+    vmax = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     out_planes = []
     for cid, sh, sv, _tqi in comps:
         p = planes[cid]
@@ -1503,17 +1572,17 @@ def _compose_jpeg_planes(planes, comps, maxh, maxv, h, w) -> np.ndarray:
             p = np.repeat(np.repeat(p, maxv // sv, axis=0), maxh // sh, axis=1)
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
-        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        y = np.clip(np.round(out_planes[0]), 0, vmax).astype(dtype)
         return y[:, :, None]
     if len(out_planes) != 3:
         raise NotImplementedError(
             f"{len(out_planes)}-component JPEG unsupported (expected 1 or 3)"
         )
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, vmax).astype(dtype)
 
 
 def _decode_jpeg_progressive(buf: bytes, sof, qt, scans) -> np.ndarray:
@@ -1525,7 +1594,7 @@ def _decode_jpeg_progressive(buf: bytes, sof, qt, scans) -> np.ndarray:
     geometry: interleaved scans walk MCUs, single-component scans walk
     the component's own ceil(dim/8) block grid (which is SMALLER than
     the MCU-padded grid for subsampled components)."""
-    h, w, comps = sof
+    h, w, comps, prec = sof
     _check_decode_dims(w, h, "JPEG")
     maxh = max(c[1] for c in comps)
     maxv = max(c[2] for c in comps)
@@ -1700,11 +1769,14 @@ def _decode_jpeg_progressive(buf: bytes, sof, qt, scans) -> np.ndarray:
         nat = np.zeros((brows, bcols, 64))
         nat[:, :, _ZIGZAG] = grid
         coef = nat.reshape(brows, bcols, 8, 8) * qt[tqi]
-        px8 = np.einsum("ji,abjk,kl->abil", _DCT8, coef, _DCT8) + 128.0
+        px8 = (
+            np.einsum("ji,abjk,kl->abil", _DCT8, coef, _DCT8)
+            + float(1 << (prec - 1))
+        )
         planes[cid] = (
             px8.transpose(0, 2, 1, 3).reshape(brows * 8, bcols * 8)
         )
-    return _compose_jpeg_planes(planes, comps, maxh, maxv, h, w)
+    return _compose_jpeg_planes(planes, comps, maxh, maxv, h, w, prec)
 
 
 # ------------------------------------------------------------------ GIF

@@ -938,6 +938,8 @@ def test_decoder_fuzz_contract():
         # round 11: progressive stream + sub-byte PNGs (the r11 fuzz
         # sweep found a DC-category OverflowError on crafted tables)
         codecs.encode_jpeg(px, quality=85, subsample="420", progressive=True),
+        codecs.encode_jpeg((px[:, :, 0].astype(np.uint16) * 16), quality=92,
+                           precision=12),
         codecs.encode_png((px[:, :, 0] % 16).astype(np.uint8), depth=4),
         codecs.encode_png_palette((px[:, :, 0] % 4).astype(np.uint8), pal,
                                   depth=2),
@@ -1308,3 +1310,72 @@ def test_jpeg_progressive_guards():
     buf = codecs.encode_jpeg(px, progressive=True)
     m = codecs.decode_media(buf)
     assert (m["kind"], m["width"], m["height"]) == ("jpeg", 16, 16)
+
+
+# ---------------------------------------------------- round 11: 12-bit JPEG
+
+
+def test_jpeg_12bit_roundtrip_gray_and_color():
+    """Extended-sequential (SOF1) 12-bit: uint16 in/out, level shift
+    2048, full-range huffman tables (Annex K stops at 8-bit
+    categories). Quant steps are tiny relative to the 4096 range, so
+    the error bounds are much tighter than the 8-bit pins."""
+    yy, xx = np.mgrid[0:24, 0:17]
+    px = ((yy * 150 + xx * 90) % 4096).astype(np.uint16)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=95, precision=12))
+    assert out.dtype == np.uint16 and out.shape == (24, 17, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - px.astype(int)).max()) <= 16
+
+    const = np.full((16, 16), 1234, np.uint16)
+    out_c = codecs.decode_jpeg(
+        codecs.encode_jpeg(const, quality=90, precision=12)
+    )
+    np.testing.assert_array_equal(out_c[:, :, 0], const)  # flat = exact
+
+    rgb = np.stack(
+        [((yy * 100 + xx * 60) % 4096), ((yy * 50 + xx * 120) % 4096),
+         ((yy * 77 + xx * 31) % 4096)], axis=2
+    ).astype(np.uint16)
+    out3 = codecs.decode_jpeg(
+        codecs.encode_jpeg(rgb, quality=95, precision=12)
+    )
+    assert out3.dtype == np.uint16
+    assert int(np.abs(out3.astype(int) - rgb.astype(int)).max()) <= 16
+
+
+def test_jpeg_12bit_sixteen_bit_dqt_entries():
+    """DQT precision 1 (16-bit big-endian entries): splice the 8-bit
+    table of a real 12-bit stream into its 16-bit form — the decode
+    must be bit-identical."""
+    px = np.full((8, 8), 3000, np.uint16)
+    px[2:5, 3:6] = 100
+    buf = bytearray(codecs.encode_jpeg(px, quality=90, precision=12))
+    i = bytes(buf).index(b"\xff\xdb")
+    assert buf[i + 2 : i + 4] == b"\x00\x43" and buf[i + 4] == 0x00
+    vals = bytes(buf[i + 5 : i + 5 + 64])
+    wide = struct.pack(">H", 2 + 1 + 128) + bytes([0x10]) + b"".join(
+        struct.pack(">H", v) for v in vals
+    )
+    spliced = bytes(buf[: i + 2]) + wide + bytes(buf[i + 4 + 65 :])
+    np.testing.assert_array_equal(
+        codecs.decode_jpeg(spliced), codecs.decode_jpeg(bytes(buf))
+    )
+
+
+def test_jpeg_12bit_guards():
+    with pytest.raises(ValueError, match="uint16"):
+        codecs.encode_jpeg(np.zeros((8, 8), np.uint8), precision=12)
+    with pytest.raises(ValueError, match="4095"):
+        codecs.encode_jpeg(np.full((8, 8), 5000, np.uint16), precision=12)
+    with pytest.raises(ValueError, match="progressive"):
+        codecs.encode_jpeg(np.zeros((8, 8), np.uint16), precision=12,
+                           progressive=True)
+    with pytest.raises(ValueError, match="precision"):
+        codecs.encode_jpeg(np.zeros((8, 8), np.uint8), precision=10)
+    # 12-bit under baseline SOF0 stays rejected (spec: baseline = 8-bit)
+    buf = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = bytes(buf).index(b"\xff\xc0")
+    deep = bytearray(buf)
+    deep[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        codecs.decode_jpeg(bytes(deep))
