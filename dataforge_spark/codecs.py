@@ -57,7 +57,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff(buf: bytes) -> str | None:
     """Container kind from magic bytes:
-    'bmp'|'ppm'|'png'|'wav'|'jpeg'|'gif'|None."""
+    'bmp'|'ppm'|'png'|'wav'|'avi'|'jpeg'|'gif'|None."""
     if len(buf) >= 2 and buf[:2] == b"BM":
         return "bmp"
     if len(buf) >= 2 and buf[:2] == b"P6":
@@ -66,6 +66,8 @@ def sniff(buf: bytes) -> str | None:
         return "png"
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
     if len(buf) >= 3 and buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if len(buf) >= 6 and buf[:6] in (b"GIF87a", b"GIF89a"):
@@ -642,9 +644,12 @@ def decode_media(buf: bytes) -> dict:
     guard for codecs this environment cannot host.
     """
     kind = sniff(bytes(buf))
-    if kind == "gif":
-        frames, _delays = decode_gif(bytes(buf))
-        stack = np.stack(frames)  # (n_frames, H, W, 3)
+    if kind in ("gif", "avi"):
+        if kind == "gif":
+            frames, _delays = decode_gif(bytes(buf))
+        else:
+            frames, _fps = decode_avi(bytes(buf))
+        stack = np.stack(frames)  # (n_frames, H, W, ch)
         return {
             "kind": kind,
             "width": stack.shape[2],
@@ -1365,7 +1370,21 @@ def _skip_jpeg_entropy(buf: bytes, pos: int) -> int:
     return n
 
 
-def decode_jpeg(buf: bytes) -> np.ndarray:
+def _mjpeg_default_table(tc: int, th: int):
+    """Annex K typical tables for MJPEG frames that OMIT their DHT
+    segments (the OpenDML convention: AVI MJPG frames may rely on the
+    standard tables). Only consulted when decode_jpeg runs with
+    default_tables=True — standalone JPEG decoding keeps the loud
+    missing-table error."""
+    spec = {
+        (0, 0): _HUFF_DC_LUMA, (1, 0): _HUFF_AC_LUMA,
+        (0, 1): _HUFF_DC_CHROMA, (1, 1): _HUFF_AC_CHROMA,
+    }.get((tc, th))
+    return None if spec is None else _huff_decode_table(list(spec[0]),
+                                                        list(spec[1]))
+
+
+def decode_jpeg(buf: bytes, default_tables: bool = False) -> np.ndarray:
     """Huffman DCT JPEG — baseline sequential (SOF0), extended
     sequential (SOF1) and PROGRESSIVE (SOF2, round 11: spectral
     selection + successive approximation, DC/AC refinement scans, EOB
@@ -1505,9 +1524,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     for cs, td, ta in sel:
         if cs not in meta:
             raise ValueError(f"JPEG scan references unknown component {cs}")
-        if (0, td) not in huff or (1, ta) not in huff:
+        dct = huff.get((0, td))
+        act = huff.get((1, ta))
+        if default_tables:  # MJPEG frames may omit DHT (see helper)
+            dct = dct or _mjpeg_default_table(0, td)
+            act = act or _mjpeg_default_table(1, ta)
+        if dct is None or act is None:
             raise ValueError("JPEG scan references a missing huffman table")
-        order.append((cs, huff[(0, td)], huff[(1, ta)]))
+        order.append((cs, dct, act))
 
     br = _BitReader(bytes(buf), data_pos)
     preds = {cid: 0 for cid, *_ in comps}
@@ -2088,3 +2112,154 @@ def decode_gif(buf: bytes):
     if not frames:
         raise ValueError("GIF stream contains no image frames")
     return frames, delays
+
+
+# ------------------------------------------------------------------ AVI
+# RIFF AVI container with MJPEG (Motion-JPEG) video frames (round 11) —
+# the one video container expressible with this module's own JPEG
+# codec: each '00dc' chunk in the 'movi' list is a standalone JPEG
+# stream. Parsing follows the public RIFF/AVI layout (hdrl: avih main
+# header + per-stream strl/strh/strf; movi: frame chunks, possibly
+# inside 'rec ' sublists; word-aligned chunks). Frames may omit their
+# huffman tables per the OpenDML MJPEG convention — decode falls back
+# to the Annex K tables for AVI frames only. Non-MJPG video codecs
+# raise NotImplementedError (no codec libraries in this environment).
+# MJPEG is LOSSY (per-frame JPEG), so like JPEG this container is
+# pytest-pinned with error bounds, not driver-oracle'd.
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk RIFF chunks in buf[pos:end] → (fourcc, body_start, size);
+    chunks are word-aligned (odd sizes carry one pad byte)."""
+    while pos + 8 <= end:
+        cc = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"truncated AVI chunk {cc!r} ({size} bytes claimed, "
+                f"{end - body} remain)"
+            )
+        yield cc, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi(buf: bytes) -> tuple[list[np.ndarray], float]:
+    """MJPEG AVI → (list of decoded frames, fps). Every frame decodes
+    through decode_jpeg (with the MJPEG missing-DHT fallback); frame
+    shapes must agree; per-frame AND total decoded pixels are capped
+    (untrusted-input contract — headers declare sizes independently of
+    input bytes)."""
+    buf = bytes(buf)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    end = min(len(buf), 8 + int.from_bytes(buf[4:8], "little"))
+    micro_per_frame = 0
+    vids_handler: bytes | None = None
+    frame_bufs: list[bytes] = []
+
+    def collect_movi(start: int, stop: int) -> None:
+        for cc, s, z in _riff_chunks(buf, start, stop):
+            if cc == b"LIST" and buf[s : s + 4] == b"rec ":
+                collect_movi(s + 4, s + z)
+            elif cc[2:4] in (b"dc", b"db") and z > 0:
+                frame_bufs.append(buf[s : s + z])
+
+    for cc, start, size in _riff_chunks(buf, 12, end):
+        if cc != b"LIST":
+            continue
+        ltype = buf[start : start + 4]
+        if ltype == b"hdrl":
+            for cc2, s2, z2 in _riff_chunks(buf, start + 4, start + size):
+                if cc2 == b"avih" and z2 >= 4:
+                    micro_per_frame = int.from_bytes(buf[s2 : s2 + 4], "little")
+                elif cc2 == b"LIST" and buf[s2 : s2 + 4] == b"strl":
+                    for cc3, s3, z3 in _riff_chunks(buf, s2 + 4, s2 + z2):
+                        if cc3 == b"strh" and z3 >= 8 \
+                                and buf[s3 : s3 + 4] == b"vids":
+                            vids_handler = bytes(buf[s3 + 4 : s3 + 8])
+        elif ltype == b"movi":
+            collect_movi(start + 4, start + size)
+    if vids_handler is None:
+        raise ValueError("AVI stream has no video stream header (strh vids)")
+    if vids_handler.lower() not in (b"mjpg", b"jpeg", b"\x00\x00\x00\x00"):
+        raise NotImplementedError(
+            f"AVI video codec {vids_handler!r} unsupported (MJPG only)"
+        )
+    if not frame_bufs:
+        raise ValueError("AVI stream contains no video frames")
+    frames: list[np.ndarray] = []
+    total_px = 0
+    for fb in frame_bufs:
+        px = decode_jpeg(fb, default_tables=True)
+        if frames and px.shape != frames[0].shape:
+            raise ValueError(
+                f"AVI frame shape {px.shape} differs from {frames[0].shape}"
+            )
+        total_px += px.shape[0] * px.shape[1]
+        if total_px > MAX_DECODE_PIXELS:
+            raise ValueError(
+                f"AVI total decoded pixels exceed the {MAX_DECODE_PIXELS} cap"
+            )
+        frames.append(px)
+    fps = 1e6 / micro_per_frame if micro_per_frame else 0.0
+    return frames, fps
+
+
+def _riff_chunk(cc: bytes, body: bytes) -> bytes:
+    return cc + len(body).to_bytes(4, "little") + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def encode_avi(
+    frames: list[np.ndarray], fps: float = 10.0, quality: int = 90
+) -> bytes:
+    """Frames ((h, w[, 1|3]) uint8, equal shapes) → MJPEG AVI: standard
+    hdrl (avih + one vids strl with an MJPG strh and a BITMAPINFOHEADER
+    strf) + movi with one '00dc' JPEG per frame. For round-trip tests
+    and the frame-sampling pipeline — per-frame JPEG is lossy."""
+    if not frames:
+        raise ValueError("encode_avi requires at least one frame")
+    if fps <= 0:
+        raise ValueError(f"fps must be positive, got {fps}")
+    first = np.asarray(frames[0])
+    h, w = first.shape[:2]
+    jpegs = []
+    for f in frames:
+        f = np.asarray(f)
+        if f.shape[:2] != (h, w):
+            raise ValueError("encode_avi frames must share one shape")
+        jpegs.append(encode_jpeg(f, quality=quality))
+    buf_size = max(len(j) for j in jpegs)
+    n = len(jpegs)
+    micro = int(round(1e6 / fps))
+    avih = struct.pack(
+        "<10I", micro, buf_size * int(fps) + 1, 0, 0x10, n, 0, 1, buf_size,
+        w, h,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0)
+        + struct.pack("<HH", 0, 0)          # priority, language
+        + struct.pack("<IIIII", 0, 1, int(round(fps)), 0, n)  # init, scale,
+        # rate, start, length
+        + struct.pack("<IIi", buf_size, 0, 0)  # bufsize, quality, samplesize
+        + struct.pack("<4h", 0, 0, w, h)    # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", j) for j in jpegs)
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
