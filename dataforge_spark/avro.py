@@ -12,9 +12,11 @@ Scope (the tabular interchange subset, widened in round 11):
   ``boolean/int/long/float/double/bytes/string`` — or, recursively,
   ``array``s, ``map``s (string keys, per the spec) and nested
   ``record``s of those, each optionally nullable via the idiomatic
-  ``["null", T]`` union, plus the ``timestamp-micros`` logical type on
-  ``long`` (Spark TimestampType). ``enum``/``fixed``/general unions
-  raise ``NotImplementedError``.
+  ``["null", T]`` union, plus the logical types ``timestamp-micros``
+  on ``long`` (Spark TimestampType), ``date`` on ``int`` (DateType)
+  and ``decimal`` on ``bytes`` (DecimalType — big-endian
+  two's-complement unscaled integers per the spec).
+  ``enum``/``fixed``/general unions raise ``NotImplementedError``.
 - **Codecs**: ``null``, ``deflate`` (raw RFC-1951) and ``snappy``
   (raw snappy block format + the spec's 4-byte big-endian CRC32 of the
   uncompressed data). The snappy decoder handles the full format; the
@@ -122,6 +124,28 @@ def _encode_value(typ: str, v: Any) -> bytes:
         return b"\x01" if v else b"\x00"
     if typ in ("int", "long"):
         return _zigzag_encode(int(v))
+    if typ == "date":  # logical date: int days since epoch
+        import datetime
+
+        if isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            v = (v - datetime.date(1970, 1, 1)).days
+        return _zigzag_encode(int(v))
+    if typ.startswith("decimal("):  # logical decimal on bytes:
+        # big-endian two's-complement unscaled integer
+        import decimal
+
+        _p, s = _decimal_args(typ)
+        unscaled = int(
+            decimal.Decimal(v).scaleb(s).to_integral_value(
+                rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        raw = unscaled.to_bytes(
+            max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
+        )
+        return _zigzag_encode(len(raw)) + raw
     if typ == "float":
         return struct.pack("<f", float(v))
     if typ == "double":
@@ -135,7 +159,33 @@ def _encode_value(typ: str, v: Any) -> bytes:
     raise NotImplementedError(f"unsupported Avro type {typ!r}")
 
 
+def _decimal_args(typ: str) -> tuple[int, int]:
+    p, s = typ[8:-1].split(",")
+    return int(p), int(s)
+
+
 def _decode_value(typ: str, buf: bytes, pos: int) -> tuple[Any, int]:
+    if typ == "date":
+        import datetime
+
+        days, pos = _zigzag_decode(buf, pos)
+        try:
+            return (
+                datetime.date(1970, 1, 1) + datetime.timedelta(days=days),
+                pos,
+            )
+        except OverflowError:
+            raise ValueError(f"Avro date out of range ({days} days)") from None
+    if typ.startswith("decimal("):
+        import decimal
+
+        n, pos = _zigzag_decode(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("truncated Avro decimal value")
+        raw = bytes(buf[pos : pos + n])
+        _p, s = _decimal_args(typ)
+        unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
+        return decimal.Decimal(unscaled).scaleb(-s), pos + n
     need = {"boolean": 1, "float": 4, "double": 8}.get(typ)
     if need is not None and pos + need > len(buf):
         raise ValueError(f"truncated Avro {typ} value")
@@ -442,6 +492,17 @@ def _type_desc(ft: Any, where: str) -> tuple[Any, bool]:
         kind = ft.get("type")
         if ft.get("logicalType") == "timestamp-micros" and kind == "long":
             return "long", True
+        if ft.get("logicalType") == "date" and kind == "int":
+            return "date", False
+        if ft.get("logicalType") == "decimal" and kind == "bytes":
+            p, s = ft.get("precision"), ft.get("scale", 0)
+            if not isinstance(p, int) or not isinstance(s, int) \
+                    or not 0 < p <= 38 or not 0 <= s <= p:
+                raise ValueError(
+                    f"{where}: invalid Avro decimal precision/scale "
+                    f"({p}, {s})"
+                )
+            return f"decimal({p},{s})", False
         if kind == "array":
             ed, e_null, e_ts = _branch_desc(ft.get("items"), f"{where} items")
             return ("array", ed, e_null, e_ts), False
@@ -493,6 +554,15 @@ def _avro_type_of(dt: T.DataType, where: str) -> Any:
     """Spark type → Avro JSON type (recursive)."""
     if isinstance(dt, T.TimestampType):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     prim = _SPARK_TO_AVRO.get(dt)
     if prim is not None:
         return prim
@@ -580,6 +650,11 @@ def _spark_type_of(desc: Any, is_ts: bool) -> T.DataType:
     if is_ts:
         return T.TimestampType()
     if isinstance(desc, str):
+        if desc == "date":
+            return T.DateType()
+        if desc.startswith("decimal("):
+            p, s = _decimal_args(desc)
+            return T.DecimalType(p, s)
         return _AVRO_TO_SPARK[desc]
     tag = desc[0]
     if tag == "array":

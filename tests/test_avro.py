@@ -543,3 +543,65 @@ def test_avro_array_forward_built_stream():
     )
     _, rows = _decode_ocf(buf)
     assert rows == [{"xs": [1, 2, -3]}]
+
+
+def test_avro_date_and_decimal_logical_types(spark, tmp_path):
+    """Round 11: `date` (int days) and `decimal` (bytes, big-endian
+    two's-complement unscaled int) logical types round-trip through
+    Spark DateType/DecimalType — the common lake-interchange column
+    types beyond timestamps."""
+    import datetime
+    from decimal import Decimal
+
+    rows = [
+        (1, datetime.date(2024, 3, 1), Decimal("12345.67")),
+        (2, datetime.date(1969, 12, 31), None),
+        (3, None, Decimal("-0.01")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, d date, m decimal(10,2)")
+    path = str(tmp_path / "logical")
+    write_avro(df, path, codec="deflate")
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    assert sorted(back.collect(), key=lambda r: r["id"]) == sorted(
+        df.collect(), key=lambda r: r["id"]
+    )
+
+    # wire-level (no encoder trust): hand-assembled date + decimal bytes.
+    # date 2024-03-01 = 19783 days; decimal 1234567 unscaled -> 3 bytes
+    # 0x12 0xD6 0x87
+    schema = (
+        b'{"type":"record","name":"r","fields":['
+        b'{"name":"d","type":{"type":"int","logicalType":"date"}},'
+        b'{"name":"m","type":{"type":"bytes","logicalType":"decimal",'
+        b'"precision":10,"scale":2}}]}'
+    )
+    sync = bytes(range(32, 48))
+    meta = (
+        _zigzag_encode(2)
+        + _zigzag_encode(len(b"avro.schema")) + b"avro.schema"
+        + _zigzag_encode(len(schema)) + schema
+        + _zigzag_encode(len(b"avro.codec")) + b"avro.codec"
+        + _zigzag_encode(4) + b"null"
+        + _zigzag_encode(0)
+    )
+    payload = (
+        _zigzag_encode(19783)
+        + _zigzag_encode(3) + bytes([0x12, 0xD6, 0x87])
+    )
+    buf = (
+        _MAGIC + meta + sync
+        + _zigzag_encode(1) + _zigzag_encode(len(payload)) + payload + sync
+    )
+    _, got = _decode_ocf(buf)
+    assert got == [{"d": datetime.date(2024, 3, 1), "m": Decimal("12345.67")}]
+
+    # crafted out-of-range date raises ValueError, not OverflowError
+    bad_payload = _zigzag_encode(10**9) + _zigzag_encode(1) + b"\x00"
+    bad = (
+        _MAGIC + meta + sync
+        + _zigzag_encode(1) + _zigzag_encode(len(bad_payload))
+        + bad_payload + sync
+    )
+    with pytest.raises(ValueError, match="date out of range"):
+        _decode_ocf(bad)
