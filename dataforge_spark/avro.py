@@ -13,10 +13,16 @@ Scope (the tabular interchange subset, widened in round 11):
   ``array``s, ``map``s (string keys, per the spec) and nested
   ``record``s of those, each optionally nullable via the idiomatic
   ``["null", T]`` union, plus the logical types ``timestamp-micros``
-  on ``long`` (Spark TimestampType), ``date`` on ``int`` (DateType)
-  and ``decimal`` on ``bytes`` (DecimalType — big-endian
-  two's-complement unscaled integers per the spec).
-  ``enum``/``fixed``/general unions raise ``NotImplementedError``.
+  and ``timestamp-millis`` on ``long`` (Spark TimestampType),
+  ``date`` on ``int`` (DateType), ``decimal`` on ``bytes``
+  (DecimalType — big-endian two's-complement unscaled integers per
+  the spec) and ``uuid`` on ``string`` (annotation-only → StringType).
+  ``enum`` decodes to its symbol string (StringType) and ``fixed(N)``
+  to exactly-N bytes (BinaryType); the Spark→Avro writer never emits
+  either (Spark has no enum/fixed types), but the internal encoder
+  supports both so spec streams and reader-resolution paths are
+  testable. General (non-``[null, T]``) unions raise
+  ``NotImplementedError``.
 - **Codecs**: ``null``, ``deflate`` (raw RFC-1951) and ``snappy``
   (raw snappy block format + the spec's 4-byte big-endian CRC32 of the
   uncompressed data). The snappy decoder handles the full format; the
@@ -146,6 +152,8 @@ def _encode_value(typ: str, v: Any) -> bytes:
             max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
         )
         return _zigzag_encode(len(raw)) + raw
+    if typ == "ts_millis":  # logical timestamp-millis on long
+        return _zigzag_encode(_to_micros(v) // 1000)
     if typ == "float":
         return struct.pack("<f", float(v))
     if typ == "double":
@@ -176,6 +184,20 @@ def _decode_value(typ: str, buf: bytes, pos: int) -> tuple[Any, int]:
             )
         except OverflowError:
             raise ValueError(f"Avro date out of range ({days} days)") from None
+    if typ == "ts_millis":
+        import datetime
+
+        ms, pos = _zigzag_decode(buf, pos)
+        try:
+            return (
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(milliseconds=ms),
+                pos,
+            )
+        except OverflowError:
+            raise ValueError(
+                f"Avro timestamp-millis out of range ({ms} ms)"
+            ) from None
     if typ.startswith("decimal("):
         import decimal
 
@@ -236,6 +258,21 @@ def _encode_datum(desc, is_ts: bool, v: Any) -> bytes:
     if isinstance(desc, str):
         return _encode_value(desc, v)
     tag = desc[0]
+    if tag == "enum":
+        symbols = desc[1]
+        try:
+            return _zigzag_encode(symbols.index(str(v)))
+        except ValueError:
+            raise ValueError(
+                f"value {v!r} is not a symbol of Avro enum {symbols}"
+            ) from None
+    if tag == "fixed":
+        raw = bytes(v)
+        if len(raw) != desc[1]:
+            raise ValueError(
+                f"Avro fixed({desc[1]}) value has {len(raw)} bytes"
+            )
+        return raw
     if tag == "array":
         _, ed, e_null, e_ts = desc
         items = list(v)
@@ -300,6 +337,20 @@ def _decode_datum(desc, is_ts: bool, buf: bytes, pos: int) -> tuple[Any, int]:
             ).replace(tzinfo=None)
         return v, pos
     tag = desc[0]
+    if tag == "enum":
+        idx, pos = _zigzag_decode(buf, pos)
+        symbols = desc[1]
+        if not 0 <= idx < len(symbols):
+            raise ValueError(
+                f"Avro enum index {idx} out of range (|symbols|="
+                f"{len(symbols)})"
+            )
+        return symbols[idx], pos
+    if tag == "fixed":
+        size = desc[1]
+        if pos + size > len(buf):
+            raise ValueError(f"truncated Avro fixed({size}) value")
+        return bytes(buf[pos : pos + size]), pos + size
     if tag in ("array", "map"):
         _, ed, e_null, e_ts = desc
         out_list: list = []
@@ -492,6 +543,11 @@ def _type_desc(ft: Any, where: str) -> tuple[Any, bool]:
         kind = ft.get("type")
         if ft.get("logicalType") == "timestamp-micros" and kind == "long":
             return "long", True
+        if ft.get("logicalType") == "timestamp-millis" and kind == "long":
+            return "ts_millis", False
+        if ft.get("logicalType") == "uuid" and kind == "string":
+            # annotation-only logical type (the spec: underlying string)
+            return "string", False
         if ft.get("logicalType") == "date" and kind == "int":
             return "date", False
         if ft.get("logicalType") == "decimal" and kind == "bytes":
@@ -514,6 +570,23 @@ def _type_desc(ft: Any, where: str) -> tuple[Any, bool]:
             if not isinstance(fields, list) or not fields:
                 raise ValueError(f"{where}: malformed nested record schema")
             return ("record", [_field_spec(f) for f in fields]), False
+        if kind == "enum":
+            symbols = ft.get("symbols")
+            if (
+                not isinstance(symbols, list)
+                or not symbols
+                or not all(isinstance(s, str) for s in symbols)
+                or len(set(symbols)) != len(symbols)
+            ):
+                raise ValueError(
+                    f"{where}: malformed Avro enum symbols {symbols!r}"
+                )
+            return ("enum", tuple(symbols)), False
+        if kind == "fixed":
+            size = ft.get("size")
+            if not isinstance(size, int) or size < 0:
+                raise ValueError(f"{where}: malformed Avro fixed size {size!r}")
+            return ("fixed", size), False
         raise NotImplementedError(
             f"{where}: unsupported complex/logical type {ft}"
         )
@@ -652,11 +725,17 @@ def _spark_type_of(desc: Any, is_ts: bool) -> T.DataType:
     if isinstance(desc, str):
         if desc == "date":
             return T.DateType()
+        if desc == "ts_millis":
+            return T.TimestampType()
         if desc.startswith("decimal("):
             p, s = _decimal_args(desc)
             return T.DecimalType(p, s)
         return _AVRO_TO_SPARK[desc]
     tag = desc[0]
+    if tag == "enum":
+        return T.StringType()
+    if tag == "fixed":
+        return T.BinaryType()
     if tag == "array":
         return T.ArrayType(_spark_type_of(desc[1], desc[3]), desc[2])
     if tag == "map":

@@ -131,14 +131,21 @@ def test_avro_guards(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="zstd"):
         _decode_ocf(bytes(buf))
 
-    # enums are out of scope, loudly (nested records are supported now)
+    # enum is SUPPORTED as of round 11 (decodes to its symbol string);
+    # an unknown logical type still fails loudly
     enum = json.dumps({
         "type": "record", "name": "r",
         "fields": [{"name": "x", "type": {"type": "enum", "name": "e",
                                           "symbols": ["A", "B"]}}],
     })
+    assert spark_schema_of(enum)["x"].dataType.simpleString() == "string"
+    tm = json.dumps({
+        "type": "record", "name": "r",
+        "fields": [{"name": "x", "type": {"type": "long",
+                                          "logicalType": "time-micros"}}],
+    })
     with pytest.raises(NotImplementedError, match="complex"):
-        spark_schema_of(enum)
+        spark_schema_of(tm)
 
     # bare-null field type: clean error, not a KeyError (ADVICE r10)
     bare_null = json.dumps({
@@ -605,3 +612,116 @@ def test_avro_date_and_decimal_logical_types(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="date out of range"):
         _decode_ocf(bad)
+
+
+def _ocf(schema: bytes, payloads: list[bytes], sync=bytes(range(48, 64))):
+    meta = (
+        _zigzag_encode(2)
+        + _zigzag_encode(len(b"avro.schema")) + b"avro.schema"
+        + _zigzag_encode(len(schema)) + schema
+        + _zigzag_encode(len(b"avro.codec")) + b"avro.codec"
+        + _zigzag_encode(4) + b"null"
+        + _zigzag_encode(0)
+    )
+    body = b"".join(
+        _zigzag_encode(1) + _zigzag_encode(len(p)) + p + sync
+        for p in payloads
+    )
+    return _MAGIC + meta + sync + body
+
+
+def test_avro_enum_fixed_millis_uuid(spark, tmp_path):
+    """Round 11: hand-assembled wire bytes for the remaining interchange
+    types — enum (int index -> symbol string), fixed(N) (raw N bytes),
+    timestamp-millis (long ms -> TimestampType) and the annotation-only
+    uuid logical type on string."""
+    schema = (
+        b'{"type":"record","name":"r","fields":['
+        b'{"name":"c","type":{"type":"enum","name":"col",'
+        b'"symbols":["RED","GREEN","BLUE"]}},'
+        b'{"name":"f","type":{"type":"fixed","name":"md5","size":4}},'
+        b'{"name":"t","type":{"type":"long",'
+        b'"logicalType":"timestamp-millis"}},'
+        b'{"name":"u","type":{"type":"string","logicalType":"uuid"}}]}'
+    )
+    uuid = b"00000000-0000-4000-8000-000000000001"
+    # 2024-03-01T00:00:00.250 = 19783 days * 86400_000 + 250 ms
+    ms = 19783 * 86_400_000 + 250
+    payload = (
+        _zigzag_encode(2)                       # enum index 2 -> BLUE
+        + b"\xde\xad\xbe\xef"                   # fixed(4), no length prefix
+        + _zigzag_encode(ms)
+        + _zigzag_encode(len(uuid)) + uuid
+    )
+    buf = _ocf(schema, [payload])
+    _, rows = _decode_ocf(buf)
+    assert rows == [{
+        "c": "BLUE",
+        "f": b"\xde\xad\xbe\xef",
+        "t": datetime.datetime(2024, 3, 1, 0, 0, 0, 250000),
+        "u": uuid.decode(),
+    }]
+
+    # Spark-read path end-to-end on the crafted file: schema mapping
+    # (enum->string, fixed->binary, millis->timestamp, uuid->string)
+    # and values survive the mapInPandas decode + Arrow cast.
+    d = tmp_path / "crafted"
+    d.mkdir()
+    (d / "part-00000.avro").write_bytes(buf)
+    back = read_avro(spark, str(d))
+    assert [f.simpleString() for f in back.schema.fields] == [
+        "c:string", "f:binary", "t:timestamp", "u:string"
+    ]
+    r = back.collect()[0]
+    assert r["c"] == "BLUE" and bytes(r["f"]) == b"\xde\xad\xbe\xef"
+    assert r["t"] == datetime.datetime(2024, 3, 1, 0, 0, 0, 250000)
+    assert r["u"] == uuid.decode()
+
+    # guards: out-of-range enum index; truncated fixed; malformed schemas
+    bad_idx = _ocf(schema, [
+        _zigzag_encode(7) + b"\xde\xad\xbe\xef" + _zigzag_encode(ms)
+        + _zigzag_encode(len(uuid)) + uuid
+    ])
+    with pytest.raises(ValueError, match="enum index"):
+        _decode_ocf(bad_idx)
+    short_fixed = _ocf(schema, [_zigzag_encode(0) + b"\xde\xad"])
+    with pytest.raises(ValueError, match="truncated Avro fixed"):
+        _decode_ocf(short_fixed)
+    for bad in (
+        b'{"type":"record","name":"r","fields":[{"name":"c","type":'
+        b'{"type":"enum","name":"e","symbols":[]}}]}',
+        b'{"type":"record","name":"r","fields":[{"name":"c","type":'
+        b'{"type":"enum","name":"e","symbols":["A","A"]}}]}',
+        b'{"type":"record","name":"r","fields":[{"name":"f","type":'
+        b'{"type":"fixed","name":"x","size":-1}}]}',
+    ):
+        with pytest.raises(ValueError, match="malformed Avro"):
+            spark_schema_of(bad.decode())
+
+
+def test_avro_enum_fixed_encoder_roundtrip():
+    """The internal encoder writes enum indexes / raw fixed bytes that
+    its own decoder (already pinned against hand bytes above) reads
+    back; unknown symbols and wrong-length fixed values error."""
+    from dataforge_spark.avro import _decode_datum, _encode_datum
+
+    enum_desc = ("enum", ("A", "B", "C"))
+    for sym in ("A", "C"):
+        buf = _encode_datum(enum_desc, False, sym)
+        got, pos = _decode_datum(enum_desc, False, buf, 0)
+        assert got == sym and pos == len(buf)
+    with pytest.raises(ValueError, match="not a symbol"):
+        _encode_datum(enum_desc, False, "Z")
+
+    fixed_desc = ("fixed", 3)
+    buf = _encode_datum(fixed_desc, False, b"\x01\x02\x03")
+    assert buf == b"\x01\x02\x03"
+    assert _decode_datum(fixed_desc, False, buf, 0) == (b"\x01\x02\x03", 3)
+    with pytest.raises(ValueError, match="fixed"):
+        _encode_datum(fixed_desc, False, b"\x01")
+
+    # timestamp-millis: pre-epoch datetimes floor-divide consistently
+    pre = datetime.datetime(1969, 12, 31, 23, 59, 59, 999000)
+    buf = _encode_datum("ts_millis", False, pre)
+    got, _ = _decode_datum("ts_millis", False, buf, 0)
+    assert got == pre
