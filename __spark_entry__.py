@@ -264,11 +264,16 @@ def q_s1_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       embedding array<float>, label int`` — through snappy-codec Avro,
       attesting the complex-type encoding (block-framed arrays) and
       the snappy block codec; the checksum folds every float element
-      (exact 4-byte IEEE round-trip, cast to double before summing).
+      (exact 4-byte IEEE round-trip, cast to double before summing);
+    - ``tfrecord`` (round 11): write_tfrecord (CRC32C-masked framing +
+      tf.Example protobuf, ``dataforge_spark/tfrecord.py``) →
+      read_tfrecord — gzip parts, ``double_mode="bytes"`` so the
+      double checksum is exact (nulls ride the omitted-feature
+      convention and are counted by the valid-row stats unchanged).
 
     Each leg emits the same summary (row count, value checksum,
-    distinct counts), so one oracle row proves all five sinks preserve
-    the data and all five scans read it back losslessly."""
+    distinct counts), so one oracle row proves all six sinks preserve
+    the data and all six scans read it back losslessly."""
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value", "props")
     run = uuid.uuid4().hex[:8]
 
@@ -337,9 +342,23 @@ def q_s1_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.lit(False), F.lit(1))).alias("n_corrupt"),
     ).withColumn("variant", F.lit("avro_arr"))
 
+    from dataforge_spark.tfrecord import read_tfrecord, write_tfrecord
+
+    tfr_path = f"/tmp/dataforge_tfrec_{run}"
+    write_tfrecord(ev, tfr_path, compression="gzip", double_mode="bytes")
+    tfr_leg = _leg(
+        "tfrecord",
+        read_tfrecord(
+            spark, tfr_path,
+            "event_id bigint, event_type string, value double, props string",
+            double_mode="bytes",
+        ),
+    )
+
     return (
         csv_leg.unionByName(jsonl_leg).unionByName(orc_leg)
         .unionByName(avro_leg).unionByName(avro_arr_leg)
+        .unionByName(tfr_leg)
     )
 
 
@@ -2037,6 +2056,9 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT label) AS n_types,
                CAST(0 AS BIGINT) AS n_corrupt, 'avro_arr' AS variant
         FROM embeddings
+        UNION ALL
+        SELECT n, sum_value, n_props, n_types,
+               CAST(0 AS BIGINT) AS n_corrupt, 'tfrecord' AS variant FROM stats
     """
 
     sql["s4_profile"] = """
