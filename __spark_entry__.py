@@ -269,11 +269,18 @@ def q_s1_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       tf.Example protobuf, ``dataforge_spark/tfrecord.py``) →
       read_tfrecord — gzip parts, ``double_mode="bytes"`` so the
       double checksum is exact (nulls ride the omitted-feature
-      convention and are counted by the valid-row stats unchanged).
+      convention and are counted by the valid-row stats unchanged);
+    - ``warc`` (round 11): the DOCUMENTS table as WET-style
+      ``conversion`` records (``dataforge_spark/warc.py``, ISO 28500
+      wire format, per-record gzip members à la Common Crawl) —
+      write_warc with URI/language/custom-source headers, read back,
+      warcinfo head records excluded by type; ``sum_value`` is the
+      total payload byte count, which must equal the table's total
+      text octets.
 
     Each leg emits the same summary (row count, value checksum,
-    distinct counts), so one oracle row proves all six sinks preserve
-    the data and all six scans read it back losslessly."""
+    distinct counts), so one oracle row proves all seven sinks
+    preserve the data and all seven scans read it back losslessly."""
     ev = _events(spark, sf_dir).select("event_id", "event_type", "value", "props")
     run = uuid.uuid4().hex[:8]
 
@@ -355,10 +362,37 @@ def q_s1_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    from dataforge_spark.warc import read_warc, write_warc
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    warc_path = f"/tmp/dataforge_warc_{run}"
+    write_warc(
+        docs.withColumn(
+            "uri", F.concat(F.lit("http://example.com/doc/"), F.col("doc_id"))
+        ),
+        warc_path,
+        payload_col="text",
+        uri_col="uri",
+        language_col="lang",
+        extra_header_cols={"X-DataForge-Source": "source"},
+    )
+    warc_back = read_warc(spark, warc_path).filter(
+        F.col("warc_type") == "conversion"
+    )
+    warc_leg = warc_back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("content_length").cast("double")), 2).alias(
+            "sum_value"
+        ),
+        F.count_distinct("target_uri").alias("n_props"),
+        F.count_distinct("language").alias("n_types"),
+        F.count(F.when(F.lit(False), F.lit(1))).alias("n_corrupt"),
+    ).withColumn("variant", F.lit("warc"))
+
     return (
         csv_leg.unionByName(jsonl_leg).unionByName(orc_leg)
         .unionByName(avro_leg).unionByName(avro_arr_leg)
-        .unionByName(tfr_leg)
+        .unionByName(tfr_leg).unionByName(warc_leg)
     )
 
 
@@ -2059,6 +2093,14 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT n, sum_value, n_props, n_types,
                CAST(0 AS BIGINT) AS n_corrupt, 'tfrecord' AS variant FROM stats
+        UNION ALL
+        SELECT count(*) AS n,
+               round(CAST(sum(octet_length(encode(text))) AS DOUBLE), 2)
+                 AS sum_value,
+               count(DISTINCT doc_id) AS n_props,
+               count(DISTINCT lang) AS n_types,
+               CAST(0 AS BIGINT) AS n_corrupt, 'warc' AS variant
+        FROM documents
     """
 
     sql["s4_profile"] = """
