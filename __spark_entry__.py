@@ -669,7 +669,18 @@ def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text``; X12 ''→NULL applies to every column. Round 4 adds the PII
     redaction leg (functions/pii.redact_pii) on a planted-entity column —
     RE2-portable kinds only (PHONE and CARD need lookarounds DuckDB lacks), so
-    the oracle recomputes the identical regexp_replace chain."""
+    the oracle recomputes the identical regexp_replace chain.
+
+    Round 11 adds the HTML-extraction leg (``functions/html.py``, a
+    real parser — not the X-ops' tag-strip regex): each doc wrapped in
+    a deterministic page (head/title/style boilerplate, entity refs, a
+    link), then ``html_to_text`` / ``html_title`` / ``html_links``
+    must recover the closed forms the oracle recomputes — the style
+    subtree dropped, the entity decoded, block boundaries as newlines,
+    the href harvested."""
+    from dataforge_spark.functions.html import (
+        html_links, html_title, html_to_text,
+    )
     from dataforge_spark.functions.pii import redact_pii
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -687,6 +698,19 @@ def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             kinds=["EMAIL", "URL", "SSN", "IP"],
         ).alias("pii_red"),
+        F.concat(
+            F.lit('<html><head><title>Doc '), F.col("doc_id"),
+            F.lit('</title><style>b{color:red}</style></head><body><div>'),
+            F.col("text"),
+            F.lit('</div><p>from &amp; via</p><a href="http://l/'),
+            F.col("doc_id"), F.lit('">x</a></body></html>'),
+        ).alias("page"),
+    )
+    docs = docs.select(
+        "doc_id", "messy", "t", "text", "pii_red",
+        html_to_text("page").alias("html_txt"),
+        html_title("page").alias("html_title"),
+        F.array_join(html_links("page"), ",").alias("html_links"),
     )
     out = clean_text_columns(
         docs,
@@ -2297,7 +2321,10 @@ def oracle_sql() -> dict[str, str]:
                   'http[s]?://[^\\s<>"]+', '<URL>', 'g'),
                 '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
-          '') AS pii_red
+          '') AS pii_red,
+          text || chr(10) || 'from & via' || chr(10) || 'x' AS html_txt,
+          'Doc ' || doc_id AS html_title,
+          'http://l/' || doc_id AS html_links
         FROM m
     """
 
