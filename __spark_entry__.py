@@ -1907,8 +1907,17 @@ def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the identical assignment in DuckDB, attesting every
     row's split, not just the counts. The 'sample' rows additionally key
     by SOURCE, the leakage-safe grouping (all docs of a source stay
-    together)."""
+    together).
+
+    Round 11 adds the 'zorder' leg: ``partitioning.zorder_write``
+    clusters documents on the Morton code of (n_chars, lang) — quantile
+    buckets for the numeric, xxhash buckets for the string — and the
+    read-back must be row-identical to the base table (layout ops move
+    rows, never change them); the multi-column row-group pruning the
+    layout buys is pinned by ``tests/test_zorder.py`` footer-stats
+    audits."""
     from dataforge_spark.curation import hash_split, stratified_sample
+    from dataforge_spark.partitioning import zorder_write
 
     docs = _t(spark, sf_dir, "documents")
     split = hash_split(
@@ -1919,7 +1928,15 @@ def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"en": 0.5, "de": 0.25, "fr": 1.0}, "lang",
         key_cols=["source"], seed=7,
     ).select(F.lit("sample").alias("op"), "doc_id", F.col("lang").alias("label"))
-    return split.unionByName(samp)
+    zpath = f"/tmp/dataforge_zorder_{uuid.uuid4().hex[:8]}"
+    zorder_write(
+        docs.select("doc_id", "lang", "n_chars"), zpath,
+        ["n_chars", "lang"], bits=6, target_files=4,
+    )
+    zleg = spark.read.parquet(zpath).select(
+        F.lit("zorder").alias("op"), "doc_id", F.col("lang").alias("label")
+    )
+    return split.unionByName(samp).unionByName(zleg)
 
 
 def q_curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3160,6 +3177,8 @@ def oracle_sql() -> dict[str, str]:
         FROM sm
         WHERE bkt < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                               WHEN 'fr' THEN 1000000 ELSE 0 END
+        UNION ALL
+        SELECT 'zorder' AS op, doc_id, lang AS label FROM documents
     """
 
     sql["curation_contamination"] = """

@@ -151,3 +151,155 @@ def partition_stats(df: DataFrame) -> dict:
         "max": counts[-1] if counts else 0,
         "rows": sum(counts),
     }
+
+
+# ------------------------------------------------------------- z-order
+
+
+def _zorder_bucket(df: DataFrame, col: str, bits: int) -> tuple[DataFrame, str]:
+    """Map one column onto a ``[0, 2**bits)`` bucket id that preserves
+    the locality a min/max-pruning scan exploits.
+
+    - numeric/timestamp: QUANTILE buckets (edges from one
+      ``percentile_approx`` sketch aggregate) via ``ml.Bucketizer`` —
+      skew-robust where a linear min/max mapping would pile 99% of rows
+      into one bucket; edges ride the plan as a broadcast literal.
+    - string/binary: ``xxhash64`` buckets — no range locality exists to
+      preserve, but clustering EQUAL values tightens each row group's
+      string min/max, so equality predicates still prune.
+    - nulls → the dedicated top bucket ``2**bits`` (clustered last).
+    """
+    out = f"_zb_{col}"
+    dt = dict(df.dtypes)[col]
+    if dt in ("string", "binary"):
+        return (
+            df.withColumn(
+                out,
+                F.when(
+                    F.col(col).isNull(), F.lit(1 << bits)
+                ).otherwise(F.pmod(F.xxhash64(col), F.lit(1 << bits))),
+            ),
+            out,
+        )
+    from pyspark.ml.feature import Bucketizer
+
+    num = F.col(col).cast("double")
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    edges = df.agg(
+        F.percentile_approx(num, probs, 10_000).alias("e")
+    ).collect()[0]["e"]
+    uniq = sorted({e for e in (edges or []) if e is not None})
+    splits = [float("-inf")] + uniq + [float("inf")]
+    tmp_in, tmp_out = f"_zin_{col}", f"_zout_{col}"
+    bucketed = Bucketizer(
+        splits=splits, inputCol=tmp_in, outputCol=tmp_out,
+        handleInvalid="keep",  # NaN → bucket len(splits)-1; null → null
+    ).transform(df.withColumn(tmp_in, num))
+    null_bucket = len(splits) - 1
+    scale = max(len(splits) - 2, 1)  # real buckets after edge dedup
+    return (
+        bucketed.withColumn(
+            out,
+            F.when(
+                F.col(tmp_out).isNull() | (F.col(tmp_out) >= null_bucket),
+                F.lit(1 << bits),
+            ).otherwise(
+                # stretch the (possibly deduplicated) bucket range back
+                # over [0, 2**bits) so every column contributes the same
+                # bit weight to the interleave
+                (F.col(tmp_out).cast("long") * ((1 << bits) - 1) / scale)
+                .cast("long")
+            ),
+        ).drop(tmp_in, tmp_out),
+        out,
+    )
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 10) -> DataFrame:
+    """Append ``_zvalue``: the Morton (bit-interleaved) code of the
+    columns' bucket ids — rows close in _zvalue are close in EVERY
+    keyed dimension at once, which is what makes multi-column min/max
+    pruning work after a sort. Null buckets (``2**bits``) overflow the
+    interleave range on purpose: an extra high bit per column pushes
+    all-null rows to the very end of the layout. Pure bitwise
+    expressions — whole-stage codegen, no UDF."""
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    if (bits + 1) * len(cols) > 63:  # +1: the per-column null bit
+        raise ValueError(f"bits={bits} x {len(cols)} columns exceeds long range")
+    work = df
+    bucket_cols = []
+    for c in cols:
+        work, bc = _zorder_bucket(work, c, bits)
+        bucket_cols.append(bc)
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j, bc in enumerate(bucket_cols):
+        b = F.col(bc).cast("long")
+        for i in range(bits + 1):  # +1 carries the null bucket's bit
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return work.withColumn("_zvalue", z).drop(*bucket_cols)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    target_files: int | None = None,
+) -> None:
+    """Cluster ``df`` on the Morton code of ``cols`` and write parquet:
+    ``repartitionByRange(_zvalue)`` + ``sortWithinPartitions`` so every
+    file AND every row group inside it covers a tight hyper-box of the
+    key space — a reader filtering on ANY subset of ``cols`` prunes
+    row groups by footer min/max stats alone. The layout lever for
+    100 TB point-lookup/box scans that don't justify a metastore
+    bucketing contract. ``target_files`` defaults to the frame's
+    current parallelism."""
+    work = zorder_value(df, cols, bits)
+    n = target_files or df.rdd.getNumPartitions()
+    (
+        work.repartitionByRange(max(n, 1), "_zvalue")
+        .sortWithinPartitions("_zvalue")
+        .drop("_zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rowgroup_skip_stats(path: str, predicates: dict[str, tuple]) -> dict:
+    """Footer-only pruning audit: for each parquet row group under
+    ``path``, test whether its min/max stats could be SKIPPED for the
+    conjunction of ``{col: (lo, hi)}`` range predicates (the exact
+    check a Spark/engine scan performs). Returns total vs skippable
+    row groups — the direct measure of what a layout buys. Driver-side
+    metadata read only; no data pages touched."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "*.parquet"))
+        if _os.path.isdir(path) else [path]
+    )
+    total = skippable = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            total += 1
+            for col, (lo, hi) in predicates.items():
+                st = meta.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if st.min > hi or st.max < lo:
+                    skippable += 1
+                    break
+    return {
+        "row_groups": total,
+        "skippable": skippable,
+        "skip_ratio": skippable / total if total else 0.0,
+    }
