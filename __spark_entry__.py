@@ -678,9 +678,7 @@ def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     must recover the closed forms the oracle recomputes — the style
     subtree dropped, the entity decoded, block boundaries as newlines,
     the href harvested."""
-    from dataforge_spark.functions.html import (
-        html_links, html_title, html_to_text,
-    )
+    from dataforge_spark.functions.html import html_extract
     from dataforge_spark.functions.pii import redact_pii
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -706,11 +704,12 @@ def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"), F.lit('">x</a></body></html>'),
         ).alias("page"),
     )
+    ext = html_extract("page")  # ONE parse for all three fields
     docs = docs.select(
         "doc_id", "messy", "t", "text", "pii_red",
-        html_to_text("page").alias("html_txt"),
-        html_title("page").alias("html_title"),
-        F.array_join(html_links("page"), ",").alias("html_links"),
+        ext["text"].alias("html_txt"),
+        ext["title"].alias("html_title"),
+        F.array_join(ext["links"], ",").alias("html_links"),
     )
     out = clean_text_columns(
         docs,

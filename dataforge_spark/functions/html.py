@@ -144,3 +144,34 @@ def html_title(col) -> Column:
         lambda s: s.map(lambda d: None if d is None else _parse(d).title()),
     )
     return f(F.col(col) if isinstance(col, str) else col)
+
+
+def html_extract(col) -> Column:
+    """One-parse combined extraction:
+    ``struct<text string, title string, links array<string>>`` —
+    select the fields you need. 3x cheaper than calling the three
+    single-field functions on the same column (each would re-parse
+    the document)."""
+
+    def run(s):
+        # a struct-returning pandas_udf must yield a DataFrame with one
+        # column per field (None cells → null fields)
+        texts, titles, links = [], [], []
+        for d in s:
+            if d is None:
+                texts.append(None)
+                titles.append(None)
+                links.append(None)
+            else:
+                ex = _parse(d)
+                texts.append(ex.text())
+                titles.append(ex.title())
+                links.append(ex.links)
+        return pd.DataFrame(
+            {"text": texts, "title": titles, "links": links}
+        )
+
+    f = _udf(
+        "extract", "struct<text:string,title:string,links:array<string>>", run
+    )
+    return f(F.col(col) if isinstance(col, str) else col)

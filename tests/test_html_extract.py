@@ -90,3 +90,26 @@ def test_spark_columns_and_nulls(spark):
     assert out[0]["links"] == ["u1"]
     assert out[1]["txt"] is None and out[1]["ttl"] is None
     assert out[1]["links"] is None
+
+
+def test_html_extract_struct_single_parse(spark):
+    from dataforge_spark.functions.html import html_extract
+
+    df = spark.createDataFrame(
+        [("<html><head><title>T</title></head><body><p>B</p>"
+          "<a href='u'>l</a></body></html>",), (None,)],
+        "page string",
+    )
+    ext = html_extract("page")
+    out = df.select(
+        ext["text"].alias("t"), ext["title"].alias("ti"),
+        ext["links"].alias("l"),
+    ).collect()
+    assert out[0]["t"] == "B\nl" and out[0]["ti"] == "T" and out[0]["l"] == ["u"]
+    assert out[1]["t"] is None and out[1]["ti"] is None and out[1]["l"] is None
+    # the three field references collapse to ONE ArrowEvalPython call
+    plan = (
+        df.select(ext["text"], ext["title"], ext["links"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
