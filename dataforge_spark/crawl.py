@@ -1,0 +1,163 @@
+"""End-to-end crawl → training-data pipeline: the composition that
+turns a directory of WARC/WET files into tokenized, fixed-length,
+TFRecord-packed training samples — the workload this engine's
+extension tiers exist for, wired together:
+
+    read_warc (warc.py)                  crawl ingestion
+      → html_to_text (functions/html.py) boilerplate strip for HTML
+      → canonicalize_url (functions/urls.py) + keep-first URL dedup
+      → quality_filter (curation.py)     Gopher-style heuristics
+      → filter_by_perplexity (functions/charlm.py, optional) CCNet gate
+      → minhash_dedup (dedup/minhash.py) near-duplicate removal
+      → train_bpe / bpe_encode (functions/bpe.py) tokenization
+      → fixed-length chunking (in-row, no cross-doc attention bleed)
+      → write_tfrecord (tfrecord.py)     training-ready shards
+
+Every stage is the already-tested scale-safe operator; this module
+adds only the glue and a per-stage count report. Chunking is
+document-local (posexplode of in-row slices — zero extra shuffle);
+cross-document concat packing is available separately via
+``curation.pack_sequences`` when attention contamination is
+acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def crawl_to_training_data(
+    spark: SparkSession,
+    warc_path: str,
+    out_path: str,
+    *,
+    tokenizer=None,
+    vocab_size: int = 1024,
+    seq_len: int = 256,
+    keep_langs: list[str] | None = None,
+    min_quality: float = 0.3,
+    ppl_model=None,
+    max_perplexity: float | None = None,
+    minhash_threshold: float = 0.8,
+    min_chunk_tokens: int = 1,
+) -> dict:
+    """Run the full pipeline; returns ``(report, tokenizer)`` — the
+    per-stage count report (the numbers an operator watches: how much
+    each gate removed) and the tokenizer used, so the caller can decode
+    samples or reuse the vocabulary on the next crawl increment.
+
+    ``tokenizer=None`` trains BPE on the POST-FILTER corpus (the
+    standard order: tokenize what you keep). ``ppl_model`` +
+    ``max_perplexity`` enable the CCNet gate. Deterministic
+    end-to-end: URL-keyed ids, md5/xxhash orderings, no sampling."""
+    from dataforge_spark.curation import quality_filter
+    from dataforge_spark.dedup.minhash import minhash_dedup
+    from dataforge_spark.functions.bpe import bpe_encode, train_bpe
+    from dataforge_spark.functions.html import html_extract
+    from dataforge_spark.functions.urls import canonicalize_url
+    from dataforge_spark.tfrecord import write_tfrecord
+    from dataforge_spark.warc import read_warc
+
+    report: dict = {}
+
+    recs = read_warc(spark, warc_path).where(
+        F.col("warc_type").isin("conversion", "response", "resource")
+    )
+    is_html = F.lower(F.coalesce(F.col("content_type"), F.lit(""))).contains(
+        "html"
+    )
+    raw = recs.select(
+        F.col("target_uri").alias("uri"),
+        F.col("language").alias("lang"),
+        F.col("payload").cast("string").alias("raw_text"),
+        is_html.alias("is_html"),
+    ).where(F.col("uri").isNotNull() & F.col("raw_text").isNotNull())
+    report["records_in"] = raw.count()
+
+    # boilerplate strip only where the payload is HTML
+    text = raw.withColumn(
+        "text",
+        F.when(F.col("is_html"), html_extract("raw_text")["text"]).otherwise(
+            F.col("raw_text")
+        ),
+    ).drop("raw_text", "is_html")
+
+    if keep_langs:
+        text = text.where(F.col("lang").isin(*keep_langs))
+        report["after_lang_filter"] = text.count()
+
+    # canonical-URL keep-first dedup (first = smallest raw URI string:
+    # deterministic under retries, unlike dropDuplicates)
+    canon = text.withColumn("canon_url", canonicalize_url("uri")).where(
+        F.col("canon_url").isNotNull()
+    )
+    w = Window.partitionBy("canon_url").orderBy("uri")
+    deduped_url = (
+        canon.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("doc_id", F.xxhash64("canon_url"))
+    )
+    report["after_url_dedup"] = deduped_url.count()
+
+    kept = quality_filter(
+        deduped_url, text_col="text", id_col="doc_id",
+        min_quality=min_quality,
+    ).where(F.col("keep")).select("doc_id", "canon_url", "lang", "text")
+    report["after_quality"] = kept.count()
+
+    if ppl_model is not None and max_perplexity is not None:
+        from dataforge_spark.functions.charlm import filter_by_perplexity
+
+        kept = filter_by_perplexity(kept, "text", ppl_model, max_perplexity)
+        report["after_perplexity"] = kept.count()
+
+    corpus = minhash_dedup(
+        kept, text_col="text", id_col="doc_id", threshold=minhash_threshold
+    )
+    report["after_near_dedup"] = corpus.count()
+
+    if tokenizer is None:
+        tokenizer = train_bpe(corpus, "text", vocab_size=vocab_size)
+    report["vocab_size"] = tokenizer.vocab_size
+
+    toks = corpus.select(
+        "doc_id", bpe_encode("text", tokenizer).alias("ids")
+    ).withColumn("n_tokens", F.size("ids"))
+    # document-local fixed-length chunking: slice boundaries computed
+    # in-row (sequence(0, n-1, seq_len) + slice), posexplode — no
+    # shuffle, no cross-document attention bleed
+    chunks = (
+        toks.where(F.col("n_tokens") >= min_chunk_tokens)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.col("n_tokens") - 1, F.lit(0)),
+                        F.lit(seq_len),
+                    ),
+                    lambda start: F.slice(F.col("ids"), start + 1, seq_len),
+                )
+            ).alias("chunk_idx", "input_ids"),
+        )
+        .where(F.size("input_ids") >= min_chunk_tokens)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("input_ids").cast("array<long>").alias("input_ids"),
+            F.size("input_ids").cast("long").alias("n_tokens"),
+        )
+    )
+    agg = chunks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    report["samples_out"] = int(agg["n"])
+    report["tokens_out"] = int(agg["t"] or 0)
+
+    write_tfrecord(chunks, out_path, compression="gzip")
+    report["out_path"] = out_path
+    return report, tokenizer
