@@ -9,6 +9,10 @@ Commands mirror the service surface without HTTP:
     info                                (capability manifest to stdout)
     serve   [--port 8000] [--host 127.0.0.1] [--upload-dir uploads]
             (stdlib HTTP server: REST surface + /ui frontend)
+    crawl   --warc warcs/ --out shards/ [--seq-len 256] [--vocab-size 1024]
+            [--langs en,de] [--tokenizer merges.json] [--save-tokenizer p]
+            (WARC/WET → filtered, deduped, BPE-tokenized TFRecord shards;
+            per-stage count report to stdout)
 """
 
 from __future__ import annotations
@@ -56,6 +60,22 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("info", help="print the capability manifest")
 
+    cr = sub.add_parser(
+        "crawl", help="WARC/WET -> tokenized TFRecord training shards"
+    )
+    cr.add_argument("--warc", required=True, help="WARC/WET input directory")
+    cr.add_argument("--out", required=True, help="TFRecord output directory")
+    cr.add_argument("--seq-len", type=int, default=256)
+    cr.add_argument("--vocab-size", type=int, default=1024)
+    cr.add_argument("--langs", default=None,
+                    help="comma-separated language keep-list")
+    cr.add_argument("--min-quality", type=float, default=0.3)
+    cr.add_argument("--minhash-threshold", type=float, default=0.8)
+    cr.add_argument("--tokenizer", default=None,
+                    help="load a saved BPE merge table instead of training")
+    cr.add_argument("--save-tokenizer", default=None,
+                    help="persist the (trained or loaded) merge table here")
+
     sv = sub.add_parser("serve", help="serve the REST API + frontend (stdlib HTTP)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
@@ -80,6 +100,28 @@ def main(argv: list[str] | None = None) -> int:
             server.serve_forever()
         except KeyboardInterrupt:
             server.shutdown()
+        return 0
+
+    if args.cmd == "crawl":
+        from .crawl import crawl_to_training_data
+        from .functions.bpe import BpeTokenizer
+
+        tok = BpeTokenizer.load(args.tokenizer) if args.tokenizer else None
+        report, tok = crawl_to_training_data(
+            spark,
+            args.warc,
+            args.out,
+            tokenizer=tok,
+            vocab_size=args.vocab_size,
+            seq_len=args.seq_len,
+            keep_langs=args.langs.split(",") if args.langs else None,
+            min_quality=args.min_quality,
+            minhash_threshold=args.minhash_threshold,
+        )
+        if args.save_tokenizer:
+            tok.save(args.save_tokenizer)
+            report["tokenizer_path"] = args.save_tokenizer
+        print(json.dumps(report, indent=2))
         return 0
 
     if args.cmd == "profile":

@@ -119,6 +119,21 @@ class BpeTokenizer:
             ]
         )
 
+    def save(self, path: str) -> None:
+        """Persist the merge table as JSON (latin-1 byte mapping —
+        every possible byte pair survives the round-trip)."""
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(self.to_dict(), fh)
+
+    @classmethod
+    def load(cls, path: str) -> "BpeTokenizer":
+        import json
+
+        with open(path) as fh:
+            return cls.from_dict(json.load(fh))
+
 
 # ----------------------------------------------------------- training
 

@@ -185,3 +185,31 @@ def test_pretrained_tokenizer_reused(spark, crawl_dir):
     )
     assert tok is pre
     assert report["vocab_size"] == pre.vocab_size
+
+
+def test_cli_crawl_and_tokenizer_save_load(spark, crawl_dir, tmp_path):
+    from dataforge_spark.__main__ import main
+    from dataforge_spark.functions.bpe import BpeTokenizer
+
+    path, _docs = crawl_dir
+    out = f"/tmp/crawl_cli_{uuid.uuid4().hex[:8]}"
+    merges = str(tmp_path / "merges.json")
+    rc = main([
+        "crawl", "--warc", path, "--out", out,
+        "--seq-len", "48", "--vocab-size", "320", "--langs", "en",
+        "--save-tokenizer", merges,
+    ])
+    assert rc == 0
+    assert glob.glob(f"{out}/part-*.tfrecord.gz")
+    tok = BpeTokenizer.load(merges)
+    assert tok.vocab_size > 256
+    # saved merge table reloads byte-identically
+    tok.save(str(tmp_path / "again.json"))
+    assert BpeTokenizer.load(str(tmp_path / "again.json")).merges == tok.merges
+    # and drives a second run without retraining
+    out2 = f"/tmp/crawl_cli_{uuid.uuid4().hex[:8]}"
+    rc2 = main([
+        "crawl", "--warc", path, "--out", out2,
+        "--seq-len", "48", "--langs", "en", "--tokenizer", merges,
+    ])
+    assert rc2 == 0
