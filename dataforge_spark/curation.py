@@ -619,3 +619,55 @@ def quality_filter(
         out = out.withColumn("zlib_ratio", compression_ratio(F.col(text_col)))
         keep = keep & F.col("zlib_ratio").between(float(lo), float(hi))
     return out.withColumn("keep", keep)
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_cols: list[str],
+    seed: int = 0,
+    source_col: str = "mix_source",
+    epoch_col: str = "mix_epoch",
+) -> DataFrame:
+    """Deterministic training-mixture assembly (the Pile/DoReMi "epoch
+    weight" semantics): ``weight w`` means every document of that
+    source appears ``floor(w)`` times plus once more for a
+    deterministic ``frac(w)`` key-hash subset — so w=2.5 yields 2 or 3
+    appearances per doc, exactly reproducible under retries and
+    repartitioning (``sample()`` is neither). Schemas must match
+    across sources (unionByName).
+
+    Scale: pure projections + one hash-filter per fractional epoch —
+    ZERO shuffles, no sampling jobs; the union is plan-level. Key by a
+    stable id (or a group col to keep correlated docs' multiplicity
+    aligned). Output adds ``mix_source`` and ``mix_epoch`` (0-based)
+    so downstream packing can interleave or audit proportions.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    out = None
+    for name in sorted(sources):
+        df, w = sources[name]
+        if w < 0:
+            raise ValueError(f"negative weight for source {name!r}")
+        full = int(w)
+        frac = w - full
+        # per-source bucket stream: fold the source name into the seed
+        # key so the fractional subsets of different sources are
+        # independent
+        bucket = split_bucket(key_cols, seed=f"{seed}\x1f{name}")
+        legs = []
+        for e in range(full):
+            legs.append((e, None))
+        if frac > 0:
+            legs.append((full, int(round(frac * SPLIT_BUCKETS))))
+        for e, cut in legs:
+            leg = df if cut is None else df.where(bucket < cut)
+            leg = leg.withColumn(source_col, F.lit(name)).withColumn(
+                epoch_col, F.lit(e)
+            )
+            out = leg if out is None else out.unionByName(leg)
+    if out is None:
+        raise ValueError("all sources have zero weight")
+    return out
