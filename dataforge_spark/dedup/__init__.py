@@ -1,1 +1,1 @@
-from . import drop, embedding, exact, minhash, ngram_jaccard, semantic, simhash  # noqa: F401
+from . import drop, embedding, exact, index, minhash, ngram_jaccard, semantic, simhash  # noqa: F401

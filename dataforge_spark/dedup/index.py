@@ -1,0 +1,226 @@
+"""Persisted MinHash index: incremental FUZZY inter-corpus dedup
+(extension, SURVEY §7.7 class — no reference counterpart).
+
+``intercorpus_dedup`` answers "is this EXACT text already in the
+corpus"; real crawl refresh needs the fuzzy version — "is a NEAR
+duplicate of this document already in the training snapshot" — without
+rescanning the snapshot's text. This module persists the snapshot's LSH
+state once and lets every later batch probe it:
+
+- ``write_minhash_index``: signatures + banded bucket keys to parquet
+  under one path (``bands/`` = (band, bucket, id) probe table, ``sigs/``
+  = (id, sig) verification table, ``_meta/`` = the shingle/banding
+  parameters as JSON). Degenerate buckets (> ``max_bucket`` members —
+  boilerplate shingle sets) are pruned AT WRITE TIME and the drop is
+  recorded in the meta, so probe-side join fan-out is bounded by
+  construction and the recall trade is disclosed, mirroring
+  ``minhash.candidate_pairs``.
+- ``match_against_index``: band-bucket equi-join of the new batch's
+  keys against ``bands/``, then signature-agreement verification
+  against ``sigs/`` — pure Catalyst expressions, no Python.
+- ``dedup_against_index``: anti-join of the batch on its matches.
+- ``append_to_index``: grow the index with an accepted batch (parameter
+  identity enforced against the stored meta).
+
+Scale shape: the index stores ~(bands·12 + num_perm·8) bytes per doc
+(≈700 B at the defaults) — 100 TB of text indexes into ~70 GB of
+parquet. A probe shuffles only (band, bucket, id) keys of the NEW batch
+against the band table (sort-merge or AQE-broadcast per actual sizes),
+and only matched candidates' signatures are fetched for verification.
+Document text never moves.
+
+Verification is the MinHash ESTIMATE of Jaccard (fraction of agreeing
+signature components — unbiased, σ = sqrt(j(1-j)/num_perm) ≈ 0.06 at
+num_perm=64), not exact shingle Jaccard: the index deliberately does
+not store reference text. Callers needing exact verification can join
+survivors' matches back to a corpus that still has text and use
+``ngram_jaccard``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .minhash import banded_keys, minhash_signatures
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    row = spark.read.json(f"{path}/_meta").first()
+    if row is None:
+        raise ValueError(f"no index meta at {path}/_meta")
+    return row.asDict()
+
+
+def _check_params(meta: dict, **params) -> None:
+    bad = {
+        k: (meta[k], v) for k, v in params.items() if int(meta[k]) != int(v)
+    }
+    if bad:
+        raise ValueError(
+            "minhash index parameter mismatch (stored, requested): "
+            + ", ".join(f"{k}={v}" for k, v in sorted(bad.items()))
+        )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+    mode: str = "overwrite",
+) -> dict:
+    """Build (or with ``mode="append"`` grow) the index at ``path``.
+
+    Returns the meta dict, including ``dropped_buckets`` /
+    ``dropped_members`` for THIS write's degenerate-bucket prune. On
+    append, the stored shingle/banding parameters must match exactly —
+    signatures built under different parameters are not comparable.
+    Append prunes degenerate buckets within the appended batch only
+    (bounded per write; a bucket can exceed ``max_bucket`` across
+    appends — probes stay correct, just wider fan-out on such buckets).
+    """
+    if bands * rows_per_band != num_perm:
+        raise ValueError("bands * rows_per_band must equal num_perm")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = df.sparkSession
+    if mode == "append":
+        _check_params(
+            _read_meta(spark, path),
+            n=n, num_perm=num_perm, bands=bands,
+            rows_per_band=rows_per_band, max_bucket=max_bucket,
+        )
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n=n, num_perm=num_perm
+    )
+    banded = banded_keys(sigs, bands, rows_per_band)
+    # write-time degenerate-bucket prune: bounded probe fan-out forever
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    kept = (
+        banded.join(sizes, ["band", "bucket"])
+        .where(F.col("_n") <= max_bucket)
+        .select("band", "bucket", "id")
+    )
+    dropped = sizes.where(F.col("_n") > max_bucket).agg(
+        F.count(F.lit(1)).alias("db"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("dm"),
+    ).first()
+    # row-group locality for bucket probes; the probe join itself is a
+    # shuffle keyed (band, bucket) either way
+    kept.sortWithinPartitions("band", "bucket").write.mode(mode).parquet(
+        f"{path}/bands"
+    )
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    meta = {
+        "n": n,
+        "num_perm": num_perm,
+        "bands": bands,
+        "rows_per_band": rows_per_band,
+        "max_bucket": max_bucket,
+        "dropped_buckets": int(dropped["db"]),
+        "dropped_members": int(dropped["dm"]),
+    }
+    if mode == "overwrite":
+        spark.createDataFrame([meta]).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{path}/_meta")
+    return meta
+
+
+def match_against_index(
+    new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """(new_id, ref_id, est_jaccard ≥ threshold): near-dup matches of
+    the batch against the indexed corpus, distinct pairs.
+
+    est_jaccard = fraction of agreeing minhash components, rounded 6dp
+    — the standard unbiased MinHash estimator. Probe = ONE equi-join on
+    (band, bucket) carrying ids only, then a signature fetch for
+    candidates only; all expression-level, no Python."""
+    spark = new.sparkSession
+    meta = _read_meta(spark, path)
+    num_perm = int(meta["num_perm"])
+    sigs = minhash_signatures(
+        new, text_col=text_col, id_col=id_col,
+        n=int(meta["n"]), num_perm=num_perm,
+    )
+    probe = banded_keys(sigs, int(meta["bands"]), int(meta["rows_per_band"]))
+    ref_bands = spark.read.parquet(f"{path}/bands").withColumnRenamed(
+        "id", "ref_id"
+    )
+    cands = (
+        probe.join(ref_bands, ["band", "bucket"])
+        .select(F.col("id").alias("new_id"), "ref_id")
+        .distinct()
+    )
+    ref_sigs = spark.read.parquet(f"{path}/sigs").select(
+        F.col("id").alias("ref_id"), F.col("sig").alias("ref_sig")
+    )
+    new_sigs = sigs.select(
+        F.col("id").alias("new_id"), F.col("sig").alias("new_sig")
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "new_sig", "ref_sig", lambda a, b: (a == b).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(new_sigs, "new_id")
+        .join(ref_sigs, "ref_id")
+        .select(
+            "new_id",
+            "ref_id",
+            F.round(agree / F.lit(num_perm), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def dedup_against_index(
+    new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Rows of ``new`` with NO indexed near-duplicate at ``threshold``
+    (estimated Jaccard). Keeps every column of ``new``; documents too
+    short to shingle (< n words) have no signature and always survive,
+    consistent with ``minhash_dedup``."""
+    matches = match_against_index(
+        new, path, text_col=text_col, id_col=id_col, threshold=threshold
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new.join(matches, id_col, "left_anti")
+
+
+def append_to_index(
+    accepted: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Grow the index with an accepted batch under the STORED
+    parameters (the usual refresh loop: dedup_against_index → filter →
+    append survivors)."""
+    meta = _read_meta(accepted.sparkSession, path)
+    return write_minhash_index(
+        accepted, path, text_col=text_col, id_col=id_col,
+        n=int(meta["n"]), num_perm=int(meta["num_perm"]),
+        bands=int(meta["bands"]),
+        rows_per_band=int(meta["rows_per_band"]),
+        max_bucket=int(meta["max_bucket"]), mode="append",
+    )

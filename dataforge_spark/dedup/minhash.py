@@ -64,22 +64,13 @@ def minhash_signatures(
     )
 
 
-def candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 16,
-    rows_per_band: int = 4,
-    max_bucket: int = 1000,
-    stats: dict | None = None,
+def banded_keys(
+    signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: (id_a, id_b) candidate pairs, id_a < id_b, distinct.
-
-    Buckets with more than ``max_bucket`` members (hash collisions /
-    boilerplate shingle sets) are pruned BEFORE the self-join — correct
-    engineering, but an invisible recall hole if unreported. Pass a dict
-    as ``stats`` to have it filled with ``dropped_buckets`` /
-    ``dropped_members`` (one extra small aggregate job over the bucket
-    sizes; opt-in so the production pair path stays single-shuffle)."""
-    banded = signatures.select(
+    """(id, band, bucket) — one row per doc per band, pure projection.
+    Shared by the in-corpus pair path below and the persisted-index
+    path (``dedup.index``)."""
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -95,6 +86,24 @@ def candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """LSH banding: (id_a, id_b) candidate pairs, id_a < id_b, distinct.
+
+    Buckets with more than ``max_bucket`` members (hash collisions /
+    boilerplate shingle sets) are pruned BEFORE the self-join — correct
+    engineering, but an invisible recall hole if unreported. Pass a dict
+    as ``stats`` to have it filled with ``dropped_buckets`` /
+    ``dropped_members`` (one extra small aggregate job over the bucket
+    sizes; opt-in so the production pair path stays single-shuffle)."""
+    banded = banded_keys(signatures, bands, rows_per_band)
     # Self-join within buckets; prune degenerate buckets first. NO
     # broadcast hint on the sizes table: it has one row per surviving
     # (band, bucket) — proportional to the number of duplicate clusters,
