@@ -70,6 +70,8 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--langs", default=None,
                     help="comma-separated language keep-list")
     cr.add_argument("--min-quality", type=float, default=0.3)
+    cr.add_argument("--gopher", action="store_true",
+                    help="apply the full seven-rule Gopher quality gate")
     cr.add_argument("--minhash-threshold", type=float, default=0.8)
     cr.add_argument("--tokenizer", default=None,
                     help="load a saved BPE merge table instead of training")
@@ -116,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
             seq_len=args.seq_len,
             keep_langs=args.langs.split(",") if args.langs else None,
             min_quality=args.min_quality,
+            gopher=args.gopher,
             minhash_threshold=args.minhash_threshold,
         )
         if args.save_tokenizer:

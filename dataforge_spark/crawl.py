@@ -7,7 +7,10 @@ extension tiers exist for, wired together:
       → html_to_text (functions/html.py) boilerplate strip for HTML
       → canonicalize_url (functions/urls.py) + keep-first URL dedup
       → quality_filter (curation.py)     Gopher-style heuristics
+      → gopher_filter (functions/gopher.py, optional) full Gopher rule set
       → filter_by_perplexity (functions/charlm.py, optional) CCNet gate
+      → quality_prob / pareto_keep (functions/quality_classifier.py,
+        optional)                        GPT-3-style classifier gate
       → minhash_dedup (dedup/minhash.py) near-duplicate removal
       → train_bpe / bpe_encode (functions/bpe.py) tokenization
       → fixed-length chunking (in-row, no cross-doc attention bleed)
@@ -38,8 +41,13 @@ def crawl_to_training_data(
     seq_len: int = 256,
     keep_langs: list[str] | None = None,
     min_quality: float = 0.3,
+    gopher: bool = False,
     ppl_model=None,
     max_perplexity: float | None = None,
+    quality_model=None,
+    quality_min_prob: float = 0.5,
+    quality_pareto_alpha: float | None = None,
+    quality_seed: int = 0,
     minhash_threshold: float = 0.8,
     min_chunk_tokens: int = 1,
 ) -> dict:
@@ -49,9 +57,14 @@ def crawl_to_training_data(
     samples or reuse the vocabulary on the next crawl increment.
 
     ``tokenizer=None`` trains BPE on the POST-FILTER corpus (the
-    standard order: tokenize what you keep). ``ppl_model`` +
-    ``max_perplexity`` enable the CCNet gate. Deterministic
-    end-to-end: URL-keyed ids, md5/xxhash orderings, no sampling."""
+    standard order: tokenize what you keep). ``gopher=True`` adds the
+    full seven-rule Gopher gate; ``ppl_model`` + ``max_perplexity``
+    enable the CCNet gate; ``quality_model`` (a trained
+    ``HashedTextClassifier``) enables the GPT-3-style classifier gate —
+    a hard ``quality_min_prob`` threshold, or Pareto importance
+    sampling when ``quality_pareto_alpha`` is set (derandomized by
+    ``doc_id`` + ``quality_seed``). Deterministic end-to-end: URL-keyed
+    ids, md5/xxhash orderings, hash-derandomized sampling."""
     from dataforge_spark.curation import quality_filter
     from dataforge_spark.dedup.minhash import minhash_dedup
     from dataforge_spark.functions.bpe import bpe_encode, train_bpe
@@ -108,11 +121,35 @@ def crawl_to_training_data(
     ).where(F.col("keep")).select("doc_id", "canon_url", "lang", "text")
     report["after_quality"] = kept.count()
 
+    if gopher:
+        from dataforge_spark.functions.gopher import gopher_filter
+
+        kept = gopher_filter(kept, text_col="text")
+        report["after_gopher"] = kept.count()
+
     if ppl_model is not None and max_perplexity is not None:
         from dataforge_spark.functions.charlm import filter_by_perplexity
 
         kept = filter_by_perplexity(kept, "text", ppl_model, max_perplexity)
         report["after_perplexity"] = kept.count()
+
+    if quality_model is not None:
+        from dataforge_spark.functions.quality_classifier import (
+            pareto_keep,
+            quality_prob,
+        )
+
+        scored = kept.withColumn("_qp", quality_prob("text", quality_model))
+        if quality_pareto_alpha is not None:
+            kept = pareto_keep(
+                scored, "_qp", alpha=quality_pareto_alpha,
+                seed=quality_seed, key_cols=["doc_id"],
+            ).drop("_qp")
+        else:
+            kept = scored.where(
+                F.col("_qp") >= F.lit(quality_min_prob)
+            ).drop("_qp")
+        report["after_classifier"] = kept.count()
 
     corpus = minhash_dedup(
         kept, text_col="text", id_col="doc_id", threshold=minhash_threshold

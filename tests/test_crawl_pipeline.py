@@ -174,6 +174,93 @@ def test_crawl_pipeline_end_to_end(spark, crawl_dir):
     assert html_body in htext and "menu" not in htext
 
 
+def test_gopher_and_classifier_gates(spark, tmp_path):
+    """The optional Gopher + GPT-3-classifier stages slot into the
+    pipeline: stage counts appear in order, each gate removes exactly
+    its planted victims, and the classifier (trained good-vs-gibberish)
+    keeps the real docs."""
+    import random
+
+    from dataforge_spark.functions.quality_classifier import (
+        train_quality_classifier,
+    )
+
+    rng = random.Random(11)
+    vocab = (
+        "the of and to in is was for on that with as it by at river "
+        "city stone light history people trade harvest winter summer"
+    ).split()
+    good = [
+        " ".join(rng.choice(vocab) for _ in range(70)) for _ in range(10)
+    ]
+    # passes the cheap heuristic gate (length band alone scores 0.4)
+    # but fails Gopher's ≥80%-alphabetic-words rule
+    numeric_junk = (
+        " ".join(str(rng.randint(0, 9999)) for _ in range(60))
+        + " the and of that"
+    )
+    recs = []
+    for i, t in enumerate(good):
+        recs.append(_record(
+            [("WARC-Type", "conversion"),
+             ("WARC-Record-ID", f"<urn:uuid:g{i}>"),
+             ("WARC-Date", "2026-01-01T00:00:00Z"),
+             ("WARC-Target-URI", f"http://good.example/{i}"),
+             ("WARC-Identified-Content-Language", "en"),
+             ("Content-Type", "text/plain")],
+            t.encode(),
+        ))
+    recs.append(_record(
+        [("WARC-Type", "conversion"),
+         ("WARC-Record-ID", "<urn:uuid:junk>"),
+         ("WARC-Date", "2026-01-01T00:00:00Z"),
+         ("WARC-Target-URI", "http://junk.example/nums"),
+         ("WARC-Identified-Content-Language", "en"),
+         ("Content-Type", "text/plain")],
+        numeric_junk.encode(),
+    ))
+    path = str(tmp_path / "warc")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.warc.gz"), "wb") as fh:
+        for r in recs:
+            fh.write(gzip.compress(r, mtime=0))
+
+    gibberish = [
+        "".join(rng.choice("qxzjvk#@%0123456789") for _ in range(60))
+        for _ in range(40)
+    ]
+    model = train_quality_classifier(
+        spark.createDataFrame([(t,) for t in good], "text string"),
+        spark.createDataFrame([(t,) for t in gibberish], "text string"),
+        dim=1 << 12, epochs=6,
+    )
+
+    out = f"/tmp/crawl_gates_{uuid.uuid4().hex[:8]}"
+    report, _tok = crawl_to_training_data(
+        spark, path, out,
+        vocab_size=300, seq_len=64, keep_langs=["en"],
+        gopher=True, quality_model=model, quality_min_prob=0.5,
+        minhash_threshold=0.7,
+    )
+    assert report["after_quality"] == 11  # heuristic keeps the junk...
+    assert report["after_gopher"] == 10   # ...Gopher's alpha rule drops it
+    assert report["after_classifier"] == 10  # classifier keeps real docs
+    assert report["samples_out"] > 0
+
+    # pareto mode is derandomized: two runs agree exactly
+    outs = []
+    for _ in range(2):
+        o = f"/tmp/crawl_gates_{uuid.uuid4().hex[:8]}"
+        r, _ = crawl_to_training_data(
+            spark, path, o,
+            vocab_size=300, seq_len=64, keep_langs=["en"],
+            quality_model=model, quality_pareto_alpha=9.0,
+            quality_seed=3, minhash_threshold=0.7,
+        )
+        outs.append(r["after_classifier"])
+    assert outs[0] == outs[1]
+
+
 def test_pretrained_tokenizer_reused(spark, crawl_dir):
     path, _docs = crawl_dir
     from dataforge_spark.functions.bpe import BpeTokenizer, _merge_loop
