@@ -72,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--min-quality", type=float, default=0.3)
     cr.add_argument("--gopher", action="store_true",
                     help="apply the full seven-rule Gopher quality gate")
+    cr.add_argument("--c4", action="store_true",
+                    help="apply C4 line/page cleaning before the quality gates")
     cr.add_argument("--minhash-threshold", type=float, default=0.8)
     cr.add_argument("--tokenizer", default=None,
                     help="load a saved BPE merge table instead of training")
@@ -118,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
             seq_len=args.seq_len,
             keep_langs=args.langs.split(",") if args.langs else None,
             min_quality=args.min_quality,
+            c4=args.c4,
             gopher=args.gopher,
             minhash_threshold=args.minhash_threshold,
         )

@@ -6,6 +6,7 @@ extension tiers exist for, wired together:
     read_warc (warc.py)                  crawl ingestion
       → html_to_text (functions/html.py) boilerplate strip for HTML
       → canonicalize_url (functions/urls.py) + keep-first URL dedup
+      → c4_filter (functions/c4.py, optional) C4 line/page cleaning
       → quality_filter (curation.py)     Gopher-style heuristics
       → gopher_filter (functions/gopher.py, optional) full Gopher rule set
       → filter_by_perplexity (functions/charlm.py, optional) CCNet gate
@@ -41,6 +42,7 @@ def crawl_to_training_data(
     seq_len: int = 256,
     keep_langs: list[str] | None = None,
     min_quality: float = 0.3,
+    c4: bool = False,
     gopher: bool = False,
     ppl_model=None,
     max_perplexity: float | None = None,
@@ -114,6 +116,12 @@ def crawl_to_training_data(
         .withColumn("doc_id", F.xxhash64("canon_url"))
     )
     report["after_url_dedup"] = deduped_url.count()
+
+    if c4:
+        from dataforge_spark.functions.c4 import c4_filter
+
+        deduped_url = c4_filter(deduped_url, text_col="text")
+        report["after_c4"] = deduped_url.count()
 
     kept = quality_filter(
         deduped_url, text_col="text", id_col="doc_id",

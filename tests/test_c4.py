@@ -1,0 +1,95 @@
+"""C4 cleaning rules: each line rule and page rule in isolation,
+cleaned-text content, nulls, blocklist, pure-codegen plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataforge_spark.functions.c4 import (
+    c4_clean_text,
+    c4_filter,
+    c4_page_struct,
+)
+
+PAGE = "\n".join([
+    "This is a proper sentence with enough words here.",   # kept
+    "Another complete line that ends with punctuation!",   # kept
+    "Does this line survive the cleaning pass too?",       # kept
+    "short line.",                                         # <5 words
+    "No terminal punctuation on this line at all",         # no terminal
+    "Please enable JavaScript to view the comments.",      # javascript
+    '"A quoted sentence can end with a quote mark."',      # kept
+])
+
+
+def _struct(spark, text, **kw):
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(c4_page_struct(F.col("text"), **kw).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+def test_line_rules(spark):
+    c = _struct(spark, PAGE)
+    assert c["n_lines_in"] == 7
+    assert c["n_lines_kept"] == 4
+    lines = c["text"].split("\n")
+    assert len(lines) == 4
+    assert "JavaScript" not in c["text"]
+    assert "short line." not in c["text"]
+    assert c["n_sentences"] == 4
+    assert c["keep"] is True
+
+
+def test_clean_text_column_matches_struct(spark):
+    rows = (
+        spark.createDataFrame([(PAGE,)], "text string")
+        .select(
+            c4_clean_text(F.col("text")).alias("t"),
+            c4_page_struct(F.col("text"))["text"].alias("s"),
+        )
+        .collect()[0]
+    )
+    assert rows["t"] == rows["s"]
+
+
+def test_page_rules(spark):
+    two = ("One full sentence right here with words.\n"
+           "A second full sentence with plenty of words.")
+    c = _struct(spark, two)
+    assert c["n_sentences"] == 2
+    assert c["keep"] is False  # <3 sentences
+
+    lorem = PAGE + "\nThe lorem ipsum dolor sit amet filler text sits here."
+    assert _struct(spark, lorem)["keep"] is False
+
+    brace = PAGE + "\nSome code like function() { return; } appears here."
+    assert _struct(spark, brace)["keep"] is False
+
+    blocked = _struct(spark, PAGE + "\nBuy cheap widgets online right now.",
+                      blocklist=["cheap widgets"])
+    assert blocked["keep"] is False
+
+
+def test_filter_rewrites_text(spark):
+    df = spark.createDataFrame(
+        [(1, PAGE), (2, "too short."), (3, None)],
+        "id bigint, text string",
+    )
+    out = c4_filter(df).collect()
+    assert [r["id"] for r in out] == [1]
+    assert out[0]["text"].count("\n") == 3  # the 4 kept lines
+
+
+def test_thresholds_configurable(spark):
+    c = _struct(spark, PAGE, min_line_words=2)
+    assert c["n_lines_kept"] == 5  # 'short line.' now survives
+    c = _struct(spark, PAGE, min_sentences=10)
+    assert c["keep"] is False
+
+
+def test_pure_codegen_plan(spark):
+    df = spark.createDataFrame([(PAGE,)], "text string")
+    plan = c4_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -190,9 +190,15 @@ def test_gopher_and_classifier_gates(spark, tmp_path):
         "the of and to in is was for on that with as it by at river "
         "city stone light history people trade harvest winter summer"
     ).split()
-    good = [
-        " ".join(rng.choice(vocab) for _ in range(70)) for _ in range(10)
-    ]
+    def sentences():
+        # ~70 words as 5 period-terminated sentences (so the page also
+        # passes C4's terminal-punctuation and ≥3-sentence rules)
+        return " ".join(
+            " ".join(rng.choice(vocab) for _ in range(14)) + "."
+            for _ in range(5)
+        )
+
+    good = [sentences() for _ in range(10)]
     # passes the cheap heuristic gate (length band alone scores 0.4)
     # but fails Gopher's ≥80%-alphabetic-words rule
     numeric_junk = (
@@ -246,6 +252,18 @@ def test_gopher_and_classifier_gates(spark, tmp_path):
     assert report["after_gopher"] == 10   # ...Gopher's alpha rule drops it
     assert report["after_classifier"] == 10  # classifier keeps real docs
     assert report["samples_out"] > 0
+
+    # C4 leg: the numeric junk page has no terminal punctuation, so
+    # the C4 line rules empty it and the ≥3-sentence rule drops it
+    out_c4 = f"/tmp/crawl_gates_{uuid.uuid4().hex[:8]}"
+    r_c4, _ = crawl_to_training_data(
+        spark, path, out_c4,
+        vocab_size=300, seq_len=64, keep_langs=["en"],
+        c4=True, gopher=True, minhash_threshold=0.7,
+    )
+    assert r_c4["after_c4"] == 10
+    assert r_c4["after_gopher"] == 10
+    assert r_c4["samples_out"] > 0
 
     # pareto mode is derandomized: two runs agree exactly
     outs = []
