@@ -94,6 +94,87 @@ def intercorpus_dedup(
     return tagged.join(right, "__d", "left_anti").drop("__d")
 
 
+def write_digest_index(
+    df: DataFrame, path: str, text_col: str = "text"
+) -> dict:
+    """Persist a corpus' DISTINCT content digests so later batches can
+    exact-dedup against it WITHOUT rescanning its text — the exact-hash
+    sibling of ``dedup.index.write_minhash_index`` (same layout
+    convention: ``digests/`` parquet + ``_meta/`` params json). 16
+    bytes/doc: a 100 TB corpus of ~1e11 docs is a ~3 TB digest table —
+    scanned, never collected; the broadcast gate below decides the join
+    strategy per batch."""
+    spark = df.sparkSession
+    digs = df.select(digest(text_col).alias("digest")).distinct()
+    digs.write.mode("errorifexists").parquet(f"{path}/digests")
+    n = spark.read.parquet(f"{path}/digests").count()
+    spark.createDataFrame(
+        [(1, "md5", n)], "version int, digest_fn string, n_digests long"
+    ).coalesce(1).write.mode("errorifexists").json(f"{path}/_meta")
+    return {"path": path, "n_digests": n}
+
+
+def _read_digest_meta(spark, path: str) -> dict:
+    row = spark.read.json(f"{path}/_meta").first()
+    if row is None or "digest_fn" not in row:
+        raise ValueError(f"no digest-index meta at {path}/_meta")
+    meta = row.asDict()
+    if meta["digest_fn"] != "md5":
+        raise ValueError(
+            f"digest index at {path} uses digest_fn={meta['digest_fn']!r}; "
+            "this build computes md5"
+        )
+    return meta
+
+
+def dedup_against_digest_index(
+    new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    broadcast_rows: int = _DEFAULT_BROADCAST_ROWS,
+) -> DataFrame:
+    """Rows of ``new`` whose content digest is NOT in the persisted
+    index — the incremental form of :func:`intercorpus_dedup` (same
+    gated broadcast-vs-shuffle anti-join, but the reference side is the
+    stored digest table, so the snapshot's text is never rescanned)."""
+    spark = new.sparkSession
+    _read_digest_meta(spark, path)
+    ref = spark.read.parquet(f"{path}/digests").select(
+        F.col("digest").alias("__d")
+    )
+    tagged = new.withColumn("__d", digest(text_col))
+    if _fast_broadcast_ok(ref, broadcast_rows):
+        right = F.broadcast(ref)
+    else:
+        small = ref.limit(broadcast_rows + 1).count() <= broadcast_rows
+        right = F.broadcast(ref) if small else ref
+    return tagged.join(right, "__d", "left_anti").drop("__d")
+
+
+def append_to_digest_index(
+    df: DataFrame, path: str, text_col: str = "text"
+) -> dict:
+    """Grow the index with ``df``'s digests that are not already
+    present (anti-join before the append keeps the stored table
+    distinct, so the per-batch join side never accumulates duplicate
+    rows). Typical loop: ``dedup_against_digest_index`` → accept →
+    ``append_to_digest_index`` on the accepted rows."""
+    spark = df.sparkSession
+    meta = _read_digest_meta(spark, path)
+    existing = spark.read.parquet(f"{path}/digests")
+    fresh = (
+        df.select(digest(text_col).alias("digest"))
+        .distinct()
+        .join(existing, "digest", "left_anti")
+    )
+    fresh.write.mode("append").parquet(f"{path}/digests")
+    n = spark.read.parquet(f"{path}/digests").count()
+    spark.createDataFrame(
+        [(1, "md5", n)], "version int, digest_fn string, n_digests long"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    return {"path": path, "n_digests": n, "appended": n - meta["n_digests"]}
+
+
 def _fast_broadcast_ok(reference: DataFrame, broadcast_rows: int) -> bool:
     """True when the reference may broadcast WITHOUT the exact
     distinct-digest probe: footer-stat byte estimate small, default-or-
