@@ -108,3 +108,48 @@ def document_profile(
         ),
         "languages": [(r["lang"], int(r["n"])) for r in langs],
     }
+
+
+def domain_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Per-registrable-domain curation stats — the table behind every
+    "top crawl domains" review and domain-blocklist decision: doc
+    count, token volume, mean heuristic quality, exact-dup rate WITHIN
+    the domain (a boilerplate farm shows up as high ``dup_rate`` here
+    long before corpus-wide dedup runs).
+
+    Returns the top-``k`` domains by document count as a DataFrame
+    (``domain, n_docs, total_tokens, mean_quality, dup_rate``) — one
+    map-side-combined groupBy on the domain key; no driver collect, so
+    compose it (write it, join a blocklist against it) at any scale.
+    """
+    from .dedup.intercorpus import digest
+    from .functions.text_analysis import quality_score, token_count
+    from .functions.urls import url_domain
+
+    text = F.col(text_col)
+    proj = df.select(
+        url_domain(url_col).alias("domain"),
+        F.coalesce(token_count(text), F.lit(0)).alias("toks"),
+        quality_score(text).alias("q"),
+        digest(text).alias("d"),
+    ).where(F.col("domain").isNotNull())
+    return (
+        proj.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.round(F.mean("q"), 6).alias("mean_quality"),
+            F.round(
+                1.0
+                - F.count_distinct(F.col("d")) / F.count(F.col("d")),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy(F.desc("n_docs"), "domain")
+        .limit(k)
+    )

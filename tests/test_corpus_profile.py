@@ -49,6 +49,29 @@ def test_empty_corpus(spark):
     assert p["languages"] == []
 
 
+def test_domain_profile(spark):
+    from dataforge_spark.corpus import domain_profile
+
+    rows = [
+        (f"http://spamfarm.example/p{i}", "same boilerplate text here")
+        for i in range(6)
+    ] + [
+        (f"http://good.example/a{i}", f"unique article number {i} with words")
+        for i in range(4)
+    ] + [
+        ("not a url", "dropped row"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = domain_profile(df, "url", "text", k=5).collect()
+    assert [r["domain"] for r in out] == ["spamfarm.example", "good.example"]
+    spam, good = out
+    assert spam["n_docs"] == 6
+    # all six docs identical → 1 distinct of 6
+    assert spam["dup_rate"] == pytest.approx(1 - 1 / 6, abs=1e-6)
+    assert good["dup_rate"] == 0.0
+    assert good["total_tokens"] > 0
+
+
 def test_documents_table_smoke(spark, documents):
     p = document_profile(documents, lang_col="lang")
     assert p["n_docs"] == documents.count()
