@@ -134,6 +134,100 @@ class BpeTokenizer:
         with open(path) as fh:
             return cls.from_dict(json.load(fh))
 
+    def save_gpt2(self, vocab_path: str, merges_path: str) -> None:
+        """Export in the GPT-2 interchange format (Radford et al. 2019
+        reference release — public): ``vocab.json`` token→id and
+        ``merges.txt`` ordered pair lines, bytes rendered through the
+        standard byte-to-printable-unicode mapping. Ids keep THIS
+        tokenizer's scheme (byte value 0-255, merge i → 256+i); the
+        files are format-compatible with common BPE tooling."""
+        import json
+
+        b2u = _bytes_to_unicode()
+
+        def render(bs: bytes) -> str:
+            return "".join(b2u[x] for x in bs)
+
+        vocab = {render(bytes([i])): i for i in range(256)}
+        for i, (a, b) in enumerate(self.merges):
+            vocab[render(a + b)] = 256 + i
+        with open(vocab_path, "w", encoding="utf-8") as fh:
+            json.dump(vocab, fh, ensure_ascii=False)
+        with open(merges_path, "w", encoding="utf-8") as fh:
+            fh.write("#version: 0.2\n")
+            for a, b in self.merges:
+                fh.write(f"{render(a)} {render(b)}\n")
+
+    @classmethod
+    def load_gpt2(cls, vocab_path: str, merges_path: str) -> "BpeTokenizer":
+        """Load the GPT-2 interchange files back. The merge list alone
+        reconstructs the tokenizer; ``vocab.json`` is cross-checked
+        (every merged token must map to ``256 + rank`` and spell the
+        concatenation of its pair) so a mismatched file pair fails
+        loudly instead of silently mis-tokenizing."""
+        import json
+
+        u2b = {u: b for b, u in _bytes_to_unicode().items()}
+
+        def unrender(s: str) -> bytes:
+            try:
+                return bytes(u2b[c] for c in s)
+            except KeyError as exc:
+                raise ValueError(
+                    f"merges.txt token {s!r} contains a character outside "
+                    "the GPT-2 byte alphabet"
+                ) from exc
+
+        merges: list[tuple[bytes, bytes]] = []
+        with open(merges_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(" ")
+                if len(parts) != 2:
+                    raise ValueError(f"malformed merges.txt line: {line!r}")
+                merges.append((unrender(parts[0]), unrender(parts[1])))
+        with open(vocab_path, encoding="utf-8") as fh:
+            vocab = json.load(fh)
+        for i, (a, b) in enumerate(merges):
+            tok = a + b
+            b2u = _bytes_to_unicode()
+            rendered = "".join(b2u[x] for x in tok)
+            if vocab.get(rendered) != 256 + i:
+                raise ValueError(
+                    f"vocab.json does not match merges.txt at rank {i}: "
+                    f"expected {rendered!r} -> {256 + i}"
+                )
+        return cls(merges)
+
+
+_B2U_CACHE: dict[int, str] = {}
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 reference byte↔printable-unicode bijection (public
+    algorithm): printable latin ranges map to themselves, every other
+    byte shifts into the 256+ plane — so merges.txt never contains
+    whitespace/control bytes that would break its space-separated
+    format."""
+    if _B2U_CACHE:
+        return _B2U_CACHE
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    _B2U_CACHE.update({b: chr(c) for b, c in zip(bs, cs)})
+    return _B2U_CACHE
+
 
 # ----------------------------------------------------------- training
 

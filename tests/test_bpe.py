@@ -153,3 +153,40 @@ def test_pretokenize_column_matches_python(spark):
     )
     got = df.select(pretokenize("t").alias("p")).collect()[0]["p"]
     assert got == re.findall(PRETOKEN_RE, "the cat, 42 dogs!  ok")
+
+
+def test_gpt2_format_roundtrip(tmp_path):
+    from dataforge_spark.functions.bpe import (
+        BpeTokenizer,
+        _bytes_to_unicode,
+        _merge_loop,
+    )
+
+    # the mapping is the GPT-2 bijection: 256 distinct printable chars,
+    # printable ASCII maps to itself, space/control shift high
+    b2u = _bytes_to_unicode()
+    assert len(set(b2u.values())) == 256
+    assert b2u[ord("A")] == "A"
+    assert ord(b2u[ord(" ")]) >= 256
+
+    tok = BpeTokenizer(
+        _merge_loop({"the": 50, "then": 20, "banana": 9, "καφέ": 4}, 40)
+    )
+    vocab_p = str(tmp_path / "vocab.json")
+    merges_p = str(tmp_path / "merges.txt")
+    tok.save_gpt2(vocab_p, merges_p)
+    back = BpeTokenizer.load_gpt2(vocab_p, merges_p)
+    assert back.merges == tok.merges
+    for s in ("the banana then", "καφέ the", ""):
+        assert back.encode(s) == tok.encode(s)
+        assert back.decode(back.encode(s)) == s
+
+    # a vocab/merges mismatch fails loudly
+    import json
+
+    v = json.load(open(vocab_p))
+    k = next(key for key, i in v.items() if i == 256)
+    v[k] = 999
+    json.dump(v, open(vocab_p, "w"))
+    with pytest.raises(ValueError):
+        BpeTokenizer.load_gpt2(vocab_p, merges_p)
