@@ -74,8 +74,12 @@ def c4_page_struct(
     n_sent = F.regexp_count(cleaned, F.lit(r'[.!?]["”]?(\s|$)'))
     low = F.lower(cleaned)
     blocked = low.contains("lorem ipsum") | low.contains("{")
-    for phrase in blocklist or []:
-        blocked = blocked | low.contains(phrase.lower())
+    if blocklist:
+        # one compiled alternation — a 400-phrase dirty-word list costs
+        # one scan, not 400 contains passes
+        from .textfix import contains_any
+
+        blocked = blocked | contains_any(cleaned, list(blocklist))
     keep = (n_sent >= min_sentences) & ~blocked
     struct = F.struct(
         cleaned.alias("text"),
