@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("info", help="print the capability manifest")
 
+    vt = sub.add_parser(
+        "verify-table", help="check a table against its _manifest.json"
+    )
+    vt.add_argument("--path", required=True)
+    vt.add_argument("--no-hashes", action="store_true",
+                    help="listing/size checks only (skip md5)")
+
     cr = sub.add_parser(
         "crawl", help="WARC/WET -> tokenized TFRecord training shards"
     )
@@ -72,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--min-quality", type=float, default=0.3)
     cr.add_argument("--gopher", action="store_true",
                     help="apply the full seven-rule Gopher quality gate")
+    cr.add_argument("--fix-text", action="store_true",
+                    help="repair mojibake and NFKC-normalize before filtering")
     cr.add_argument("--c4", action="store_true",
                     help="apply C4 line/page cleaning before the quality gates")
     cr.add_argument("--minhash-threshold", type=float, default=0.8)
@@ -119,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
             vocab_size=args.vocab_size,
             seq_len=args.seq_len,
             keep_langs=args.langs.split(",") if args.langs else None,
+            fix_text=args.fix_text,
             min_quality=args.min_quality,
             c4=args.c4,
             gopher=args.gopher,
@@ -129,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
             report["tokenizer_path"] = args.save_tokenizer
         print(json.dumps(report, indent=2))
         return 0
+
+    if args.cmd == "verify-table":
+        from .maintenance import verify_manifest
+
+        v = verify_manifest(spark, args.path,
+                            check_hashes=not args.no_hashes)
+        print(json.dumps(v, indent=2))
+        return 0 if v["ok"] else 1
 
     if args.cmd == "profile":
         df = _read(spark, args.input)

@@ -5,6 +5,8 @@ extension tiers exist for, wired together:
 
     read_warc (warc.py)                  crawl ingestion
       → html_to_text (functions/html.py) boilerplate strip for HTML
+      → fix_mojibake + NFKC (functions/textfix.py, optional) encoding
+        repair / unicode normalization
       → canonicalize_url (functions/urls.py) + keep-first URL dedup
       → c4_filter (functions/c4.py, optional) C4 line/page cleaning
       → quality_filter (curation.py)     Gopher-style heuristics
@@ -41,6 +43,7 @@ def crawl_to_training_data(
     vocab_size: int = 1024,
     seq_len: int = 256,
     keep_langs: list[str] | None = None,
+    fix_text: bool = False,
     min_quality: float = 0.3,
     c4: bool = False,
     gopher: bool = False,
@@ -98,6 +101,16 @@ def crawl_to_training_data(
             F.col("raw_text")
         ),
     ).drop("raw_text", "is_html")
+
+    if fix_text:
+        from dataforge_spark.functions.textfix import (
+            fix_mojibake,
+            normalize_unicode,
+        )
+
+        text = text.withColumn(
+            "text", normalize_unicode(fix_mojibake("text"), "NFKC")
+        )
 
     if keep_langs:
         text = text.where(F.col("lang").isin(*keep_langs))

@@ -259,7 +259,7 @@ def test_gopher_and_classifier_gates(spark, tmp_path):
     r_c4, _ = crawl_to_training_data(
         spark, path, out_c4,
         vocab_size=300, seq_len=64, keep_langs=["en"],
-        c4=True, gopher=True, minhash_threshold=0.7,
+        fix_text=True, c4=True, gopher=True, minhash_threshold=0.7,
     )
     assert r_c4["after_c4"] == 10
     assert r_c4["after_gopher"] == 10

@@ -109,3 +109,15 @@ def test_validation(spark, tmp_path):
     df = spark.range(3)
     with pytest.raises(ValueError):
         write_with_manifest(df, str(tmp_path / "t"), format="csv")
+
+
+def test_verify_table_cli(spark, tmp_path, capsys):
+    from dataforge_spark.__main__ import main
+
+    path = str(tmp_path / "cli_tbl")
+    df = spark.range(0, 50)
+    write_with_manifest(df, path)
+    assert main(["verify-table", "--path", path]) == 0
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    os.remove(os.path.join(path, parts[0]))
+    assert main(["verify-table", "--path", path, "--no-hashes"]) == 1
