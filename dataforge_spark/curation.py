@@ -800,3 +800,58 @@ def packing_stats(packed: DataFrame, budget: int) -> dict:
         ),
         "lower_bound_packs": -(-total // budget) if total else 0,
     }
+
+
+def temperature_weights(
+    sizes: dict[str, int], alpha: float = 0.3, target_total: int | None = None
+) -> dict[str, float]:
+    """Exponentiated-smoothing mixture weights from source sizes — the
+    multilingual sampling rule of mBERT/XLM-R (Conneau et al. 2020,
+    public): sampling share ``p_i ∝ (n_i/N)^alpha`` so low-resource
+    sources are upsampled as ``alpha`` → 0 and natural proportions kept
+    at ``alpha = 1``. Returns per-source EPOCH weights (expected
+    appearances per document) summing to ``target_total`` documents
+    (default: the natural total N) — feed straight into
+    :func:`mix_corpora`."""
+    if not sizes:
+        raise ValueError("sizes is empty")
+    if any(n < 0 for n in sizes.values()):
+        raise ValueError("negative source size")
+    if alpha < 0:
+        raise ValueError("alpha must be ≥ 0")
+    live = {k: n for k, n in sizes.items() if n > 0}
+    if not live:
+        raise ValueError("all sources are empty")
+    total = sum(live.values())
+    if target_total is None:
+        target_total = total
+    p = {k: (n / total) ** alpha for k, n in live.items()}
+    z = sum(p.values())
+    return {
+        k: (p[k] / z) * target_total / live[k] if k in live else 0.0
+        for k in sizes
+    }
+
+
+def temperature_mix(
+    sources: dict[str, DataFrame],
+    key_cols: list[str],
+    alpha: float = 0.3,
+    target_total: int | None = None,
+    seed: int = 0,
+    source_col: str = "mix_source",
+    epoch_col: str = "mix_epoch",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Count each source once, derive temperature weights, assemble the
+    deterministic mixture via :func:`mix_corpora`. Returns
+    ``(mixture, weights)`` so the caller can audit/refit the mix."""
+    sizes = {name: df.count() for name, df in sorted(sources.items())}
+    weights = temperature_weights(sizes, alpha=alpha, target_total=target_total)
+    mixture = mix_corpora(
+        {name: (df, weights[name]) for name, df in sources.items()},
+        key_cols=key_cols,
+        seed=seed,
+        source_col=source_col,
+        epoch_col=epoch_col,
+    )
+    return mixture, weights

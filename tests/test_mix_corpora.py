@@ -74,3 +74,51 @@ def test_mix_is_shuffle_free(spark, documents):
     )
     plan = mixed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_weights_closed_form():
+    from dataforge_spark.curation import temperature_weights
+
+    sizes = {"big": 9000, "small": 1000}
+    # alpha=1: natural proportions → every weight is exactly 1.0
+    w = temperature_weights(sizes, alpha=1.0)
+    assert w == pytest.approx({"big": 1.0, "small": 1.0})
+    # alpha=0: equal shares → small is upsampled 5x, big downsampled
+    w0 = temperature_weights(sizes, alpha=0.0)
+    assert w0["small"] == pytest.approx(5000 / 1000)
+    assert w0["big"] == pytest.approx(5000 / 9000)
+    # expected doc total always hits target_total
+    for a in (0.0, 0.3, 0.7, 1.0):
+        w = temperature_weights(sizes, alpha=a, target_total=2000)
+        assert sum(w[k] * sizes[k] for k in sizes) == pytest.approx(2000)
+    # intermediate alpha sits between the extremes for the small source
+    w3 = temperature_weights(sizes, alpha=0.3)
+    assert 1.0 < w3["small"] < w0["small"]
+    # empty source gets weight 0, not a crash
+    w = temperature_weights({"a": 10, "b": 0}, alpha=0.5)
+    assert w["b"] == 0.0
+    with pytest.raises(ValueError):
+        temperature_weights({})
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0})
+
+
+def test_temperature_mix_proportions(spark):
+    from dataforge_spark.curation import temperature_mix
+
+    big = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    small = spark.range(100000, 100300).select(F.col("id").alias("doc_id"))
+    mixed, w = temperature_mix(
+        {"big": big, "small": small}, key_cols=["doc_id"], alpha=0.0
+    )
+    counts = {
+        r["mix_source"]: r["n"]
+        for r in mixed.groupBy("mix_source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # alpha=0 → equal expected share: 1650 docs each; the fractional
+    # epoch is a hash subset, so allow a small band
+    assert counts["small"] == pytest.approx(1650, rel=0.1)
+    assert counts["big"] == pytest.approx(1650, rel=0.1)
+    assert w["small"] == pytest.approx(1650 / 300)
