@@ -110,6 +110,61 @@ def document_profile(
     }
 
 
+def common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    min_docs: int = 10,
+    k: int = 100,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Boilerplate miner: the normalized lines appearing in at least
+    ``min_docs`` DISTINCT documents, most-shared first (top ``k``) —
+    cookie banners, nav footers, subscription prompts. Feed the result
+    into a :func:`..functions.textfix.contains_any` blocklist or strip
+    the lines outright.
+
+    Scale: explode(lines) → distinct per (doc, line) → one map-side-
+    combined count per line. Shuffle rows are bounded by distinct
+    (doc, line) pairs; the heavy tail of unique lines dies in the
+    ``HAVING``-style filter before the top-k sort. Lines shorter than
+    ``min_chars`` are ignored (punctuation rows share by accident).
+
+    ``id_col`` keys the one-vote-per-document dedup; when absent (or
+    None) the document's content hash is the key — identical full
+    documents then share one vote, which is the right bias for a
+    boilerplate count anyway. (NOT ``monotonically_increasing_id``:
+    it is nondeterministic, so Spark re-evaluates it per exploded
+    line and the per-doc dedup silently stops deduping.)
+    """
+    doc_key = (
+        F.col(id_col)
+        if id_col is not None and id_col in df.columns
+        else F.xxhash64(F.col(text_col))
+    )
+    lines = (
+        df.select(
+            doc_key.alias("__doc"),
+            F.explode(F.split(F.col(text_col), r"\n")).alias("raw"),
+        )
+        .select(
+            "__doc",
+            F.regexp_replace(F.trim(F.lower(F.col("raw"))), r"\s+", " ").alias(
+                "line"
+            ),
+        )
+        .where(F.length("line") >= min_chars)
+        .distinct()  # one vote per document
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "line")
+        .limit(k)
+    )
+
+
 def domain_profile(
     df: DataFrame,
     url_col: str = "url",

@@ -78,3 +78,24 @@ def test_documents_table_smoke(spark, documents):
     assert p["total_tokens"] > 0
     assert p["tokens"]["p25"] <= p["tokens"]["p50"] <= p["tokens"]["p75"]
     assert len(p["languages"]) >= 1
+
+
+def test_common_lines_boilerplate_miner(spark):
+    from dataforge_spark.corpus import common_lines
+
+    banner = "Accept our cookies to continue"
+    footer = "  COPYRIGHT   2026 Example Corp  "
+    docs = []
+    for i in range(12):
+        body = f"unique article text number {i} with several words"
+        # banner appears TWICE in some docs — must count once per doc
+        extra = (banner + "\n") if i % 2 else ""
+        docs.append((i, f"{banner}\n{extra}{body}\n{footer}"))
+    docs.append((99, "no shared lines in this document at all"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    out = common_lines(df, min_docs=10, k=10).collect()
+    got = {r["line"]: r["n_docs"] for r in out}
+    assert got[banner.lower()] == 12  # per-doc distinct, not 18
+    assert got["copyright 2026 example corp"] == 12  # normalized
+    assert len(got) == 2  # unique bodies filtered by min_docs
