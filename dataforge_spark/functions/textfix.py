@@ -82,6 +82,19 @@ def matches_any_word(col: str | Column, phrases: list[str]) -> Column:
     return c.rlike(_phrase_regex(phrases, word_boundary=True))
 
 
+def strip_matching_lines(col: str | Column, phrases: list[str]) -> Column:
+    """Remove every line containing any blocklisted phrase
+    (case-insensitive literals; the consumer of
+    ``corpus.common_lines``'s output). split → filter with ONE
+    compiled alternation → array_join: pure codegen, like the C4 line
+    rules. Null → null."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = _phrase_regex(phrases, word_boundary=False)
+    return F.array_join(
+        F.filter(F.split(c, r"\n"), lambda l: ~l.rlike(pat)), "\n"
+    )
+
+
 def normalize_unicode(col: str | Column, form: str = "NFKC") -> Column:
     """Unicode-normalize the string column (null → null)."""
     if form not in _NORM_FORMS:

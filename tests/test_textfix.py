@@ -117,3 +117,20 @@ def test_mojibake_column(spark):
         "id", fix_mojibake("t").alias("f")
     ).collect()}
     assert rows == {1: "café", 2: "fine text", 3: None}
+
+
+def test_strip_matching_lines(spark):
+    from dataforge_spark.functions.textfix import strip_matching_lines
+
+    text = "Real content here.\nACCEPT COOKIES now\nMore content.\nfooter (c)"
+    df = spark.createDataFrame([(1, text), (2, None)], "id bigint, t string")
+    rows = {r["id"]: r["s"] for r in df.select(
+        "id", strip_matching_lines("t", ["accept cookies", "footer ("]).alias("s")
+    ).collect()}
+    assert rows[1] == "Real content here.\nMore content."
+    assert rows[2] is None
+    plan = (
+        df.select(strip_matching_lines("t", ["x"]).alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
