@@ -72,14 +72,18 @@ def c4_page_struct(
     cleaned = F.array_join(kept, "\n")
     # sentences ≈ terminal-punctuation runs in the CLEANED text
     n_sent = F.regexp_count(cleaned, F.lit(r'[.!?]["”]?(\s|$)'))
-    low = F.lower(cleaned)
+    # page-level block check runs on the RAW page text (paper §2.2):
+    # a code line containing "{" rarely ends in terminal punctuation, so
+    # checking the line-cleaned text would miss exactly the pages the
+    # rule exists to drop
+    low = F.lower(col)
     blocked = low.contains("lorem ipsum") | low.contains("{")
     if blocklist:
         # one compiled alternation — a 400-phrase dirty-word list costs
         # one scan, not 400 contains passes
         from .textfix import contains_any
 
-        blocked = blocked | contains_any(cleaned, list(blocklist))
+        blocked = blocked | contains_any(col, list(blocklist))
     keep = (n_sent >= min_sentences) & ~blocked
     struct = F.struct(
         cleaned.alias("text"),

@@ -144,14 +144,29 @@ def train_quality_classifier(
             # keep ≈max_docs_per_class rows by the curation module's
             # deterministic md5 bucket on the text itself — stable
             # across retries and layouts.
-            frac_buckets = int(SPLIT_BUCKETS * max_docs_per_class / n)
+            # max(1, ...): at n > SPLIT_BUCKETS*max_docs_per_class the
+            # floor would hit 0 and silently empty the class — keep at
+            # least one bucket (the sample overshoots the cap by at most
+            # n/SPLIT_BUCKETS per bucket, which is the sampling grain).
+            frac_buckets = max(
+                1, int(SPLIT_BUCKETS * max_docs_per_class / n)
+            )
             out = out.where(split_bucket(["_text"]) < frac_buckets)
         return out
 
-    train = bounded(positive, 1.0).unionByName(bounded(negative, 0.0)).cache()
+    pos = bounded(positive, 1.0)
+    neg = bounded(negative, 0.0)
+    train = pos.unionByName(neg).cache()
     n_docs = train.count()  # materializes the cache
     if n_docs == 0:
         raise ValueError("training set is empty")
+    n_pos = train.where(F.col("_y") == 1.0).count()
+    if n_pos == 0 or n_pos == n_docs:
+        raise ValueError(
+            "one class's bounded sample is empty — a one-label training "
+            "set would fit a degenerate classifier; widen "
+            "max_docs_per_class or check the inputs"
+        )
 
     schema = T.StructType(
         [

@@ -24,10 +24,15 @@ Scale design:
   — a reader (or the next pipeline stage) verifies the table is
   exactly the set of files one successful job wrote: no missing parts
   (failed tasks), no orphans (a concurrent/zombie writer's output
-  would otherwise be silently read as table data). Hashing streams
-  file-by-file on the driver for local paths — the verify cost is one
-  read of the table's bytes, and rides an executor-parallel Spark job
-  via ``binaryFile`` when the table is large or remote.
+  would otherwise be silently read as table data).
+- Listing and sizing go through the Hadoop ``FileSystem`` API for any
+  non-local scheme (s3a://, hdfs://, gs://, abfs://, …) — driver
+  metadata calls only, one ``listStatus`` per table. Local paths take
+  the plain ``os`` path (no JVM round-trips). Hashing streams
+  file-by-file on the driver for local paths; for remote tables (or
+  whenever a ``SparkSession`` is supplied) it rides an
+  executor-parallel ``binaryFile`` job, so the verify cost is one
+  distributed read of the table's bytes.
 """
 
 from __future__ import annotations
@@ -47,21 +52,70 @@ def _strip_scheme(uri: str) -> str:
     return uri[7:] if uri.startswith("file://") else uri
 
 
-def _part_files(path: str) -> list[str]:
-    """Data part files of a table directory (underscore/dot files —
-    _SUCCESS, _manifest.json, .crc — are metadata, not data)."""
-    return sorted(
-        f
-        for f in os.listdir(path)
-        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(path, f))
-    )
+def _is_local(uri: str) -> bool:
+    """Local filesystem path? (no scheme, or file://)"""
+    if uri.startswith("file://"):
+        return True
+    # "s3a://bucket/k" has "://"; a bare "/tmp/t" or "rel/t" does not
+    return "://" not in uri
 
 
-def table_file_stats(path: str, small_file_bytes: int = 32 * 1024 * 1024) -> dict:
+def _hadoop_fs(spark: SparkSession, uri: str):
+    """(FileSystem, Path) for ``uri`` via the JVM gateway — works for
+    every scheme the cluster's Hadoop conf knows (s3a, hdfs, gs, …)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
+def _is_data_file(name: str) -> bool:
+    """Data part file? (underscore/dot files — _SUCCESS,
+    _manifest.json, .crc — are metadata, not data)."""
+    return not name.startswith(("_", "."))
+
+
+def _list_files(
+    path: str, spark: SparkSession | None = None
+) -> list[tuple[str, int]]:
+    """Sorted ``(name, bytes)`` of the table's data part files. Local
+    paths use ``os``; any other scheme goes through the Hadoop
+    ``FileSystem`` API (requires ``spark``)."""
+    if _is_local(path):
+        base = _strip_scheme(path)
+        return sorted(
+            (f, os.path.getsize(os.path.join(base, f)))
+            for f in os.listdir(base)
+            if _is_data_file(f) and os.path.isfile(os.path.join(base, f))
+        )
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"listing {path!r} needs a SparkSession (Hadoop FileSystem "
+            "API) — pass spark= or start a session"
+        )
+    fs, jpath = _hadoop_fs(spark, path)
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and _is_data_file(name):
+            out.append((name, int(st.getLen())))
+    return sorted(out)
+
+
+def _part_files(path: str, spark: SparkSession | None = None) -> list[str]:
+    return [n for n, _ in _list_files(path, spark)]
+
+
+def table_file_stats(
+    path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    spark: SparkSession | None = None,
+) -> dict:
     """Driver-side listing stats: the numbers that decide whether a
-    table needs compaction. Metadata only — no data is read."""
-    path = _strip_scheme(path)
-    sizes = [os.path.getsize(os.path.join(path, f)) for f in _part_files(path)]
+    table needs compaction. Metadata only — no data is read. Remote
+    schemes list via the Hadoop FileSystem API."""
+    sizes = [s for _, s in _list_files(path, spark)]
     return {
         "n_files": len(sizes),
         "total_bytes": sum(sizes),
@@ -92,7 +146,7 @@ def compact_files(
     """
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
-    before = table_file_stats(path)
+    before = table_file_stats(path, spark=spark)
     n_parts = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     df = spark.read.parquet(path)
     if sort_by:
@@ -102,7 +156,7 @@ def compact_files(
     else:
         out = df.coalesce(n_parts)
     out.write.mode("errorifexists").parquet(out_path)
-    after = table_file_stats(out_path)
+    after = table_file_stats(out_path, spark=spark)
     return {"before": before, "after": after, "target_partitions": n_parts}
 
 
@@ -114,6 +168,25 @@ def _md5_of(fpath: str) -> str:
     return h.hexdigest()
 
 
+def _md5_spark(
+    spark: SparkSession, path: str, names: list[str]
+) -> dict[str, str]:
+    """md5 per file via an executor-parallel binaryFile job (the only
+    hashing path that works for remote stores, and the fast one for
+    large local tables)."""
+    sep = "" if path.endswith("/") else "/"
+    rows = (
+        spark.read.format("binaryFile")
+        .load([f"{path}{sep}{n}" for n in names])
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            F.md5("content").alias("md5"),
+        )
+        .collect()
+    )
+    return {r["name"]: r["md5"] for r in rows}
+
+
 def write_with_manifest(
     df: DataFrame, path: str, format: str = "parquet"
 ) -> dict:
@@ -122,31 +195,65 @@ def write_with_manifest(
     "total_bytes"}``. The manifest is written LAST, so its presence
     certifies a complete table (readers that require it get
     all-or-nothing semantics on stores without atomic directory
-    commit)."""
+    commit). Local tables hash on the driver; remote tables hash via a
+    ``binaryFile`` Spark job and write the manifest through the Hadoop
+    ``FileSystem`` API."""
     if format == "parquet":
         df.write.mode("errorifexists").parquet(path)
     elif format == "orc":
         df.write.mode("errorifexists").orc(path)
     else:
         raise ValueError(f"unsupported manifest format: {format!r}")
-    base = _strip_scheme(path)
-    files = [
-        {
-            "name": f,
-            "bytes": os.path.getsize(os.path.join(base, f)),
-            "md5": _md5_of(os.path.join(base, f)),
-        }
-        for f in _part_files(base)
-    ]
+    spark = df.sparkSession
+    listing = _list_files(path, spark)
+    names = [n for n, _ in listing]
+    if _is_local(path):
+        base = _strip_scheme(path)
+        md5s = {n: _md5_of(os.path.join(base, n)) for n in names}
+    else:
+        md5s = _md5_spark(spark, path, names)
+    files = [{"name": n, "bytes": b, "md5": md5s[n]} for n, b in listing]
     manifest = {
         "format": format,
         "files": files,
         "n_files": len(files),
         "total_bytes": sum(f["bytes"] for f in files),
     }
-    with open(os.path.join(base, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    payload = json.dumps(manifest, indent=1, sort_keys=True)
+    if _is_local(path):
+        base = _strip_scheme(path)
+        with open(os.path.join(base, MANIFEST_NAME), "w") as fh:
+            fh.write(payload)
+    else:
+        fs, jpath = _hadoop_fs(spark, path)
+        mpath = spark._jvm.org.apache.hadoop.fs.Path(jpath, MANIFEST_NAME)
+        stream = fs.create(mpath, True)
+        try:
+            stream.write(payload.encode("utf-8"))
+        finally:
+            stream.close()
     return manifest
+
+
+def _read_manifest(path: str, spark: SparkSession | None) -> dict:
+    if _is_local(path):
+        base = _strip_scheme(path)
+        with open(os.path.join(base, MANIFEST_NAME)) as fh:
+            return json.load(fh)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"reading the manifest at {path!r} needs a SparkSession"
+        )
+    fs, jpath = _hadoop_fs(spark, path)
+    mpath = spark._jvm.org.apache.hadoop.fs.Path(jpath, MANIFEST_NAME)
+    stream = fs.open(mpath)
+    try:
+        util = spark._jvm.org.apache.commons.io.IOUtils
+        text = util.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
 
 
 def verify_manifest(
@@ -157,21 +264,21 @@ def verify_manifest(
     manifest file is present with the recorded size (and md5 when
     ``check_hashes``) and no unlisted data files exist.
 
-    ``spark`` given and the table non-local/large → hashing runs as a
-    ``binaryFile`` Spark job (executor-parallel); ``spark=None`` hashes
-    driver-side, which is fine for the listing/size checks that
-    dominate routine verification."""
-    base = _strip_scheme(path)
-    with open(os.path.join(base, MANIFEST_NAME)) as fh:
-        manifest = json.load(fh)
+    Listing/size checks are driver metadata calls (Hadoop FileSystem
+    API for remote schemes). Hashing: ``spark`` given → an
+    executor-parallel ``binaryFile`` job; ``spark=None`` (local paths
+    only) hashes driver-side, which is fine for the listing/size checks
+    that dominate routine verification."""
+    manifest = _read_manifest(path, spark)
+    listing = dict(_list_files(path, spark))
     listed = {f["name"]: f for f in manifest["files"]}
-    present = set(_part_files(base))
+    present = set(listing)
     missing = sorted(set(listed) - present)
     orphans = sorted(present - set(listed))
     size_mismatch = sorted(
         n
         for n in set(listed) & present
-        if os.path.getsize(os.path.join(base, n)) != listed[n]["bytes"]
+        if listing[n] != listed[n]["bytes"]
     )
     hash_mismatch: list[str] = []
     if check_hashes:
@@ -179,16 +286,7 @@ def verify_manifest(
         got: dict = {}
         if spark is not None and candidates:
             try:
-                rows = (
-                    spark.read.format("binaryFile")
-                    .load([os.path.join(base, n) for n in candidates])
-                    .select(
-                        F.element_at(F.split("path", "/"), -1).alias("name"),
-                        F.md5("content").alias("md5"),
-                    )
-                    .collect()
-                )
-                got = {r["name"]: r["md5"] for r in rows}
+                got = _md5_spark(spark, path, candidates)
             except Exception:
                 # a corrupted file can abort the whole Spark read (the
                 # local-FS .crc layer raises before our md5 runs) — the
@@ -196,6 +294,12 @@ def verify_manifest(
                 # file is bad, which is the whole point of verifying
                 got = {}
         if not got:
+            if not _is_local(path) and candidates:
+                raise ValueError(
+                    f"hashing {path!r} needs a working SparkSession "
+                    "(remote files are hashed via a binaryFile job)"
+                )
+            base = _strip_scheme(path)
             got = {n: _md5_of(os.path.join(base, n)) for n in candidates}
         hash_mismatch = sorted(
             n for n in candidates if got.get(n) != listed[n]["md5"]

@@ -150,8 +150,12 @@ def random_projection(
     ``seed`` on every executor (nothing ships but two ints).
 
     ``orthonormal=True`` QR-orthonormalizes the Gaussian draw (better
-    conditioning at small k; still seed-deterministic). NULL/ragged →
-    NULL, matching :func:`project_pca`."""
+    conditioning at small k; still seed-deterministic) and rescales the
+    basis by ``sqrt(d/k)`` so squared distances are preserved in
+    expectation — without the rescale an orthonormal projection
+    uniformly contracts by ~``sqrt(k/d)``, miscalibrating any absolute
+    Euclidean threshold downstream. NULL/ragged → NULL, matching
+    :func:`project_pca`."""
     if not 0 < k <= d:
         raise ValueError(f"need 0 < k <= d, got k={k} d={d}")
     from pyspark.sql.functions import pandas_udf
@@ -161,7 +165,10 @@ def random_projection(
         rng = np.random.default_rng(seed)
         m = rng.standard_normal((d, k))
         if orthonormal:
+            # sqrt(d/k): JL isometry-in-expectation rescale (see
+            # docstring) — QR alone contracts by ~sqrt(k/d)
             m, _ = np.linalg.qr(m)
+            m = m * np.sqrt(d / k)
         else:
             m = m / np.sqrt(k)
 

@@ -70,6 +70,18 @@ def test_page_rules(spark):
                       blocklist=["cheap widgets"])
     assert blocked["keep"] is False
 
+    # the block check runs on the RAW page (paper §2.2): a code line
+    # with "{" has no terminal punctuation, so line cleaning strips it
+    # — the page must still be dropped
+    raw_brace = PAGE + "\nif (x) { y++ }"
+    s = _struct(spark, raw_brace)
+    assert "{" not in s["text"]  # line cleaning removed the code line
+    assert s["keep"] is False  # …but the page is still blocked
+    raw_block = _struct(spark, PAGE + "\nbad phrase",
+                        blocklist=["bad phrase"])
+    assert "bad phrase" not in raw_block["text"]
+    assert raw_block["keep"] is False
+
 
 def test_filter_rewrites_text(spark):
     df = spark.createDataFrame(

@@ -163,3 +163,18 @@ def test_training_sample_cap(spark):
     # contract, boundedness is
     assert m.meta["n_docs"] < 240
     assert m.meta["n_docs"] > 20
+
+
+def test_degenerate_one_label_sample_raises(spark):
+    # a cap so tight the bounded sample empties a class must raise the
+    # informative error, never silently train a one-label classifier
+    # (pre-fix: frac_buckets floored to 0 and did exactly that)
+    import pytest
+
+    pos, neg = _corpora()
+    pos_df = spark.createDataFrame([(t,) for t in pos], "text string")
+    empty_neg = spark.createDataFrame([], "text string")
+    with pytest.raises(ValueError, match="one class"):
+        train_quality_classifier(
+            pos_df, empty_neg, dim=DIM, epochs=1, max_docs_per_class=50
+        )
