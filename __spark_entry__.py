@@ -1020,6 +1020,91 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(lsh)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-scoped semantic dedup (dedup/semantic.py),
+    oracle-promoted (VERDICT r11 task 2). Corpus = embeddings ∪ the
+    planted perturbed copies: the near-dup graph at threshold 0.9 is
+    EXACTLY 50 disjoint 2-cliques (measured: planted cos 0.99347,
+    max background cos 0.5128), so the greedy leader survivor set has
+    a closed form DuckDB can recompute — a row survives iff no
+    earlier-in-walk-order row is within threshold. Chain behavior
+    (where greedy ≠ the closed form) stays pinned by
+    tests/test_semantic_dedup.py's brute-force greedy twin.
+
+    Four tagged legs:
+
+    - ``min_id``: k=1 (single cluster — assignment is trivial, so the
+      oracle needs no k-means replica), keep-first walk; survivors =
+      rows with no smaller-id neighbor ≥ 0.9.
+    - ``far_centroid``: k=1, the SemDeDup paper's keep rule. The k=1
+      centroid is closed-form (normalize(mean(normalized vectors)) —
+      Lloyd's fixed point after one iteration), so the oracle
+      recomputes cos-to-centroid per row and keeps each clique's
+      least-prototypical member.
+    - ``k4``: k=4 content-keyed fitted centroids (the REAL clustered
+      path: broadcast centroids, Arrow assignment, per-cluster greedy).
+      Because every near-dup pair co-clusters (members differ by the
+      0.02-perturbation ≪ inter-cluster distance), the survivor set
+      equals the ``min_id`` closed form.
+    - ``k4_split_pairs``: the guard that makes the previous leg's
+      assumption self-verifying INSIDE the row — the count of planted
+      pairs whose members landed in different k=4 clusters, which the
+      oracle pins to 0. If a regenerated corpus ever splits a pair,
+      this leg fails loudly and diagnosably instead of the ``k4`` leg
+      hash-mismatching mysteriously.
+    """
+    import numpy as np  # noqa: F401
+
+    from dataforge_spark.dedup.semantic import semantic_dedup
+    from dataforge_spark.similarity.ivf import fit_centroids, with_ivf_bucket
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    u = emb.unionByName(_perturbed_embeddings(emb))
+
+    legs = []
+    for variant, keep in (
+        ("min_id", "min_id"),
+        ("far_centroid", "far_from_centroid"),
+    ):
+        s = semantic_dedup(
+            u, id_col="vec_id", vec_col="embedding",
+            threshold=0.9, k=1, keep=keep,
+        )
+        legs.append(s.select("vec_id").withColumn("variant", F.lit(variant)))
+
+    C4 = fit_centroids(u, "embedding", k=4, seed=42)
+    s4 = semantic_dedup(
+        u, id_col="vec_id", vec_col="embedding",
+        threshold=0.9, k=4, centroids=C4,
+    )
+    legs.append(s4.select("vec_id").withColumn("variant", F.lit("k4")))
+
+    b = with_ivf_bucket(u, C4, "embedding", "_b").select("vec_id", "_b")
+    orig = b.where(F.col("vec_id") < 100000).select(
+        "vec_id", F.col("_b").alias("_b_orig")
+    )
+    copy = b.where(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - 100000).alias("vec_id"),
+        F.col("_b").alias("_b_copy"),
+    )
+    n_split = (
+        orig.join(copy, "vec_id")
+        .where(F.col("_b_orig") != F.col("_b_copy"))
+        .count()
+    )
+    legs.append(
+        spark.createDataFrame([(n_split,)], "vec_id bigint")
+        .withColumn("variant", F.lit("k4_split_pairs"))
+    )
+
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2010,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pack": q_curation_pack,
         "dedup_simhash_verified": q_dedup_simhash_verified,
         "dedup_embedding": q_dedup_embedding,
+        # --- round 12 ---
+        "dedup_semantic": q_dedup_semantic,
         "sim_lsh_topk": q_sim_lsh_topk,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "y2_lsh_fuzzy_scale": q_y2_lsh_fuzzy_scale,
@@ -2674,6 +2761,53 @@ def oracle_sql() -> dict[str, str]:
                'lsh' AS variant
         FROM p
         WHERE round(list_cosine_similarity(v, pv), 6) >= 0.98
+    """
+
+    # SemDeDup closed form (see q_dedup_semantic's docstring): the dup
+    # graph at t=0.9 is disjoint 2-cliques, so greedy-leader survivors =
+    # rows with no earlier-in-walk-order neighbor >= t. The k=1 centroid
+    # for the far_centroid walk is Lloyd's fixed point:
+    # normalize(mean(normalized v)) — recomputed here per-dimension via
+    # zipped unnest (normalization scale drops out of the ORDER).
+    sql["dedup_semantic"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT vec_id + 100000 AS vec_id,
+            list_transform(generate_series(1, len(v)),
+                           i -> v[i] + 0.02 * sin(vec_id + 100000 + i - 1)) AS v
+          FROM e WHERE vec_id % 10 = 0
+        ),
+        u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        minid AS (
+          SELECT a.vec_id FROM u a WHERE NOT EXISTS (
+            SELECT 1 FROM u b WHERE b.vec_id < a.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.9)
+        ),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM u),
+        raw AS (SELECT vec_id, nrm,
+                       unnest(generate_series(1, len(v))) AS i,
+                       unnest(v) AS x
+                FROM n),
+        un AS (SELECT vec_id, i, x / nrm AS xn FROM raw),
+        cen AS (SELECT i, avg(xn) AS c FROM un GROUP BY i),
+        cosc AS (SELECT vec_id, sum(xn * c) AS cos_c
+                 FROM un JOIN cen USING (i) GROUP BY vec_id),
+        far AS (
+          SELECT a.vec_id FROM u a JOIN cosc ca ON ca.vec_id = a.vec_id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM u b JOIN cosc cb ON cb.vec_id = b.vec_id
+            WHERE b.vec_id != a.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.9
+              AND (cb.cos_c < ca.cos_c
+                   OR (cb.cos_c = ca.cos_c AND b.vec_id < a.vec_id)))
+        )
+        SELECT vec_id, 'min_id' AS variant FROM minid
+        UNION ALL SELECT vec_id, 'far_centroid' AS variant FROM far
+        UNION ALL SELECT vec_id, 'k4' AS variant FROM minid
+        UNION ALL SELECT CAST(0 AS BIGINT) AS vec_id,
+                         'k4_split_pairs' AS variant
     """
 
     # exact brute-force cosine top-k — the shared ground truth for the

@@ -69,6 +69,7 @@ def semantic_dedup(
     keep: str = "min_id",
     max_cluster: int = 4096,
     stats: dict | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Drop rows whose embedding is within ``threshold`` cosine of an
     earlier-kept row in the same k-means cluster; return survivors with
@@ -82,6 +83,12 @@ def semantic_dedup(
     - ``"far_from_centroid"``: ascending cosine-to-own-centroid, id
       tie-break — the SemDeDup paper's rule (keep the group's least
       prototypical member, maximizing retained diversity).
+
+    ``centroids`` (optional, ``k×dim``, rows unit-normalized like
+    :func:`~dataforge_spark.similarity.ivf.fit_centroids` output) skips
+    the fit and reuses a precomputed set — the once-per-corpus
+    amortization every persisted-index path uses, and the hook that
+    lets an external oracle replicate cluster assignment exactly.
 
     Rows that cannot be scored survive unconditionally: NULL/ragged
     vectors (the assigner NULL-buckets them) and NULL ids (unjoinable).
@@ -103,9 +110,13 @@ def semantic_dedup(
     keyed = df.where(F.col(id_col).isNotNull())
     unkeyed = df.where(F.col(id_col).isNull())
 
-    C = fit_centroids(
-        keyed, vec_col, k=k, sample_rows=sample_rows, iters=iters, seed=seed
-    )
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        C = fit_centroids(
+            keyed, vec_col, k=k, sample_rows=sample_rows,
+            iters=iters, seed=seed,
+        )
     if C.size == 0:
         return df  # no scorable vectors anywhere — nothing to drop
     bucketed = with_ivf_bucket(

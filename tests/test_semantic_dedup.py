@@ -71,6 +71,30 @@ def test_matches_brute_oracle_multi_cluster(spark):
     assert len(got) == 12
 
 
+def test_precomputed_centroids_match_fitted(spark):
+    # centroids= skips the fit and must reproduce the fitted result
+    # exactly (same content-keyed sample → same C); it also accepts an
+    # arbitrary valid centroid set without error
+    from dataforge_spark.similarity.ivf import fit_centroids
+
+    rng = np.random.RandomState(5)
+    rows = [(i + 1, list(v)) for i, v in enumerate(rng.randn(40, 6))]
+    rows += [(100 + i, list(np.array(r[1]) * 1.0001))
+             for i, r in enumerate(rows[:8])]  # planted dups
+    df = _mk(spark, rows)
+    C = fit_centroids(df, "embedding", k=3, seed=42)
+    fitted = {r.doc_id for r in
+              semantic_dedup(df, threshold=0.99, k=3).collect()}
+    pinned = {r.doc_id for r in
+              semantic_dedup(df, threshold=0.99, centroids=C).collect()}
+    assert fitted == pinned
+    # a hand-made centroid set (k=1 equivalent) works too
+    one = np.ones((1, 6)) / np.sqrt(6)
+    got = {r.doc_id for r in
+           semantic_dedup(df, threshold=0.99, centroids=one).collect()}
+    assert got == _brute_survivors(rows, 0.99)
+
+
 def test_far_from_centroid_keeps_least_prototypical(spark):
     # one cluster; 1↔2 are dups, 2 is farther from the group centroid
     rows = [
