@@ -1451,8 +1451,52 @@ def q_o4_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TXT_CLF: dict = {}
+
+# Classifier hyperparameters — MUST stay equal to the twin's constants
+# in tools/oracle_recompute.py (CLF_DIM/..): the oracle recomputes
+# training sequentially with these exact values.
+_CLF_DIM = 1 << 15
+_CLF_NGRAM = 2
+_CLF_EPOCHS = 8
+_CLF_POS_RULE = r"\bspark\b"
+
+
+def _get_txt_classifier(spark: SparkSession, sf_dir: str):
+    """Train (once per corpus fingerprint) the hashed-n-gram quality
+    classifier q_txt_metrics scores with — the same once-per-corpus
+    amortization the IVF/PQ index builds use: training is index-build
+    work, scoring is the per-query work. Classes: documents containing
+    the standalone token "spark" (trusted) vs the rest — a
+    text-derived, engine-replicable split with per-doc non-trivial
+    margins (measured min |margin| 0.0275 at sf0.01)."""
+    key = _corpus_ident(sf_dir, "documents")
+    model = _TXT_CLF.get(key)
+    if model is None:
+        from dataforge_spark.functions.quality_classifier import (
+            train_quality_classifier,
+        )
+
+        docs = (
+            _t(spark, sf_dir, "documents")
+            .select("text")
+            .where(F.col("text").isNotNull())
+        )
+        is_pos = F.lower(F.col("text")).rlike(_CLF_POS_RULE)
+        model = train_quality_classifier(
+            docs.where(is_pos),
+            docs.where(~is_pos),
+            dim=_CLF_DIM,
+            ngram=_CLF_NGRAM,
+            epochs=_CLF_EPOCHS,
+            max_docs_per_class=1000,
+        )
+        _TXT_CLF[key] = model
+    return model
+
+
 def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """11-leg per-document text-metric suite, r7 fused formulation
+    """Per-document text-metric suite, r7 fused formulation
     (VERDICT r6 task 4): ONE Arrow pass (doc_metrics_struct) computes
     the stopword vector, rolling fingerprint, Gopher repetition
     fractions, and the per-doc token-count map; the JVM legs (counts,
@@ -1462,7 +1506,31 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     map instead of re-running the UDF or re-exploding corpus token
     instances. Replaces: 3 corpus scans, 2 Python passes, 2
     corpus-sized explodes, 2 groupBy shuffles and a doc_id restore join
-    of the unfused form (sf1: 7.3 s → ~3.4 s)."""
+    of the unfused form (sf1: 7.3 s → ~3.4 s).
+
+    Round 12 (VERDICT r11 task 3) adds the crawl-quality gate verdicts
+    per doc, all riding the SAME projection:
+
+    - Gopher (functions/gopher.py): the seven-rule stats + overall
+      ``gopher_keep``, computed on the raw text — word_count and
+      req_stopword_hits vary per doc, the symbol/bullet/ellipsis
+      fractions pin the zero on this corpus.
+    - C4 (functions/c4.py): applied to a constructed page (text +
+      deterministic per-``doc_id % {3,5,7}`` planted lines, same
+      closed form in the DuckDB oracle) so line cleaning, sentence
+      counting, the javascript rule, AND the raw-text brace block
+      (the r11 ADVICE fix) all produce per-doc varying verdicts.
+    - Classifier (functions/quality_classifier.py): ``clf_prob`` /
+      ``clf_keep`` from the corpus-fingerprint-cached model
+      (_get_txt_classifier); the oracle recomputes training itself
+      with a sequential numpy twin (tools/oracle_recompute.py
+      classifier_expected) — probs rounded to 3 decimals, verdicts at
+      0.5 with measured min |margin| 0.0275, so float-addition-order
+      differences (~1e-12) cannot flip a cell.
+    """
+    from dataforge_spark.functions.c4 import c4_page_struct
+    from dataforge_spark.functions.gopher import gopher_quality_struct
+    from dataforge_spark.functions.quality_classifier import quality_prob
     from dataforge_spark.functions.text_analysis import (
         doc_metrics_struct,
         unigram_logprob_from_counts,
@@ -1473,6 +1541,24 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     m = doc_metrics_struct(t, n=2)
+    g = gopher_quality_struct(t)
+    page = F.concat_ws(
+        "\n",
+        F.lit("A solid first sentence with enough words to pass easily."),
+        t,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Too short."))
+        .otherwise(F.lit("Another full sentence with plenty of words to count.")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("This sentence mentions javascript cookies and other words."),
+        ).otherwise(F.lit("A third proper sentence closes the page neatly today.")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("if (x) { return y; }"))
+        .otherwise(
+            F.lit("A fourth sentence provides extra insurance for counting.")
+        ),
+    )
+    c4 = c4_page_struct(page)
+    clf = quality_prob("text", _get_txt_classifier(spark, sf_dir))
     # the per-doc metric projection is CPU-bound; a single-row-group
     # documents file would otherwise run it on one core
     full = (
@@ -1487,6 +1573,20 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             m["rfp"].alias("rfp"),
             F.round(m["rep_top_frac"], 6).alias("rep_top_frac"),
             F.round(m["rep_dup_frac"], 6).alias("rep_dup_frac"),
+            g["word_count"].alias("g_word_count"),
+            g["mean_word_len"].alias("g_mean_word_len"),
+            g["symbol_word_ratio"].alias("g_symbol_word_ratio"),
+            g["bullet_line_frac"].alias("g_bullet_line_frac"),
+            g["ellipsis_line_frac"].alias("g_ellipsis_line_frac"),
+            g["alpha_word_frac"].alias("g_alpha_word_frac"),
+            g["req_stopword_hits"].alias("g_stopword_hits"),
+            g["keep"].alias("gopher_keep"),
+            c4["n_lines_in"].alias("c4_lines_in"),
+            c4["n_lines_kept"].alias("c4_lines_kept"),
+            c4["n_sentences"].alias("c4_sentences"),
+            c4["keep"].alias("c4_keep"),
+            F.round(clf, 3).alias("clf_prob"),
+            (clf >= 0.5).alias("clf_keep"),
             m["tc"].alias("tc"),
         )
         .localCheckpoint(eager=False)
@@ -2183,6 +2283,31 @@ def _iforest_oracle() -> str:
         SELECT CAST({n_kept} AS BIGINT) AS n_kept,
                CAST({kept_id_sum} AS BIGINT) AS kept_id_sum
     """
+
+
+def _clf_oracle_values() -> str:
+    """Per-doc classifier probabilities recomputed at oracle-construction
+    time by the sequential numpy training twin
+    (tools/oracle_recompute.classifier_expected) — a second, Spark-free
+    implementation of the full Adagrad fit + scoring, inlined as a
+    VALUES table. Fallback on recompute failure: a single impossible row
+    so only txt_metrics fails, not all oracle rows (same contract as
+    _simhash_oracle)."""
+    try:
+        from tools.oracle_recompute import classifier_expected, oracle_sf_dir
+
+        vals = classifier_expected(oracle_sf_dir())
+    except Exception:  # pragma: no cover - harness resilience
+        import logging
+
+        logging.getLogger("dataforge_spark").warning(
+            "classifier oracle recompute failed; txt_metrics clf columns "
+            "will mismatch",
+            exc_info=True,
+        )
+        vals = ((-1, 0.5),)
+    rows = ", ".join(f"({i}, {p!r})" for i, p in vals)
+    return f"(VALUES {rows}) AS clfe(doc_id, p)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2886,7 +3011,96 @@ def oracle_sql() -> dict[str, str]:
             len(list_filter(toks, x -> x IN ({fr}))) AS hits_fr,
             len(list_filter(toks, x -> x IN ({es}))) AS hits_es
           FROM t
-        )
+        ),
+        gop AS (
+          SELECT doc_id, text,
+            list_filter(regexp_split_to_array(trim(text), '\s+'),
+                        w -> length(w) > 0) AS words,
+            list_filter(regexp_split_to_array(text, '\n'),
+                        l -> length(trim(l)) > 0) AS lines
+          FROM documents
+        ),
+        gop2 AS (
+          SELECT doc_id,
+            len(words)::DOUBLE AS n_w,
+            list_sum(list_transform(words, w -> length(w)))::DOUBLE AS tot,
+            (len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '(\.\.\.|…)')))::DOUBLE AS n_sym,
+            len(lines)::DOUBLE AS n_l,
+            len(list_filter(lines,
+                l -> regexp_matches(ltrim(l), '^[•‣▪●·\-\*⁃]')))::DOUBLE AS n_bul,
+            len(list_filter(lines,
+                l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::DOUBLE AS n_ell,
+            len(list_filter(words,
+                w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS n_alpha,
+            (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+            ) AS stop_hits
+          FROM gop
+        ),
+        gverd AS (
+          SELECT doc_id,
+            CAST(n_w AS BIGINT) AS g_word_count,
+            round(tot / n_w, 6) AS g_mean_word_len,
+            round(n_sym / n_w, 6) AS g_symbol_word_ratio,
+            round(n_bul / n_l, 6) AS g_bullet_line_frac,
+            round(n_ell / n_l, 6) AS g_ellipsis_line_frac,
+            round(n_alpha / n_w, 6) AS g_alpha_word_frac,
+            CAST(stop_hits AS INTEGER) AS g_stopword_hits,
+            (n_w >= 50 AND n_w <= 100000
+             AND tot / n_w >= 3 AND tot / n_w <= 10
+             AND n_sym / n_w <= 0.1
+             AND n_bul / n_l < 0.9 AND n_ell / n_l < 0.3
+             AND n_alpha / n_w >= 0.8 AND stop_hits >= 2) AS gopher_keep
+          FROM gop2
+        ),
+        c4p AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              'A solid first sentence with enough words to pass easily.',
+              text,
+              CASE WHEN doc_id % 3 = 0 THEN 'Too short.'
+                   ELSE 'Another full sentence with plenty of words to count.'
+              END,
+              CASE WHEN doc_id % 5 = 0
+                   THEN 'This sentence mentions javascript cookies and other words.'
+                   ELSE 'A third proper sentence closes the page neatly today.'
+              END,
+              CASE WHEN doc_id % 7 = 0 THEN 'if (x) {{ return y; }}'
+                   ELSE 'A fourth sentence provides extra insurance for counting.'
+              END) AS page
+          FROM documents
+        ),
+        c4s AS (
+          SELECT doc_id, page,
+            list_filter(regexp_split_to_array(page, '\n'),
+                        l -> length(trim(l)) > 0) AS lines_in,
+            list_filter(regexp_split_to_array(page, '\n'),
+              l -> regexp_matches(l, '[.!?"”]\s*$')
+                AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                                    w -> length(w) > 0)) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM c4p
+        ),
+        c4v AS (
+          SELECT doc_id,
+            CAST(len(lines_in) AS INTEGER) AS c4_lines_in,
+            CAST(len(kept) AS INTEGER) AS c4_lines_kept,
+            CAST(len(regexp_extract_all(array_to_string(kept, chr(10)),
+                 '[.!?]["”]?(\s|$)')) AS INTEGER) AS c4_sentences,
+            (len(regexp_extract_all(array_to_string(kept, chr(10)),
+                 '[.!?]["”]?(\s|$)')) >= 3
+             AND NOT contains(lower(page), 'lorem ipsum')
+             AND NOT contains(lower(page), '{{')) AS c4_keep
+          FROM c4s
+        ),
+        clf AS (SELECT doc_id, p FROM {_clf_oracle_values()})
         SELECT h.doc_id,
           CAST(n_tok AS INTEGER) AS n_tokens,
           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS INTEGER)
@@ -2919,8 +3133,17 @@ def oracle_sql() -> dict[str, str]:
             (acc, v) -> (acc * 31 + v) % 1000000007) AS rfp,
           round(coalesce(r.rep_top_frac, 0.0), 6) AS rep_top_frac,
           round(coalesce(r.rep_dup_frac, 0.0), 6) AS rep_dup_frac,
+          gv.g_word_count, gv.g_mean_word_len, gv.g_symbol_word_ratio,
+          gv.g_bullet_line_frac, gv.g_ellipsis_line_frac,
+          gv.g_alpha_word_frac, gv.g_stopword_hits, gv.gopher_keep,
+          cv.c4_lines_in, cv.c4_lines_kept, cv.c4_sentences, cv.c4_keep,
+          round(clf.p, 3) AS clf_prob,
+          (clf.p >= 0.5) AS clf_keep,
           lm.avg_logprob
         FROM h
+        JOIN gverd gv ON gv.doc_id = h.doc_id
+        JOIN c4v cv ON cv.doc_id = h.doc_id
+        JOIN clf ON clf.doc_id = h.doc_id
         LEFT JOIN (
           WITH lm_w AS (
             SELECT doc_id,

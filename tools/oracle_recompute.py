@@ -149,3 +149,84 @@ def iforest_expected(sf_dir: str) -> tuple[int, int]:
     flagged[ok] = model.predict(vals[ok].reshape(-1, 1)) == -1
     kept = ~flagged
     return int(kept.sum()), int(pdf["event_id"].to_numpy()[kept].sum())
+
+
+# --- hashed-n-gram quality classifier twin (round 12, VERDICT r11 task 3) ---
+
+# The EXACT hyperparameters q_txt_metrics trains with — pinned here so
+# the twin and the Spark side cannot drift apart silently.
+CLF_DIM = 1 << 15
+CLF_NGRAM = 2
+CLF_EPOCHS = 8
+CLF_LR = 1.0
+CLF_L2 = 1e-6
+# the label rule: documents containing the standalone token "spark" are
+# the "trusted" class (mid-frequency token → per-doc non-trivial margins)
+_CLF_POS_RE = re.compile(r"\bspark\b")
+# functions/quality_classifier._TOKEN_RE, replicated
+_CLF_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def _clf_features(text: str, dim: int, ngram: int):
+    """Sequential twin of quality_classifier._doc_features: word
+    {1..ngram}-gram hashing (zlib.crc32 % dim), tf normalized."""
+    import zlib
+
+    toks = _CLF_TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    grams = []
+    for n in range(1, ngram + 1):
+        for i in range(len(toks) - n + 1):
+            grams.append(
+                zlib.crc32(" ".join(toks[i : i + n]).encode("utf-8")) % dim
+            )
+    b = np.asarray(grams, np.int64)
+    idx, c = np.unique(b, return_counts=True)
+    return idx, c / b.size
+
+
+@functools.lru_cache(maxsize=4)
+def classifier_expected(sf_dir: str) -> tuple[tuple[int, float], ...]:
+    """((doc_id, prob), ...) for q_txt_metrics's classifier columns:
+    a SEQUENTIAL pure-numpy twin of train_quality_classifier (full-batch
+    Adagrad logistic regression, same features/steps/regularization) +
+    scoring, independent of the mapInPandas gradient plumbing and the
+    Arrow scoring UDF. Differences vs Spark are float-addition order
+    only (~1e-12); the query rounds probs to 3 decimals and thresholds
+    at 0.5 with measured min |margin| 0.0275, so verdicts are stable."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{_src(sf_dir, 'documents')}' "
+        "WHERE text IS NOT NULL ORDER BY doc_id"
+    ).fetchall()
+    docs = [
+        (int(i), _clf_features(t, CLF_DIM, CLF_NGRAM),
+         1.0 if _CLF_POS_RE.search(t.lower()) else 0.0)
+        for i, t in rows
+    ]
+    n = len(docs)
+    w = np.zeros(CLF_DIM)
+    b = 0.0
+    hist = np.zeros(CLF_DIM + 1)
+    for _ in range(CLF_EPOCHS):
+        g = np.zeros(CLF_DIM + 1)
+        for _, (idx, vals), y in docs:
+            m = w[idx] @ vals + b
+            p = 1.0 / (1.0 + math.exp(-m))
+            np.add.at(g, idx, (p - y) * vals)
+            g[CLF_DIM] += p - y
+        g /= n
+        g[:CLF_DIM] += CLF_L2 * w
+        hist += g * g
+        step = CLF_LR * g / np.sqrt(hist + 1e-10)
+        w -= step[:CLF_DIM]
+        b -= step[CLF_DIM]
+    out = []
+    for i, (idx, vals), _ in docs:
+        m = w[idx] @ vals + b
+        out.append((i, float(1.0 / (1.0 + math.exp(-m)))))
+    return tuple(out)
