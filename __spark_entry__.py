@@ -1002,59 +1002,53 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, BOTH paths in one tagged union: the exact
-    small-corpus pair sweep (threshold 0.45 over the raw embeddings) and
-    the hyperplane-LSH scale path over planted perturbed copies
-    (threshold 0.98, all 50 planted pairs recovered — see the former
-    dedup_embedding_lsh row's docstring)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    exact = cosine_neardup_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.45
-    ).withColumn("variant", F.lit("exact"))
-    lsh = lsh_neardup_pairs(
-        emb.unionByName(_perturbed_embeddings(emb)),
-        id_col="vec_id", vec_col="embedding", threshold=0.98,
-    ).withColumn("variant", F.lit("lsh"))
-    return exact.unionByName(lsh)
+    """The embedding-dedup family as ONE tagged union over
+    ``(id_a, id_b, cos_sim, variant)`` — r12 folds the hyperplane-LSH
+    top-k row and the new SemDeDup legs in to keep the registry at the
+    driver's 50-row window (same consolidation move as r4/r5/r9):
 
+    - ``exact``: exact small-corpus pair sweep, threshold 0.45 over the
+      raw embeddings;
+    - ``lsh``: hyperplane-LSH near-dup pairs over planted perturbed
+      copies (threshold 0.98, all 50 planted pairs recovered);
+    - ``lsh_topk``: planted-NN recovery for multi-table LSH top-k (the
+      former sim_lsh_topk registry row — queries are the 50 perturbed
+      copies, cos ≈ 0.9935 to their original, ≤ ~0.52 to all else, so
+      filtering the top-k at cos ≥ 0.9 leaves exactly the
+      (query, original) pairs — closed-form in SQL with the same
+      perturbation formula);
+    - SemDeDup legs (dedup/semantic.py, oracle-promoted — VERDICT r11
+      task 2), survivors as ``id_a`` with NULL ``id_b``/``cos_sim``.
+      Corpus = embeddings ∪ planted perturbed copies: the near-dup
+      graph at threshold 0.9 is EXACTLY 50 disjoint 2-cliques
+      (measured: planted cos 0.99347, max background cos 0.5128), so
+      the greedy leader survivor set has a closed form DuckDB can
+      recompute — a row survives iff no earlier-in-walk-order row is
+      within threshold. Chain behavior (where greedy ≠ the closed
+      form) stays pinned by tests/test_semantic_dedup.py's brute-force
+      greedy twin.
 
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup cluster-scoped semantic dedup (dedup/semantic.py),
-    oracle-promoted (VERDICT r11 task 2). Corpus = embeddings ∪ the
-    planted perturbed copies: the near-dup graph at threshold 0.9 is
-    EXACTLY 50 disjoint 2-cliques (measured: planted cos 0.99347,
-    max background cos 0.5128), so the greedy leader survivor set has
-    a closed form DuckDB can recompute — a row survives iff no
-    earlier-in-walk-order row is within threshold. Chain behavior
-    (where greedy ≠ the closed form) stays pinned by
-    tests/test_semantic_dedup.py's brute-force greedy twin.
-
-    Four tagged legs:
-
-    - ``min_id``: k=1 (single cluster — assignment is trivial, so the
-      oracle needs no k-means replica), keep-first walk; survivors =
-      rows with no smaller-id neighbor ≥ 0.9.
-    - ``far_centroid``: k=1, the SemDeDup paper's keep rule. The k=1
-      centroid is closed-form (normalize(mean(normalized vectors)) —
-      Lloyd's fixed point after one iteration), so the oracle
-      recomputes cos-to-centroid per row and keeps each clique's
-      least-prototypical member.
-    - ``k4``: k=4 content-keyed fitted centroids (the REAL clustered
-      path: broadcast centroids, Arrow assignment, per-cluster greedy).
-      Because every near-dup pair co-clusters (members differ by the
-      0.02-perturbation ≪ inter-cluster distance), the survivor set
-      equals the ``min_id`` closed form.
-    - ``k4_split_pairs``: the guard that makes the previous leg's
-      assumption self-verifying INSIDE the row — the count of planted
-      pairs whose members landed in different k=4 clusters, which the
-      oracle pins to 0. If a regenerated corpus ever splits a pair,
-      this leg fails loudly and diagnosably instead of the ``k4`` leg
-      hash-mismatching mysteriously.
+      - ``sem_min_id``: k=1 (single cluster — assignment trivial, no
+        k-means replica needed in SQL), keep-first walk: survivors =
+        rows with no smaller-id neighbor ≥ 0.9.
+      - ``sem_far_centroid``: k=1, the SemDeDup paper's keep rule. The
+        k=1 centroid is closed-form (normalize(mean(normalized
+        vectors)) — Lloyd's fixed point after one iteration), so the
+        oracle recomputes cos-to-centroid per row and keeps each
+        clique's least-prototypical member.
+      - ``sem_k4``: k=4 content-keyed fitted centroids (the REAL
+        clustered path: broadcast centroids, Arrow assignment,
+        per-cluster greedy). Because every near-dup pair co-clusters
+        (members differ by the 0.02-perturbation ≪ inter-cluster
+        distance), the survivor set equals the ``sem_min_id`` closed
+        form.
+      - ``sem_k4_split_pairs``: the guard that makes the previous
+        leg's assumption self-verifying INSIDE the row — the count of
+        planted pairs whose members landed in different k=4 clusters,
+        pinned to 0 by the oracle. If a regenerated corpus ever splits
+        a pair, this leg fails loudly and diagnosably instead of the
+        ``sem_k4`` leg hash-mismatching mysteriously.
     """
-    import numpy as np  # noqa: F401
-
     from dataforge_spark.dedup.semantic import semantic_dedup
     from dataforge_spark.similarity.ivf import fit_centroids, with_ivf_bucket
 
@@ -1063,23 +1057,52 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = emb.unionByName(_perturbed_embeddings(emb))
 
-    legs = []
+    exact = cosine_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.45
+    ).withColumn("variant", F.lit("exact"))
+    lsh = lsh_neardup_pairs(
+        u, id_col="vec_id", vec_col="embedding", threshold=0.98,
+    ).withColumn("variant", F.lit("lsh"))
+    topk = (
+        lsh_cosine_topk(
+            corpus=emb, queries=_perturbed_embeddings(emb), k=5,
+            id_col="vec_id", vec_col="embedding",
+            num_planes=12, num_tables=8,
+        )
+        .where(F.col("cos_sim") >= 0.9)
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cos_sim",
+            F.lit("lsh_topk").alias("variant"),
+        )
+    )
+
+    def _sem_leg(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias("id_a"),
+            F.lit(None).cast("bigint").alias("id_b"),
+            F.lit(None).cast("double").alias("cos_sim"),
+            F.lit(variant).alias("variant"),
+        )
+
+    legs = [exact, lsh, topk]
     for variant, keep in (
-        ("min_id", "min_id"),
-        ("far_centroid", "far_from_centroid"),
+        ("sem_min_id", "min_id"),
+        ("sem_far_centroid", "far_from_centroid"),
     ):
         s = semantic_dedup(
             u, id_col="vec_id", vec_col="embedding",
             threshold=0.9, k=1, keep=keep,
         )
-        legs.append(s.select("vec_id").withColumn("variant", F.lit(variant)))
+        legs.append(_sem_leg(s, variant))
 
     C4 = fit_centroids(u, "embedding", k=4, seed=42)
     s4 = semantic_dedup(
         u, id_col="vec_id", vec_col="embedding",
         threshold=0.9, k=4, centroids=C4,
     )
-    legs.append(s4.select("vec_id").withColumn("variant", F.lit("k4")))
+    legs.append(_sem_leg(s4, "sem_k4"))
 
     b = with_ivf_bucket(u, C4, "embedding", "_b").select("vec_id", "_b")
     orig = b.where(F.col("vec_id") < 100000).select(
@@ -1095,8 +1118,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     legs.append(
-        spark.createDataFrame([(n_split,)], "vec_id bigint")
-        .withColumn("variant", F.lit("k4_split_pairs"))
+        _sem_leg(
+            spark.createDataFrame([(n_split,)], "vec_id bigint"),
+            "sem_k4_split_pairs",
+        )
     )
 
     out = legs[0]
@@ -1266,6 +1291,30 @@ def build_ivf_disk_index(spark: SparkSession, sf_dir: str) -> tuple[str, float]:
     )
     t0 = _time.time()
     write_ivf_index(emb, path, id_col="vec_id", vec_col="embedding", n_centroids=16)
+    return path, round(_time.time() - t0, 3)
+
+
+def build_zorder_layout(spark: SparkSession, sf_dir: str) -> tuple[str, float]:
+    """Build (or reuse) the Z-ordered copy of ``sf_dir``'s documents —
+    the same once-per-corpus amortization and path+mtime+size
+    fingerprint as the IVF/PQ index builds (VERDICT r11 task 4: a
+    once-per-corpus LAYOUT write inside a per-query timed row misprices
+    both; bench reports it as ``zorder_write_sec``, the row times the
+    read side). Returns (path, build_seconds), 0.0 on reuse."""
+    import os as _os
+    import time as _time
+
+    from dataforge_spark.partitioning import zorder_write
+
+    path = f"/tmp/dataforge_zorder_{_corpus_ident(sf_dir, 'documents')}"
+    if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        return path, 0.0
+    docs = _t(spark, sf_dir, "documents")
+    t0 = _time.time()
+    zorder_write(
+        docs.select("doc_id", "lang", "n_chars"), path,
+        ["n_chars", "lang"], bits=6, target_files=4,
+    )
     return path, round(_time.time() - t0, 3)
 
 
@@ -2093,15 +2142,18 @@ def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     by SOURCE, the leakage-safe grouping (all docs of a source stay
     together).
 
-    Round 11 adds the 'zorder' leg: ``partitioning.zorder_write``
+    Round 11 added the 'zorder' leg: ``partitioning.zorder_write``
     clusters documents on the Morton code of (n_chars, lang) — quantile
     buckets for the numeric, xxhash buckets for the string — and the
     read-back must be row-identical to the base table (layout ops move
     rows, never change them); the multi-column row-group pruning the
     layout buys is pinned by ``tests/test_zorder.py`` footer-stats
-    audits."""
+    audits. Round 12 (VERDICT r11 task 4): the WRITE is amortized
+    once-per-corpus via ``build_zorder_layout`` (bench reports it as
+    ``zorder_write_sec``); this row keeps the READ side — the full
+    read-back identity leg plus a predicate read that row-group
+    pruning serves from the clustered layout."""
     from dataforge_spark.curation import hash_split, stratified_sample
-    from dataforge_spark.partitioning import zorder_write
 
     docs = _t(spark, sf_dir, "documents")
     split = hash_split(
@@ -2112,15 +2164,20 @@ def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"en": 0.5, "de": 0.25, "fr": 1.0}, "lang",
         key_cols=["source"], seed=7,
     ).select(F.lit("sample").alias("op"), "doc_id", F.col("lang").alias("label"))
-    zpath = f"/tmp/dataforge_zorder_{uuid.uuid4().hex[:8]}"
-    zorder_write(
-        docs.select("doc_id", "lang", "n_chars"), zpath,
-        ["n_chars", "lang"], bits=6, target_files=4,
-    )
-    zleg = spark.read.parquet(zpath).select(
+    zpath, _ = build_zorder_layout(spark, sf_dir)
+    ztab = spark.read.parquet(zpath)
+    zleg = ztab.select(
         F.lit("zorder").alias("op"), "doc_id", F.col("lang").alias("label")
     )
-    return split.unionByName(samp).unionByName(zleg)
+    # the read the layout exists FOR: a two-column predicate the Morton
+    # clustering makes row-group-prunable
+    zpruned = ztab.where(
+        (F.col("n_chars") < 200) & (F.col("lang") == "en")
+    ).select(
+        F.lit("zorder_pruned").alias("op"), "doc_id",
+        F.col("lang").alias("label"),
+    )
+    return split.unionByName(samp).unionByName(zleg).unionByName(zpruned)
 
 
 def q_curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2153,6 +2210,110 @@ def q_curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "start_offset", "pack_id",
     )
+
+
+def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl → training-data integration row (VERDICT r11
+    task 5): the sf documents wrapped as WET conversion records, run
+    through the FULL ``crawl.crawl_to_training_data`` composition
+    (WARC read → language gate → canonical-URL keep-first dedup →
+    quality gate → minhash near-dedup → BPE train+encode →
+    fixed-length chunking → TFRecord write), then the TFRecord output
+    read back. (The Gopher gate is off here — its required-stopword
+    rule zeroes this synthetic corpus; per-doc Gopher verdicts are
+    oracle-pinned in txt_metrics instead.) Output: one ``(stage, n)`` row per pipeline stage plus
+    three read-back checksums — ``tfr_samples`` / ``tfr_tokens`` /
+    ``tfr_ids_sum`` (the sum of every token id in every chunk, which
+    pins the BPE vocabulary, the merges, the encoding, the chunk
+    boundaries, AND the TFRecord round-trip in one number — VERDICT r11
+    task 6's BPE end-to-end leg).
+
+    Planted structure (closed-form for the twin): every ``doc_id %
+    5 == 0`` document is duplicated at ``doc_id + 100000``; duplicates
+    with even original id share the original's CANONICAL url under a
+    different raw spelling (``http://Example.com/doc/N`` vs
+    ``http://example.com:80/doc/N`` — case + default port), so URL
+    dedup must remove them (keep-first = the 'E' < 'e' raw-string
+    order); the odd-id duplicates get distinct urls and must survive to
+    the minhash stage, which removes them as exact-text near-dups.
+
+    The oracle is a pure-Python twin (tools/oracle_recompute.py
+    ``crawl_expected``): every gate recomputed sequentially (same
+    formulas as the SQL replicas of quality/gopher), xxhash64 doc ids
+    via the bit-equal pure-Python xxh64, minhash survivors closed-form
+    as exact-text keep-min-id — valid because the twin ASSERTS the
+    measured cross-text 3-shingle Jaccard over survivors is below the
+    0.8 threshold (minhash_dedup verifies candidates by exact Jaccard,
+    and identical texts always collide in every band) — and an
+    INDEPENDENT O(n²)-recount BPE merge loop + encoder (no incremental
+    pair bookkeeping, where the bugs would hide)."""
+    from dataforge_spark.crawl import crawl_to_training_data
+    from dataforge_spark.tfrecord import read_tfrecord
+    from dataforge_spark.warc import write_warc
+
+    ident = _corpus_ident(sf_dir, "documents")
+    wet_path = f"/tmp/dataforge_crawl_wet_{ident}"
+    marker = os.path.join(wet_path, "_BENCH_READY")
+    if not os.path.exists(marker):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        dups = docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+        )
+        orig = docs.withColumn(
+            "uri", F.concat(F.lit("http://Example.com/doc/"), F.col("doc_id"))
+        )
+        d_same = dups.where(F.col("doc_id") % 10 == 0).withColumn(
+            "uri",
+            F.concat(
+                F.lit("http://example.com:80/doc/"), F.col("doc_id") - 100000
+            ),
+        )
+        d_uniq = dups.where(F.col("doc_id") % 10 != 0).withColumn(
+            "uri", F.concat(F.lit("http://example.com/copy/"), F.col("doc_id"))
+        )
+        wet = orig.unionByName(d_same).unionByName(d_uniq)
+        write_warc(
+            wet.coalesce(4), wet_path,
+            payload_col="text", uri_col="uri", language_col="lang",
+        )
+        open(marker, "w").close()
+
+    out_path = f"/tmp/dataforge_crawl_out_{uuid.uuid4().hex[:8]}"
+    report, _tok = crawl_to_training_data(
+        spark, wet_path, out_path,
+        vocab_size=512, seq_len=64,
+        keep_langs=["en", "de", "fr", "es"],
+        min_quality=0.75,
+        minhash_threshold=0.8,
+    )
+    back = read_tfrecord(
+        spark, out_path,
+        "doc_id bigint, chunk_idx bigint, input_ids array<bigint>, "
+        "n_tokens bigint",
+    )
+    agg = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("t"),
+        F.sum(
+            F.aggregate(
+                "input_ids", F.lit(0).cast("bigint"), lambda a, x: a + x
+            )
+        ).alias("s"),
+    ).collect()[0]
+    stages = [
+        ("records_in", report["records_in"]),
+        ("after_lang_filter", report["after_lang_filter"]),
+        ("after_url_dedup", report["after_url_dedup"]),
+        ("after_quality", report["after_quality"]),
+        ("after_near_dedup", report["after_near_dedup"]),
+        ("vocab_size", report["vocab_size"]),
+        ("samples_out", report["samples_out"]),
+        ("tokens_out", report["tokens_out"]),
+        ("tfr_samples", int(agg["n"])),
+        ("tfr_tokens", int(agg["t"] or 0)),
+        ("tfr_ids_sum", int(agg["s"] or 0)),
+    ]
+    return spark.createDataFrame(stages, "stage string, n bigint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2194,10 +2355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_contamination": q_curation_contamination,
         "curation_pack": q_curation_pack,
         "dedup_simhash_verified": q_dedup_simhash_verified,
+        # r12: carries the former sim_lsh_topk row + the new SemDeDup
+        # legs (slot freed for crawl_e2e under the driver's 50-row cap)
         "dedup_embedding": q_dedup_embedding,
-        # --- round 12 ---
-        "dedup_semantic": q_dedup_semantic,
-        "sim_lsh_topk": q_sim_lsh_topk,
+        # --- round 12: end-to-end crawl integration row ---
+        "crawl_e2e": q_crawl_e2e,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "y2_lsh_fuzzy_scale": q_y2_lsh_fuzzy_scale,
         # --- driver-green in round 2 ---
@@ -2283,6 +2445,29 @@ def _iforest_oracle() -> str:
         SELECT CAST({n_kept} AS BIGINT) AS n_kept,
                CAST({kept_id_sum} AS BIGINT) AS kept_id_sum
     """
+
+
+def _crawl_oracle() -> str:
+    """Expected per-stage survivor counts + token checksums for
+    q_crawl_e2e, recomputed at oracle-construction time by the
+    sequential pipeline twin (tools/oracle_recompute.crawl_expected).
+    Same fallback contract as _simhash_oracle: a single impossible row
+    so only this row fails on a recompute hiccup."""
+    try:
+        from tools.oracle_recompute import crawl_expected, oracle_sf_dir
+
+        stages = crawl_expected(oracle_sf_dir())
+    except Exception:  # pragma: no cover - harness resilience
+        import logging
+
+        logging.getLogger("dataforge_spark").warning(
+            "crawl oracle recompute failed; crawl_e2e will mismatch",
+            exc_info=True,
+        )
+        stages = (("recompute_failed", -1),)
+    return " UNION ALL ".join(
+        f"SELECT '{s}' AS stage, CAST({n} AS BIGINT) AS n" for s, n in stages
+    )
 
 
 def _clf_oracle_values() -> str:
@@ -2866,6 +3051,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE c / (sa.n_sh + sb.n_sh - c)::DOUBLE >= 0.9
     """
 
+    # dedup_embedding: exact + LSH pair legs, the folded lsh_topk leg
+    # (planted-NN recovery — closed-form with the perturbation formula),
+    # and the SemDeDup legs (see q_dedup_embedding's docstring): the dup
+    # graph at t=0.9 is disjoint 2-cliques, so greedy-leader survivors =
+    # rows with no earlier-in-walk-order neighbor >= t. The k=1 centroid
+    # for the sem_far_centroid walk is Lloyd's fixed point:
+    # normalize(mean(normalized v)) — recomputed here per-dimension via
+    # zipped unnest (normalization scale drops out of the ORDER).
     sql["dedup_embedding"] = """
         WITH fe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         se AS (SELECT vec_id, v FROM fe WHERE vec_id % 10 = 0),
@@ -2874,35 +3067,9 @@ def oracle_sql() -> dict[str, str]:
             list_transform(generate_series(1, len(v)),
                            i -> v[i] + 0.02 * sin(vec_id + 100000 + i - 1)) AS pv
           FROM se
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
-               'exact' AS variant
-        FROM fe a JOIN fe b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        UNION ALL
-        SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
-               round(list_cosine_similarity(v, pv), 6) AS cos_sim,
-               'lsh' AS variant
-        FROM p
-        WHERE round(list_cosine_similarity(v, pv), 6) >= 0.98
-    """
-
-    # SemDeDup closed form (see q_dedup_semantic's docstring): the dup
-    # graph at t=0.9 is disjoint 2-cliques, so greedy-leader survivors =
-    # rows with no earlier-in-walk-order neighbor >= t. The k=1 centroid
-    # for the far_centroid walk is Lloyd's fixed point:
-    # normalize(mean(normalized v)) — recomputed here per-dimension via
-    # zipped unnest (normalization scale drops out of the ORDER).
-    sql["dedup_semantic"] = """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        p AS (
-          SELECT vec_id + 100000 AS vec_id,
-            list_transform(generate_series(1, len(v)),
-                           i -> v[i] + 0.02 * sin(vec_id + 100000 + i - 1)) AS v
-          FROM e WHERE vec_id % 10 = 0
         ),
-        u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+        u AS (SELECT vec_id, v FROM fe
+              UNION ALL SELECT vec_id + 100000 AS vec_id, pv AS v FROM p),
         minid AS (
           SELECT a.vec_id FROM u a WHERE NOT EXISTS (
             SELECT 1 FROM u b WHERE b.vec_id < a.vec_id
@@ -2928,11 +3095,35 @@ def oracle_sql() -> dict[str, str]:
               AND (cb.cos_c < ca.cos_c
                    OR (cb.cos_c = ca.cos_c AND b.vec_id < a.vec_id)))
         )
-        SELECT vec_id, 'min_id' AS variant FROM minid
-        UNION ALL SELECT vec_id, 'far_centroid' AS variant FROM far
-        UNION ALL SELECT vec_id, 'k4' AS variant FROM minid
-        UNION ALL SELECT CAST(0 AS BIGINT) AS vec_id,
-                         'k4_split_pairs' AS variant
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+               'exact' AS variant
+        FROM fe a JOIN fe b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        UNION ALL
+        SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+               round(list_cosine_similarity(v, pv), 6) AS cos_sim,
+               'lsh' AS variant
+        FROM p
+        WHERE round(list_cosine_similarity(v, pv), 6) >= 0.98
+        UNION ALL
+        SELECT vec_id + 100000 AS id_a, vec_id AS id_b,
+               round(list_cosine_similarity(v, pv), 6) AS cos_sim,
+               'lsh_topk' AS variant
+        FROM p
+        WHERE round(list_cosine_similarity(v, pv), 6) >= 0.9
+        UNION ALL
+        SELECT vec_id AS id_a, NULL::BIGINT AS id_b, NULL::DOUBLE AS cos_sim,
+               'sem_min_id' AS variant FROM minid
+        UNION ALL
+        SELECT vec_id, NULL::BIGINT, NULL::DOUBLE,
+               'sem_far_centroid' AS variant FROM far
+        UNION ALL
+        SELECT vec_id, NULL::BIGINT, NULL::DOUBLE,
+               'sem_k4' AS variant FROM minid
+        UNION ALL
+        SELECT CAST(0 AS BIGINT), NULL::BIGINT, NULL::DOUBLE,
+               'sem_k4_split_pairs' AS variant
     """
 
     # exact brute-force cosine top-k — the shared ground truth for the
@@ -2965,25 +3156,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cos_sim, 'pq' AS variant FROM topk
     """
 
-    # The perturbed-copy CTE shared by the LSH oracles — the EXACT formula
-    # of _perturbed_embeddings: component i (0-based) += 0.02*sin(new_id+i).
-    PERTURBED = """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                   FROM embeddings WHERE vec_id % 10 = 0),
-        p AS (
-          SELECT vec_id, v,
-            list_transform(generate_series(1, len(v)),
-                           i -> v[i] + 0.02 * sin(vec_id + 100000 + i - 1)) AS pv
-          FROM e
-        )
-    """
-
-    sql["sim_lsh_topk"] = PERTURBED + """
-        SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
-               round(list_cosine_similarity(v, pv), 6) AS cos_sim
-        FROM p
-        WHERE round(list_cosine_similarity(v, pv), 6) >= 0.9
-    """
+    # (r12: the sim_lsh_topk oracle moved into dedup_embedding's
+    # lsh_topk leg when the rows merged.)
 
     # Expected pair counts RECOMPUTED at oracle-construction time from the
     # input data with a second, Spark-free implementation (pure-Python
@@ -2991,6 +3165,10 @@ def oracle_sql() -> dict[str, str]:
     # round 5's pinned literals. The IN-QUERY banded-vs-brute-force
     # equality (n_disagree=0) remains the closed-form Manku guarantee.
     sql["dedup_simhash_verified"] = _simhash_oracle()
+
+    # crawl_e2e: per-stage counts + BPE/TFRecord checksums from the
+    # sequential pipeline twin (see _crawl_oracle / q_crawl_e2e).
+    sql["crawl_e2e"] = _crawl_oracle()
 
     en = "'the','and','of','to','a','in','is','that','it','for'"
     de = "'der','die','das','und','ist','nicht','ein','mit','auf','zu'"
@@ -3535,6 +3713,9 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'fr' THEN 1000000 ELSE 0 END
         UNION ALL
         SELECT 'zorder' AS op, doc_id, lang AS label FROM documents
+        UNION ALL
+        SELECT 'zorder_pruned' AS op, doc_id, lang AS label FROM documents
+        WHERE n_chars < 200 AND lang = 'en'
     """
 
     sql["curation_contamination"] = """

@@ -45,6 +45,37 @@ RUNS_PER_QUERY = 2
 SPARK_CAL_STEADY = 0.35
 PANDAS_CAL_STEADY = 1.0
 
+# Per-row steady-state references for the per-row contention guard
+# (VERDICT r11 task 1): the r10 committed values (the last clean run),
+# overridden where a row legitimately grew legs since (x_text_suite
+# +HTML extraction in r11; txt_metrics +gopher/c4/classifier columns in
+# r12) or shrank (curation_split: the z-order WRITE moved to
+# build_zorder_layout in r12). These are GUARD thresholds (a row is
+# suspect above 3x its reference), not oracles — a genuinely-regressed
+# row still records its measured value after re-measures confirm the
+# host was quiet.
+STEADY_REF = {
+    "s4_profile": 1.73, "s4_profile_approx": 1.18,
+    "m5_m6_fill_stats": 3.41, "m8_m9_ordered_fill": 0.79,
+    "d1_dedup_keep_first": 0.36, "o6_o7_outlier_actions": 2.99,
+    "t234_auto_convert": 2.10, "x_text_suite": 1.85,
+    "dt1_datetime_features": 0.77, "e2_onehot_encode": 0.71,
+    "y1_common_typos": 0.52, "n1_n5_standard_roundtrip": 0.86,
+    "dedup_exact_intercorpus": 0.47, "dedup_spans": 1.00,
+    "dedup_minhash_verified": 3.34, "dedup_jaccard_pairs": 1.82,
+    "sim_cosine_topk": 0.77, "sim_pq_topk": 1.48, "sim_ivf_topk": 0.47,
+    "txt_metrics": 2.80, "stream_sessionize_native": 0.48,
+    "stream_sessionize_stateful": 2.11, "pipeline_e2e": 2.62,
+    "join_asof": 0.45, "join_range": 1.76, "curation_split": 0.50,
+    "curation_contamination": 1.48, "curation_pack": 0.70,
+    "stream_window_agg": 1.32, "o4_isolation_forest": 1.49,
+    "sim_ivf_disk_topk": 0.78, "stream_sjoin": 2.69,
+}
+# a row re-measures while it exceeds this multiple of its reference AND
+# a calibration probe confirms the host is off steady state
+ROW_GUARD_FACTOR = 3.0
+ROW_GUARD_RETRIES = 2
+
 # Headline set: one per operator family + the scale-relevant extensions.
 BENCH_QUERIES = [
     "s4_profile",
@@ -180,6 +211,132 @@ def crossover_bench(spark, n_rows: int) -> dict:
                       "dedup": spark_dedup, "distinct_count": spark_distinct},
         "pandas_sec": {"iqr_cap": pandas_cap, "standard_scale": pandas_scale,
                        "dedup": pandas_dedup, "distinct_count": pandas_distinct},
+    }
+
+
+def crossover_spark_only(spark, n_rows: int) -> dict:
+    """Next-decade probe (VERDICT r11 task 9): the crossover block's
+    four operator classes Spark-only at ≥600 M rows — the 6M/60M paired
+    blocks already bracket the pandas crossover; at this scale the
+    single-core baseline is minutes of wall for no added signal, so the
+    evidence is absolute throughput (rows/sec) holding up another 10×."""
+    import numpy as np  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.operators.outliers import handle_outliers
+    from dataforge_spark.operators.normalization import normalize_data
+
+    gen = spark.range(n_rows).select(
+        "id", (F.sin(F.col("id").cast("double")) * 1000 + 5000).alias("price")
+    )
+    secs: dict[str, float] = {}
+    t0 = time.time()
+    _noop(handle_outliers(gen, columns=["price"], method="iqr", action="cap"))
+    secs["iqr_cap"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(normalize_data(gen, columns=["price"], method="standard")[0])
+    secs["standard_scale"] = round(time.time() - t0, 3)
+    dup = spark.range(n_rows).select(
+        (F.col("id") % (n_rows // 2)).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    t0 = time.time()
+    _noop(dup.groupBy("k").agg(F.min("v").alias("v")))
+    secs["dedup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _noop(dup.agg(F.count_distinct("k").alias("n"),
+                  F.count_distinct("v").alias("m")))
+    secs["distinct_count"] = round(time.time() - t0, 3)
+    return {
+        "rows": n_rows,
+        "spark_sec": secs,
+        "mrows_per_sec": {
+            k: round(n_rows / v / 1e6, 1) for k, v in secs.items() if v > 0
+        },
+    }
+
+
+def _gen_index_corpus(spark, n_rows: int):
+    """Deterministic synthetic text corpus for the persisted-index
+    block: 12 tokens/doc from a 1000-word vocabulary, each token an
+    ``xxhash64(doc_id, j)`` draw (codegen, no Python) — tokens are
+    decorrelated ACROSS docs (a linear-congruential draw shares shingle
+    DIFFERENCES between docs and floods the buckets with false
+    candidates — measured 1583 candidates/doc), and 10 shingles/doc
+    keeps the 64-permutation signature pass affordable at 6 M docs."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_rows).select(F.col("id").alias("doc_id"))
+    words = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(j)), F.lit(1000))
+            .cast("string"),
+        )
+        for j in range(12)
+    ]
+    return base.select("doc_id", F.concat_ws(" ", *words).alias("text"))
+
+
+def index_match_block(spark, n_rows: int, batch_rows: int = 10_000) -> dict:
+    """Persisted-MinHash-index scale evidence (VERDICT r11 task 8):
+    build ``dedup.index.write_minhash_index`` over an ``n_rows``-doc
+    generated corpus ONCE (cached on disk across rounds, like the
+    IVF/PQ builds), then match a ``batch_rows`` incremental batch
+    against it — the steady-state operation a persisted index exists
+    for. The batch is exact copies of every (n_rows//batch_rows)-th
+    corpus doc under fresh ids, so every batch doc has exactly one
+    est_jaccard=1.0 true match. Also times the corpus signature+banding
+    pass a NO-index pipeline would redo per batch (``rescan_sig_sec``)
+    — the index-vs-rescan speedup is match_sec vs that. Fan-out =
+    candidate pairs per batch doc at threshold 0 (bounded-probe
+    evidence)."""
+    from pyspark.sql import functions as F
+
+    from dataforge_spark.dedup.index import (
+        match_against_index,
+        write_minhash_index,
+    )
+    from dataforge_spark.dedup.minhash import banded_keys, minhash_signatures
+
+    corpus = _gen_index_corpus(spark, n_rows)
+    path = f"/tmp/dataforge_mh_idx_{n_rows}"
+    build_sec = 0.0
+    if not os.path.exists(os.path.join(path, "_meta", "_SUCCESS")):
+        t0 = time.time()
+        write_minhash_index(corpus, path)
+        build_sec = round(time.time() - t0, 3)
+
+    stride = max(1, n_rows // batch_rows)
+    # every stride-th corpus doc under a fresh id; the id shift happens
+    # AFTER text generation, so the payload is the original's verbatim
+    batch = _gen_index_corpus(spark, n_rows).where(
+        F.col("doc_id") % stride == 0
+    ).select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+    t0 = time.time()
+    pairs = match_against_index(batch, path, threshold=0.0)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("cands"),
+        F.sum((F.col("est_jaccard") >= 0.9).cast("long")).alias("hits"),
+        F.count_distinct("new_id").alias("docs_matched"),
+    ).collect()[0]
+    match_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _noop(banded_keys(minhash_signatures(corpus), 16, 4))
+    rescan_sig_sec = round(time.time() - t0, 3)
+
+    n_batch = batch.count()
+    return {
+        "rows": n_rows,
+        "batch_rows": n_batch,
+        "build_sec": build_sec,  # 0.0 = reused the cached index
+        "match_sec": match_sec,
+        "rescan_sig_sec": rescan_sig_sec,
+        "candidates": int(agg["cands"]),
+        "candidates_per_doc": round(int(agg["cands"]) / max(n_batch, 1), 2),
+        "matches_t0.9": int(agg["hits"] or 0),
+        "docs_matched": int(agg["docs_matched"]),
     }
 
 
@@ -762,6 +919,14 @@ def main() -> None:
     _, ivf_build_sec = entry.build_ivf_disk_index(spark, sf_dir)
     # PQ index: same amortization — the sim_pq_topk row times the search
     _, pq_build_sec = entry.build_pq_index(spark, sf_dir)
+    # Z-order layout: a once-per-corpus clustering WRITE (VERDICT r11
+    # task 4) — the curation_split row now times the read side only
+    _, zorder_write_sec = entry.build_zorder_layout(spark, sf_dir)
+    # quality-classifier training (r12 txt_metrics columns): once per
+    # corpus, like the index builds — the row times scoring, not the fit
+    t0 = time.time()
+    entry._get_txt_classifier(spark, sf_dir)
+    clf_train_sec = round(time.time() - t0, 3)
 
     # Contention-aware retry (r8, symmetric with sf1_block): if either
     # edge calibration of the headline loop lands far off steady state
@@ -774,18 +939,49 @@ def main() -> None:
     wall = 0.0
     headline_attempts = 0
     best_cal_max = float("inf")
+    contended_rows: dict[str, dict] = {}
     for _ in range(2):
         headline_attempts += 1
         cal_pre = _calibration_sec(spark)
         attempt_times: dict[str, float] = {}
         t_all = time.time()
         for name in BENCH_QUERIES:
-            best = float("inf")
-            for _ in range(RUNS_PER_QUERY):
-                t0 = time.time()
-                df = qs[name](spark, sf_dir)
-                _noop(df)
-                best = min(best, time.time() - t0)
+
+            def _row_best() -> float:
+                best = float("inf")
+                for _ in range(RUNS_PER_QUERY):
+                    t0 = time.time()
+                    df = qs[name](spark, sf_dir)
+                    _noop(df)
+                    best = min(best, time.time() - t0)
+                return best
+
+            best = _row_best()
+            # Per-row contention guard (VERDICT r11 task 1): the r11
+            # artifact burned a 35x co-tenant burst into sim_pq_topk
+            # because the loop-level retry only samples calibration at
+            # the edges. If THIS row is way above its steady reference,
+            # probe the host immediately: off-steady probe => the number
+            # is weather, re-measure (up to ROW_GUARD_RETRIES); steady
+            # probe => it's a real regression, record it and move on.
+            ref = STEADY_REF.get(name)
+            if ref and best > ROW_GUARD_FACTOR * ref:
+                attempts = [round(best, 3)]
+                probes = []
+                for _r in range(ROW_GUARD_RETRIES):
+                    probe = _calibration_sec(spark)
+                    probes.append(probe)
+                    if probe <= SPARK_CAL_STEADY:
+                        break  # quiet host: trust the measurement
+                    best = min(best, _row_best())
+                    attempts.append(round(best, 3))
+                    if best <= ROW_GUARD_FACTOR * ref:
+                        break
+                contended_rows[name] = {
+                    "ref": ref,
+                    "attempts": attempts,
+                    "probes": [round(p, 3) for p in probes],
+                }
             attempt_times[name] = round(best, 3)
         attempt_wall = round(time.time() - t_all, 3)
         cal_post = _calibration_sec(spark)
@@ -811,6 +1007,12 @@ def main() -> None:
         # the sim_ivf_disk_topk row
         "ivf_index_build_sec": ivf_build_sec,
         "pq_index_build_sec": pq_build_sec,
+        "zorder_write_sec": zorder_write_sec,
+        "clf_train_sec": clf_train_sec,
+        # rows that tripped the per-row contention guard: reference,
+        # best-so-far after each re-measure, calibration probes (see the
+        # guard comment in the loop) — empty means no row was suspect
+        "contended_rows": contended_rows,
         # fixed reference-job time [before, after] the timed loop (see
         # _calibration_sec): either element >> ~0.6 s ⇒ the rows above
         # carry co-tenant contention, not regression
@@ -886,6 +1088,36 @@ def main() -> None:
     xbig = int(os.environ.get("SPARK_GRAFT_XROWS_BIG", "60000000"))
     if xbig > 0:
         detail["crossover_60m"] = crossover_bench(spark, xbig)
+    # sf100-scale block (VERDICT r11 task 9): 600 M rows ≈ lineitem at
+    # sf100 — Spark-only throughput evidence for the decade past 60 M
+    # (the 6M/60M paired blocks already bracket the pandas crossover).
+    xhuge = int(os.environ.get("SPARK_GRAFT_XROWS_HUGE", "600000000"))
+    if xhuge > 0:
+        try:
+            detail["crossover_600m"] = crossover_spark_only(spark, xhuge)
+            out["crossover_600m"] = {
+                "rows": detail["crossover_600m"]["rows"],
+                "spark_total_sec": round(
+                    sum(detail["crossover_600m"]["spark_sec"].values()), 3
+                ),
+                "mrows_per_sec": detail["crossover_600m"]["mrows_per_sec"],
+            }
+        except Exception as exc:  # reporting, not a gate
+            out["crossover_600m"] = {"error": str(exc)[:120]}
+    # persisted-MinHash-index block (VERDICT r11 task 8): crossover-scale
+    # corpus, incremental 10k batch matched against the on-disk index
+    idx_rows = int(os.environ.get("SPARK_GRAFT_INDEX_ROWS", "6000000"))
+    if idx_rows > 0:
+        try:
+            detail["index_match"] = index_match_block(spark, idx_rows)
+            out["index_match"] = {
+                k: detail["index_match"][k]
+                for k in ("rows", "build_sec", "match_sec",
+                          "rescan_sig_sec", "candidates_per_doc",
+                          "matches_t0.9")
+            }
+        except Exception as exc:  # reporting, not a gate
+            out["index_match"] = {"error": str(exc)[:120]}
     # sf1 gate (10x sf0.1, generated+cached by tools/make_sf1.py):
     # the primary scale point — per-query spark-vs-pandas pairs and
     # fold-compared correctness spot rows. SPARK_GRAFT_SF1=0 to skip.
@@ -963,6 +1195,11 @@ _LINE_DROP_ORDER: list[tuple[str, ...]] = [
     ("recall",),
     ("jsonl",),
     ("crossover",),
+    ("index_match",),
+    ("crossover_600m",),
+    ("contended_rows",),
+    ("zorder_write_sec",),
+    ("clf_train_sec",),
     ("calibration_sec",),
     ("stream_setup_sec",),
     ("stream_overhead_sec",),

