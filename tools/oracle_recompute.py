@@ -160,6 +160,7 @@ CLF_NGRAM = 2
 CLF_EPOCHS = 8
 CLF_LR = 1.0
 CLF_L2 = 1e-6
+CLF_MAX_PER_CLASS = 1000
 # the label rule: documents containing the standalone token "spark" are
 # the "trusted" class (mid-frequency token → per-doc non-trivial margins)
 _CLF_POS_RE = re.compile(r"\bspark\b")
@@ -203,10 +204,35 @@ def classifier_expected(sf_dir: str) -> tuple[tuple[int, float], ...]:
         f"SELECT doc_id, text FROM '{_src(sf_dir, 'documents')}' "
         "WHERE text IS NOT NULL ORDER BY doc_id"
     ).fetchall()
-    docs = [
-        (int(i), _clf_features(t, CLF_DIM, CLF_NGRAM),
-         1.0 if _CLF_POS_RE.search(t.lower()) else 0.0)
+    labeled = [
+        (int(i), t, 1.0 if _CLF_POS_RE.search(t.lower()) else 0.0)
         for i, t in rows
+    ]
+
+    def _split_bucket(text: str) -> int:
+        # curation.split_bucket(["_text"], seed=0), sequentially: md5 of
+        # "0\x1f" + text, first 8 hex digits mod SPLIT_BUCKETS
+        import hashlib
+
+        key = "0\x1f" + text
+        return int(
+            hashlib.md5(key.encode("utf-8")).hexdigest()[:8], 16
+        ) % 1_000_000
+
+    def _bounded(cls: list) -> list:
+        # train_quality_classifier's per-class cap: past
+        # CLF_MAX_PER_CLASS docs, keep the md5-bucket head (>=1 bucket)
+        n_cls = len(cls)
+        if n_cls <= CLF_MAX_PER_CLASS:
+            return cls
+        frac = max(1, int(1_000_000 * CLF_MAX_PER_CLASS / n_cls))
+        return [d for d in cls if _split_bucket(d[1]) < frac]
+
+    train = _bounded([d for d in labeled if d[2] == 1.0]) + _bounded(
+        [d for d in labeled if d[2] == 0.0]
+    )
+    docs = [
+        (i, _clf_features(t, CLF_DIM, CLF_NGRAM), y) for i, t, y in train
     ]
     n = len(docs)
     w = np.zeros(CLF_DIM)
@@ -226,7 +252,8 @@ def classifier_expected(sf_dir: str) -> tuple[tuple[int, float], ...]:
         w -= step[:CLF_DIM]
         b -= step[CLF_DIM]
     out = []
-    for i, (idx, vals), _ in docs:
+    for i, t, _y in labeled:  # score EVERY doc, not just the sample
+        idx, vals = _clf_features(t, CLF_DIM, CLF_NGRAM)
         m = w[idx] @ vals + b
         out.append((i, float(1.0 / (1.0 + math.exp(-m)))))
     return tuple(out)
