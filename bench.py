@@ -314,7 +314,8 @@ def index_match_block(spark, n_rows: int, batch_rows: int = 10_000) -> dict:
         F.col("doc_id") % stride == 0
     ).select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
     t0 = time.time()
-    pairs = match_against_index(batch, path, threshold=0.0)
+    pairs = match_against_index(batch, path, threshold=0.0,
+                                broadcast_probe=True)
     agg = pairs.agg(
         F.count(F.lit(1)).alias("cands"),
         F.sum((F.col("est_jaccard") >= 0.9).cast("long")).alias("hits"),

@@ -141,6 +141,7 @@ def match_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """(new_id, ref_id, est_jaccard ≥ threshold): near-dup matches of
     the batch against the indexed corpus, distinct pairs.
@@ -148,7 +149,16 @@ def match_against_index(
     est_jaccard = fraction of agreeing minhash components, rounded 6dp
     — the standard unbiased MinHash estimator. Probe = ONE equi-join on
     (band, bucket) carrying ids only, then a signature fetch for
-    candidates only; all expression-level, no Python."""
+    candidates only; all expression-level, no Python.
+
+    ``broadcast_probe=True``: hint-broadcast the batch's band keys (and
+    the candidate ids for the signature fetch) so the stored bands/sigs
+    tables are SCANNED, never shuffled — the right plan for the common
+    incremental case (a 10k-doc batch against a multi-million-doc
+    index; Catalyst can't infer the probe is tiny because it sits
+    behind a fresh aggregation, so the unhinted plan shuffles the full
+    index — measured 46 s vs 12 s at a 6M-doc index / 10k batch).
+    Leave False when the batch itself is index-scale."""
     spark = new.sparkSession
     meta = _read_meta(spark, path)
     num_perm = int(meta["num_perm"])
@@ -157,6 +167,8 @@ def match_against_index(
         n=int(meta["n"]), num_perm=num_perm,
     )
     probe = banded_keys(sigs, int(meta["bands"]), int(meta["rows_per_band"]))
+    if broadcast_probe:
+        probe = F.broadcast(probe)
     ref_bands = spark.read.parquet(f"{path}/bands").withColumnRenamed(
         "id", "ref_id"
     )
@@ -165,6 +177,8 @@ def match_against_index(
         .select(F.col("id").alias("new_id"), "ref_id")
         .distinct()
     )
+    if broadcast_probe:
+        cands = F.broadcast(cands)
     ref_sigs = spark.read.parquet(f"{path}/sigs").select(
         F.col("id").alias("ref_id"), F.col("sig").alias("ref_sig")
     )
@@ -178,8 +192,13 @@ def match_against_index(
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    with_new = cands.join(new_sigs, "new_id")
+    if broadcast_probe:
+        # the (cands ⋈ batch-sigs) intermediate is batch-sized too —
+        # re-hint so the stored sigs table is scanned, not shuffled
+        with_new = F.broadcast(with_new)
     return (
-        cands.join(new_sigs, "new_id")
+        with_new
         .join(ref_sigs, "ref_id")
         .select(
             "new_id",

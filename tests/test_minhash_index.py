@@ -45,6 +45,26 @@ def test_exact_dup_matches_at_one(spark, index_path):
     assert [(r.new_id, r.ref_id, r.est_jaccard) for r in m] == [(101, 1, 1.0)]
 
 
+def test_broadcast_probe_same_results_and_plan(spark, index_path):
+    # broadcast_probe=True must return the identical pair set, and its
+    # plan must broadcast the probe side (the stored bands/sigs tables
+    # are scanned, never shuffled — the incremental-batch plan shape)
+    near = BASE.replace("lazy dog", "sleepy dog")
+    batch = _docs(spark, [(101, BASE), (102, near)])
+    plain = sorted(
+        (r.new_id, r.ref_id, r.est_jaccard)
+        for r in match_against_index(batch, index_path, threshold=0.5).collect()
+    )
+    bcast_df = match_against_index(
+        batch, index_path, threshold=0.5, broadcast_probe=True
+    )
+    assert sorted(
+        (r.new_id, r.ref_id, r.est_jaccard) for r in bcast_df.collect()
+    ) == plain
+    plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_near_dup_matches_fresh_and_short_survive(spark, index_path):
     near = BASE.replace("lazy dog", "sleepy dog")  # one shingle region off
     batch = _docs(
