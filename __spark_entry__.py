@@ -2321,11 +2321,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extensions. The driver evaluates entries in dict order (observed cap:
     first 50), so compositions come first; related operators share
     tagged-union composites (m1+m2, m3+m4, m8+m9, o2+o3, t2+t3+t4+t6,
-    e1+e3, embedding exact+lsh, x2+x11, y2+y3, n1+n5, n2+n3, the mm
-    suite, stream dedup+profile) so the whole registry fits the window —
-    every query has an oracle. Round 4 freed three slots by merging and
-    spent them on the previously pytest-only components: intercorpus
-    dedup, native sessionize, isolation forest."""
+    e1+e3, the embedding-dedup family, x2+x11, y2+y3, n1+n5, n2+n3, the
+    mm suite, stream dedup+profile) so the whole registry fits the
+    window — every query has an oracle. Round 4 freed three slots by
+    merging (intercorpus dedup, native sessionize, isolation forest);
+    round 9 folded sim_cosine_topk into sim_pq_topk; round 12 folded
+    sim_lsh_topk + the SemDeDup legs into dedup_embedding and spent the
+    slot on crawl_e2e."""
     return {
         # --- round-9 row first (slot freed by folding sim_cosine_topk
         # into this union's `exact` leg) ---
@@ -3321,7 +3323,10 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         JOIN gverd gv ON gv.doc_id = h.doc_id
         JOIN c4v cv ON cv.doc_id = h.doc_id
-        JOIN clf ON clf.doc_id = h.doc_id
+        -- LEFT: the clf VALUES are recomputed for the gate corpus
+        -- (oracle_sf_dir); at any other SF the sf1 fold check EXCLUDEs
+        -- the clf columns, and an inner join would truncate the rows
+        LEFT JOIN clf ON clf.doc_id = h.doc_id
         LEFT JOIN (
           WITH lm_w AS (
             SELECT doc_id,
