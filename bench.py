@@ -1107,22 +1107,18 @@ def main() -> None:
     xbig = int(os.environ.get("SPARK_GRAFT_XROWS_BIG", "60000000"))
     if xbig > 0:
         detail["crossover_60m"] = crossover_bench(spark, xbig)
-    # sf100-scale block (VERDICT r11 task 9): 600 M rows ≈ lineitem at
-    # sf100 — Spark-only throughput evidence for the decade past 60 M
-    # (the 6M/60M paired blocks already bracket the pandas crossover).
-    xhuge = int(os.environ.get("SPARK_GRAFT_XROWS_HUGE", "600000000"))
-    if xhuge > 0:
-        try:
-            detail["crossover_600m"] = crossover_spark_only(spark, xhuge)
-            out["crossover_600m"] = {
-                "rows": detail["crossover_600m"]["rows"],
-                "spark_total_sec": round(
-                    sum(detail["crossover_600m"]["spark_sec"].values()), 3
-                ),
-                "mrows_per_sec": detail["crossover_600m"]["mrows_per_sec"],
-            }
-        except Exception as exc:  # reporting, not a gate
-            out["crossover_600m"] = {"error": str(exc)[:120]}
+    # sf1 gate (10x sf0.1, generated+cached by tools/make_sf1.py):
+    # the primary scale point — per-query spark-vs-pandas pairs and
+    # fold-compared correctness spot rows. SPARK_GRAFT_SF1=0 to skip.
+    # Runs BEFORE the heavy 600M/index evidence blocks so the headline
+    # ratio is never the casualty of a run cut short.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
+        from tools.make_sf1 import ensure_sf1
+
+        detail["sf1"] = sf1_block(
+            spark, ensure_sf1(spark, sf_dir),
+            stream_overhead_sec=stream_overhead_sec,
+        )
     # persisted-MinHash-index block (VERDICT r11 task 8): crossover-scale
     # corpus, incremental 10k batch matched against the on-disk index
     idx_rows = int(os.environ.get("SPARK_GRAFT_INDEX_ROWS", "6000000"))
@@ -1137,16 +1133,23 @@ def main() -> None:
             }
         except Exception as exc:  # reporting, not a gate
             out["index_match"] = {"error": str(exc)[:120]}
-    # sf1 gate (10x sf0.1, generated+cached by tools/make_sf1.py):
-    # the primary scale point — per-query spark-vs-pandas pairs and
-    # fold-compared correctness spot rows. SPARK_GRAFT_SF1=0 to skip.
-    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == 0.1:
-        from tools.make_sf1 import ensure_sf1
-
-        detail["sf1"] = sf1_block(
-            spark, ensure_sf1(spark, sf_dir),
-            stream_overhead_sec=stream_overhead_sec,
-        )
+    # sf100-scale block (VERDICT r11 task 9): 600 M rows ≈ lineitem at
+    # sf100 — Spark-only throughput evidence for the decade past 60 M
+    # (the 6M/60M paired blocks already bracket the pandas crossover).
+    # Last on purpose: ~11 min of honest shuffle at this scale.
+    xhuge = int(os.environ.get("SPARK_GRAFT_XROWS_HUGE", "600000000"))
+    if xhuge > 0:
+        try:
+            detail["crossover_600m"] = crossover_spark_only(spark, xhuge)
+            out["crossover_600m"] = {
+                "rows": detail["crossover_600m"]["rows"],
+                "spark_total_sec": round(
+                    sum(detail["crossover_600m"]["spark_sec"].values()), 3
+                ),
+                "mrows_per_sec": detail["crossover_600m"]["mrows_per_sec"],
+            }
+        except Exception as exc:  # reporting, not a gate
+            out["crossover_600m"] = {"error": str(exc)[:120]}
 
     # Compact summaries of the bulky sections ride in the final line.
     for key in ("crossover", "crossover_60m"):
