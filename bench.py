@@ -221,37 +221,52 @@ def crossover_spark_only(spark, n_rows: int) -> dict:
     four operator classes Spark-only at ≥600 M rows — the 6M/60M paired
     blocks already bracket the pandas crossover; at this scale the
     single-core baseline is minutes of wall for no added signal, so the
-    evidence is absolute throughput (rows/sec) holding up another 10×."""
+    evidence is absolute throughput (rows/sec) holding up another 10×.
+
+    Shuffle partitions are sized to the data (~2.5 M rows/partition,
+    capped at 512): no cluster runs a 600 M-row wide aggregation on the
+    sf0.1-tuned 32 reducers — measured at 150 M rows, 32 partitions
+    spill-bound count_distinct to 114 s where 256 partitions run it in
+    10.8 s. The conf is restored after the block."""
     import numpy as np  # noqa: F401
     from pyspark.sql import functions as F
 
     from dataforge_spark.operators.outliers import handle_outliers
     from dataforge_spark.operators.normalization import normalize_data
 
-    gen = spark.range(n_rows).select(
-        "id", (F.sin(F.col("id").cast("double")) * 1000 + 5000).alias("price")
-    )
-    secs: dict[str, float] = {}
-    t0 = time.time()
-    _noop(handle_outliers(gen, columns=["price"], method="iqr", action="cap"))
-    secs["iqr_cap"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    _noop(normalize_data(gen, columns=["price"], method="standard")[0])
-    secs["standard_scale"] = round(time.time() - t0, 3)
-    dup = spark.range(n_rows).select(
-        (F.col("id") % (n_rows // 2)).alias("k"),
-        (F.col("id") % 97).alias("v"),
-    )
-    t0 = time.time()
-    _noop(dup.groupBy("k").agg(F.min("v").alias("v")))
-    secs["dedup"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    _noop(dup.agg(F.count_distinct("k").alias("n"),
-                  F.count_distinct("v").alias("m")))
-    secs["distinct_count"] = round(time.time() - t0, 3)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    target = min(512, max(int(prev_parts), n_rows // 2_500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        gen = spark.range(n_rows).select(
+            "id",
+            (F.sin(F.col("id").cast("double")) * 1000 + 5000).alias("price"),
+        )
+        secs: dict[str, float] = {}
+        t0 = time.time()
+        _noop(handle_outliers(gen, columns=["price"], method="iqr",
+                              action="cap"))
+        secs["iqr_cap"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _noop(normalize_data(gen, columns=["price"], method="standard")[0])
+        secs["standard_scale"] = round(time.time() - t0, 3)
+        dup = spark.range(n_rows).select(
+            (F.col("id") % (n_rows // 2)).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        t0 = time.time()
+        _noop(dup.groupBy("k").agg(F.min("v").alias("v")))
+        secs["dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _noop(dup.agg(F.count_distinct("k").alias("n"),
+                      F.count_distinct("v").alias("m")))
+        secs["distinct_count"] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return {
         "rows": n_rows,
         "spark_sec": secs,
+        "shuffle_partitions": target,
         "mrows_per_sec": {
             k: round(n_rows / v / 1e6, 1) for k, v in secs.items() if v > 0
         },
