@@ -215,13 +215,17 @@ def dedup_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Rows of ``new`` with NO indexed near-duplicate at ``threshold``
     (estimated Jaccard). Keeps every column of ``new``; documents too
     short to shingle (< n words) have no signature and always survive,
-    consistent with ``minhash_dedup``."""
+    consistent with ``minhash_dedup``. ``broadcast_probe`` passes
+    through to :func:`match_against_index` — set it for the common
+    small-batch-vs-big-index case."""
     matches = match_against_index(
-        new, path, text_col=text_col, id_col=id_col, threshold=threshold
+        new, path, text_col=text_col, id_col=id_col, threshold=threshold,
+        broadcast_probe=broadcast_probe,
     ).select(F.col("new_id").alias(id_col)).distinct()
     return new.join(matches, id_col, "left_anti")
 

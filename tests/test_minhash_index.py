@@ -63,6 +63,12 @@ def test_broadcast_probe_same_results_and_plan(spark, index_path):
     ) == plain
     plan = bcast_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # pass-through on the dedup wrapper returns the same survivors
+    a = {r.doc_id for r in dedup_against_index(
+        batch, index_path, threshold=0.5).collect()}
+    b = {r.doc_id for r in dedup_against_index(
+        batch, index_path, threshold=0.5, broadcast_probe=True).collect()}
+    assert a == b
 
 
 def test_near_dup_matches_fresh_and_short_survive(spark, index_path):
