@@ -265,10 +265,20 @@ def verify_manifest(
     ``check_hashes``) and no unlisted data files exist.
 
     Listing/size checks are driver metadata calls (Hadoop FileSystem
-    API for remote schemes). Hashing: ``spark`` given → an
-    executor-parallel ``binaryFile`` job; ``spark=None`` (local paths
-    only) hashes driver-side, which is fine for the listing/size checks
-    that dominate routine verification."""
+    API for remote schemes). Hashing: with a session (explicit or the
+    active one) → an executor-parallel ``binaryFile`` job; no session
+    (local paths only) hashes driver-side, which is fine for the
+    listing/size checks that dominate routine verification. A file
+    whose hash job fails (corruption can abort the read before the md5
+    runs) is retried one-file-at-a-time so the bad file is LOCALIZED:
+    it lands in ``hash_mismatch`` with its error under
+    ``hash_errors[name]`` instead of aborting the whole verification.
+    """
+    # one resolution for all three phases (ADVICE r12): _read_manifest /
+    # _list_files already fall back to the active session — resolving
+    # here keeps the hashing branch consistent with them instead of
+    # raising on spark=None while a usable session exists
+    spark = spark or SparkSession.getActiveSession()
     manifest = _read_manifest(path, spark)
     listing = dict(_list_files(path, spark))
     listed = {f["name"]: f for f in manifest["files"]}
@@ -281,6 +291,7 @@ def verify_manifest(
         if listing[n] != listed[n]["bytes"]
     )
     hash_mismatch: list[str] = []
+    hash_errors: dict[str, str] = {}
     if check_hashes:
         candidates = sorted((set(listed) & present) - set(size_mismatch))
         got: dict = {}
@@ -288,19 +299,39 @@ def verify_manifest(
             try:
                 got = _md5_spark(spark, path, candidates)
             except Exception:
-                # a corrupted file can abort the whole Spark read (the
-                # local-FS .crc layer raises before our md5 runs) — the
-                # per-file driver fallback below still localizes WHICH
-                # file is bad, which is the whole point of verifying
-                got = {}
-        if not got:
-            if not _is_local(path) and candidates:
-                raise ValueError(
-                    f"hashing {path!r} needs a working SparkSession "
-                    "(remote files are hashed via a binaryFile job)"
-                )
+                # a corrupted file can abort the whole multi-file read
+                # (the local-FS .crc layer / a remote stream error
+                # raises before our md5 runs) — retry one file per job
+                # so the BAD file is localized instead of the batch
+                # failing with no per-file information (ADVICE r12)
+                for n in candidates:
+                    try:
+                        got.update(_md5_spark(spark, path, [n]))
+                    except Exception as exc:
+                        hash_errors[n] = str(exc).splitlines()[0][:200]
+        if len(got) < len(candidates) and _is_local(path):
             base = _strip_scheme(path)
-            got = {n: _md5_of(os.path.join(base, n)) for n in candidates}
+            for n in candidates:
+                if n in got:
+                    continue
+                try:
+                    got[n] = _md5_of(os.path.join(base, n))
+                    hash_errors.pop(n, None)
+                except OSError as exc:
+                    hash_errors[n] = str(exc)[:200]
+        if spark is None and not _is_local(path) and candidates:
+            # no session at all (explicit OR active) for a remote table:
+            # surface per-file instead of raising — the listing/size
+            # phases already ran, and the caller sees exactly which
+            # files went unverified and why
+            for n in candidates:
+                hash_errors.setdefault(
+                    n,
+                    "not hashed: remote files need a SparkSession "
+                    "(binaryFile job) and none was given or active",
+                )
+        # a file whose hash could not be produced counts as a mismatch
+        # (possible corruption), with the reason in hash_errors
         hash_mismatch = sorted(
             n for n in candidates if got.get(n) != listed[n]["md5"]
         )
@@ -311,4 +342,5 @@ def verify_manifest(
         "orphans": orphans,
         "size_mismatch": size_mismatch,
         "hash_mismatch": hash_mismatch,
+        "hash_errors": hash_errors,
     }

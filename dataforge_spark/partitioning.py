@@ -92,7 +92,19 @@ def salted_join(
     falls through to the plain join (zero overhead beyond the sketch
     pass). Callers that already know the hot keys (e.g. from a previous
     batch's sketch) pass ``hot=[...]`` and skip the detection pass —
-    the amortization a recurring 100 TB join wants."""
+    the amortization a recurring 100 TB join wants.
+
+    **Salt-derivation limitation (ADVICE r12)**: the big-side salt is
+    ``xxhash64`` over EVERY big-side column, so byte-identical
+    duplicate rows of a hot key all land in ONE salt bucket — exactly
+    the duplicate-document skew common in raw dedup corpora — and that
+    straggler stays unsplit. When hot rows may be verbatim duplicates,
+    disambiguate BEFORE salting (add ``monotonically_increasing_id``
+    or a file/offset column so the salt input differs per row) or
+    dedup first. ``xxhash64`` also rejects MapType columns — project
+    maps away (or through ``map_entries``) before calling. Both limits
+    are inherited from :func:`with_salt` and apply to the ``auto_salt``
+    path too."""
     safe = {"inner", "left", "leftouter", "left_outer", "left_semi",
             "leftsemi", "left_anti", "leftanti"}
     if how.lower().replace("_", "") not in {h.replace("_", "") for h in safe}:

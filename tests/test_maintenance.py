@@ -87,6 +87,9 @@ def test_manifest_roundtrip_and_tampers(spark, tmp_path):
     open(victim, "wb").write(bytes(data))
     v = verify_manifest(spark, path)
     assert v["ok"] is False and v["hash_mismatch"] == [parts[0]]
+    # the corrupt file is LOCALIZED (ADVICE r12): the driver fallback
+    # hashed it fine locally, so no residual per-file error remains
+    assert v["hash_errors"] == {}
     # size-only mode misses it (documented trade)
     assert verify_manifest(spark, path, check_hashes=False)["ok"] is True
 
