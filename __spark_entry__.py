@@ -1518,14 +1518,36 @@ def _get_txt_classifier(spark: SparkSession, sf_dir: str):
     work, scoring is the per-query work. Classes: documents containing
     the standalone token "spark" (trusted) vs the rest — a
     text-derived, engine-replicable split with per-doc non-trivial
-    margins (measured min |margin| 0.0275 at sf0.01)."""
+    margins (measured min |margin| 0.0275 at sf0.01).
+
+    Round 13 (VERDICT r12 task 7): the trained weights also persist to
+    disk keyed on the corpus fingerprint + hyperparameters, so a fresh
+    process (each bench/gate run is one) loads ~256 KB of weights
+    instead of re-fitting — training is deterministic by construction
+    (full-batch Adagrad, hash-capped sampling), the oracle twin replays
+    it sequentially either way, and a corpus change changes the
+    fingerprint, never serving stale weights."""
+    import numpy as _np
+
+    from dataforge_spark.functions.quality_classifier import (
+        HashedTextClassifier,
+        train_quality_classifier,
+    )
+
     key = _corpus_ident(sf_dir, "documents")
     model = _TXT_CLF.get(key)
-    if model is None:
-        from dataforge_spark.functions.quality_classifier import (
-            train_quality_classifier,
+    if model is not None:
+        return model
+    cache = (
+        f"/tmp/dataforge_txt_clf_{key}_{_CLF_DIM}_{_CLF_NGRAM}_"
+        f"{_CLF_EPOCHS}.npz"
+    )
+    if os.path.exists(cache):
+        z = _np.load(cache)
+        model = HashedTextClassifier(
+            z["weights"], float(z["bias"]), ngram=int(z["ngram"])
         )
-
+    else:
         docs = (
             _t(spark, sf_dir, "documents")
             .select("text")
@@ -1540,7 +1562,12 @@ def _get_txt_classifier(spark: SparkSession, sf_dir: str):
             epochs=_CLF_EPOCHS,
             max_docs_per_class=1000,
         )
-        _TXT_CLF[key] = model
+        tmp = f"{cache}.{os.getpid()}.tmp.npz"
+        _np.savez(
+            tmp, weights=model.weights, bias=model.bias, ngram=model.ngram
+        )
+        os.replace(tmp, cache)  # atomic: concurrent runs see whole files
+    _TXT_CLF[key] = model
     return model
 
 
@@ -2217,45 +2244,69 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     task 5): the sf documents wrapped as WET conversion records, run
     through the FULL ``crawl.crawl_to_training_data`` composition
     (WARC read → language gate → canonical-URL keep-first dedup →
-    quality gate → minhash near-dedup → BPE train+encode →
+    quality gate → Gopher gate → minhash near-dedup → BPE encode →
     fixed-length chunking → TFRecord write), then the TFRecord output
-    read back. (The Gopher gate is off here — its required-stopword
-    rule zeroes this synthetic corpus; per-doc Gopher verdicts are
-    oracle-pinned in txt_metrics instead.) Output: one ``(stage, n)`` row per pipeline stage plus
+    read back. Output: one ``(stage, n)`` row per pipeline stage plus
     three read-back checksums — ``tfr_samples`` / ``tfr_tokens`` /
     ``tfr_ids_sum`` (the sum of every token id in every chunk, which
     pins the BPE vocabulary, the merges, the encoding, the chunk
     boundaries, AND the TFRecord round-trip in one number — VERDICT r11
     task 6's BPE end-to-end leg).
 
-    Planted structure (closed-form for the twin): every ``doc_id %
-    5 == 0`` document is duplicated at ``doc_id + 100000``; duplicates
-    with even original id share the original's CANONICAL url under a
-    different raw spelling (``http://Example.com/doc/N`` vs
-    ``http://example.com:80/doc/N`` — case + default port), so URL
-    dedup must remove them (keep-first = the 'E' < 'e' raw-string
-    order); the odd-id duplicates get distinct urls and must survive to
-    the minhash stage, which removes them as exact-text near-dups.
+    Planted structure: every ``doc_id % 5 == 0`` document is duplicated
+    at ``doc_id + 100000``; duplicates with even original id share the
+    original's CANONICAL url under a different raw spelling
+    (``http://Example.com/doc/N`` vs ``http://example.com:80/doc/N`` —
+    case + default port), so URL dedup must remove them (keep-first =
+    the 'E' < 'e' raw-string order); the odd-id duplicates get distinct
+    urls and must survive to the minhash stage, which removes them as
+    exact-text near-dups. Round 13 (VERDICT r12 task 6): every
+    ``doc_id % 3 == 0`` document additionally carries the 45-word
+    all-distinct stopword suffix ``tools.oracle_recompute.
+    CRAWL_GOPHER_SUFFIX`` (applied on the ORIGINAL id, before
+    duplication, so dup pairs stay byte-identical) — the ``gopher=True``
+    gate now runs in-loop with a nonzero, oracle-pinned survivor set
+    (suffixed docs pass all seven rules; the unsuffixed synthetic
+    vocabulary fails the required-stopword rule).
 
     The oracle is a pure-Python twin (tools/oracle_recompute.py
     ``crawl_expected``): every gate recomputed sequentially (same
     formulas as the SQL replicas of quality/gopher), xxhash64 doc ids
-    via the bit-equal pure-Python xxh64, minhash survivors closed-form
-    as exact-text keep-min-id — valid because the twin ASSERTS the
-    measured cross-text 3-shingle Jaccard over survivors is below the
-    0.8 threshold (minhash_dedup verifies candidates by exact Jaccard,
-    and identical texts always collide in every band) — and an
-    INDEPENDENT O(n²)-recount BPE merge loop + encoder (no incremental
-    pair bookkeeping, where the bugs would hide)."""
+    via the bit-equal pure-Python xxh64, minhash survivors via a FULL
+    sequential minhash simulation — signatures, 16×4 banding, and
+    exact-Jaccard candidate verification re-run on the bit-equal
+    pure-Python xxh64 (``_minhash_survivors_twin``), assumption-free
+    about LSH recall — and an INDEPENDENT O(n²)-recount BPE merge loop
+    + encoder (no incremental pair bookkeeping, where the bugs would
+    hide).
+
+    BPE-retrain amortization (round 13, VERDICT r12 task 5): the
+    trained tokenizer persists to disk keyed on the corpus fingerprint
+    + pipeline params, exactly like the IVF/PQ/z-order builds — a warm
+    call passes ``tokenizer=`` and skips the refit. The twin always
+    retrains independently, so a stale or wrong cache is CAUGHT by the
+    gate (ids_sum mismatch), never masked; a corpus change rotates the
+    fingerprint and forces a refit."""
     from dataforge_spark.crawl import crawl_to_training_data
+    from dataforge_spark.functions.bpe import BpeTokenizer
     from dataforge_spark.tfrecord import read_tfrecord
     from dataforge_spark.warc import write_warc
+    from tools.oracle_recompute import CRAWL_GOPHER_SUFFIX
 
     ident = _corpus_ident(sf_dir, "documents")
-    wet_path = f"/tmp/dataforge_crawl_wet_{ident}"
+    # _g1: fixture layout version (round 13 added the Gopher suffix) —
+    # a version bump invalidates cached WET dirs from earlier rounds
+    wet_path = f"/tmp/dataforge_crawl_wet_{ident}_g1"
     marker = os.path.join(wet_path, "_BENCH_READY")
     if not os.path.exists(marker):
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(CRAWL_GOPHER_SUFFIX)),
+            ).otherwise(F.col("text")).alias("text"),
+            "lang",
+        )
         dups = docs.where(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
         )
@@ -2279,13 +2330,21 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(marker, "w").close()
 
     out_path = f"/tmp/dataforge_crawl_out_{uuid.uuid4().hex[:8]}"
-    report, _tok = crawl_to_training_data(
+    tok_cache = f"/tmp/dataforge_crawl_bpe_{ident}_g1_v512.json"
+    tok = BpeTokenizer.load(tok_cache) if os.path.exists(tok_cache) else None
+    report, tok = crawl_to_training_data(
         spark, wet_path, out_path,
+        tokenizer=tok,
         vocab_size=512, seq_len=64,
         keep_langs=["en", "de", "fr", "es"],
         min_quality=0.75,
+        gopher=True,
         minhash_threshold=0.8,
     )
+    if not os.path.exists(tok_cache):
+        tmp = f"{tok_cache}.{os.getpid()}.tmp"
+        tok.save(tmp)
+        os.replace(tmp, tok_cache)  # atomic under concurrent gate runs
     back = read_tfrecord(
         spark, out_path,
         "doc_id bigint, chunk_idx bigint, input_ids array<bigint>, "
@@ -2305,6 +2364,7 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("after_lang_filter", report["after_lang_filter"]),
         ("after_url_dedup", report["after_url_dedup"]),
         ("after_quality", report["after_quality"]),
+        ("after_gopher", report["after_gopher"]),
         ("after_near_dedup", report["after_near_dedup"]),
         ("vocab_size", report["vocab_size"]),
         ("samples_out", report["samples_out"]),

@@ -80,6 +80,20 @@ def crawl_to_training_data(
 
     report: dict = {}
 
+    # Every stage boundary below is consumed TWICE or more (its count()
+    # for the report, plus everything downstream — and minhash/BPE each
+    # re-scan their input internally). Without pinning, each count
+    # re-executes the whole upstream DAG from the WARC read: O(stages²)
+    # total work (measured 3× the row cost at sf0.01). Boundaries
+    # persist MEMORY_AND_DISK (spill-safe at cluster scale — same
+    # policy as pipeline.py's auto-persist at re-scanned boundaries)
+    # and all pins are released before returning.
+    pinned: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        pinned.append(df.persist())
+        return df
+
     recs = read_warc(spark, warc_path).where(
         F.col("warc_type").isin("conversion", "response", "resource")
     )
@@ -92,6 +106,7 @@ def crawl_to_training_data(
         F.col("payload").cast("string").alias("raw_text"),
         is_html.alias("is_html"),
     ).where(F.col("uri").isNotNull() & F.col("raw_text").isNotNull())
+    raw = _pin(raw)
     report["records_in"] = raw.count()
 
     # boilerplate strip only where the payload is HTML
@@ -113,7 +128,7 @@ def crawl_to_training_data(
         )
 
     if keep_langs:
-        text = text.where(F.col("lang").isin(*keep_langs))
+        text = _pin(text.where(F.col("lang").isin(*keep_langs)))
         report["after_lang_filter"] = text.count()
 
     # canonical-URL keep-first dedup (first = smallest raw URI string:
@@ -128,30 +143,32 @@ def crawl_to_training_data(
         .drop("_rn")
         .withColumn("doc_id", F.xxhash64("canon_url"))
     )
+    deduped_url = _pin(deduped_url)
     report["after_url_dedup"] = deduped_url.count()
 
     if c4:
         from dataforge_spark.functions.c4 import c4_filter
 
-        deduped_url = c4_filter(deduped_url, text_col="text")
+        deduped_url = _pin(c4_filter(deduped_url, text_col="text"))
         report["after_c4"] = deduped_url.count()
 
     kept = quality_filter(
         deduped_url, text_col="text", id_col="doc_id",
         min_quality=min_quality,
     ).where(F.col("keep")).select("doc_id", "canon_url", "lang", "text")
+    kept = _pin(kept)
     report["after_quality"] = kept.count()
 
     if gopher:
         from dataforge_spark.functions.gopher import gopher_filter
 
-        kept = gopher_filter(kept, text_col="text")
+        kept = _pin(gopher_filter(kept, text_col="text"))
         report["after_gopher"] = kept.count()
 
     if ppl_model is not None and max_perplexity is not None:
         from dataforge_spark.functions.charlm import filter_by_perplexity
 
-        kept = filter_by_perplexity(kept, "text", ppl_model, max_perplexity)
+        kept = _pin(filter_by_perplexity(kept, "text", ppl_model, max_perplexity))
         report["after_perplexity"] = kept.count()
 
     if quality_model is not None:
@@ -170,11 +187,12 @@ def crawl_to_training_data(
             kept = scored.where(
                 F.col("_qp") >= F.lit(quality_min_prob)
             ).drop("_qp")
+        kept = _pin(kept)
         report["after_classifier"] = kept.count()
 
-    corpus = minhash_dedup(
+    corpus = _pin(minhash_dedup(
         kept, text_col="text", id_col="doc_id", threshold=minhash_threshold
-    )
+    ))
     report["after_near_dedup"] = corpus.count()
 
     if tokenizer is None:
@@ -210,12 +228,19 @@ def crawl_to_training_data(
             F.size("input_ids").cast("long").alias("n_tokens"),
         )
     )
-    agg = chunks.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
-    ).collect()[0]
-    report["samples_out"] = int(agg["n"])
-    report["tokens_out"] = int(agg["t"] or 0)
+    # chunks is consumed twice (the sample/token aggregate + the
+    # TFRecord write) — pin it so the write doesn't re-run BPE encoding
+    chunks = _pin(chunks)
+    try:
+        agg = chunks.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+        ).collect()[0]
+        report["samples_out"] = int(agg["n"])
+        report["tokens_out"] = int(agg["t"] or 0)
 
-    write_tfrecord(chunks, out_path, compression="gzip")
+        write_tfrecord(chunks, out_path, compression="gzip")
+    finally:
+        for df in pinned:
+            df.unpersist()
     report["out_path"] = out_path
     return report, tokenizer

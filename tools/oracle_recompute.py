@@ -299,6 +299,62 @@ def _quality_keep(text: str, min_quality: float) -> bool:
     return True
 
 
+# q_crawl_e2e's Gopher planting (round 13, VERDICT r12 task 6): this
+# suffix is appended to every doc_id % 3 == 0 document when the WET
+# fixture is built (BEFORE the duplicate copies are derived, so dup
+# pairs stay byte-identical). 45 DISTINCT words — no repeated bigrams,
+# so the quality filter's repetition rules are untouched — carrying all
+# 8 Gopher required stopwords and mean word length ≈ 6.5, which lifts a
+# suffixed doc past every Gopher rule (word count ≥ 10+45, mean word
+# length in [3,10], no symbols/bullets/ellipses, all-alpha words,
+# stopword hits 8 ≥ 2) while the unsuffixed synthetic docs keep failing
+# the required-stopword rule (their vocabulary has only "the"). The
+# engine fixture (q_crawl_e2e) imports THIS constant, so twin and
+# engine cannot drift.
+CRAWL_GOPHER_SUFFIX = (
+    " the archive of curated shards and that modern pipelines have"
+    " grown to be resilient with careful layout planning every"
+    " deduplicated corpus keeps tokens flowing while explicit manifests"
+    " certify durable partitions under steady compaction pressure"
+    " ensuring reproducible sampled batches remain balanced across"
+    " executors during training runs"
+)
+
+_GOPHER_REQ = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_BULLET = re.compile(r"^[•‣▪●·\-\*⁃]")
+_GOPHER_ELLIPSIS_END = re.compile(r"(\.\.\.|…)[ \t]*$")
+_GOPHER_SYM = re.compile(r"(\.\.\.|…)")
+
+
+def _gopher_keep(text: str) -> bool:
+    """Sequential replica of functions/gopher.gopher_quality_struct's
+    overall ``keep`` (the seven Rae et al. rules), for the crawl twin's
+    gopher stage — same tokenization (trimmed ``\\s+`` split, empties
+    dropped), same regexes, same thresholds as the Catalyst form."""
+    words = _ws_tokens(text)
+    n_w = len(words)
+    if not (50 <= n_w <= 100_000):
+        return False
+    mean_wl = sum(len(w) for w in words) / n_w
+    if not (3 <= mean_wl <= 10):
+        return False
+    n_sym = text.count("#") + len(_GOPHER_SYM.findall(text))
+    if n_sym / n_w > 0.1:
+        return False
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if lines:
+        n_l = len(lines)
+        if sum(1 for ln in lines if _GOPHER_BULLET.match(ln.lstrip())) / n_l >= 0.9:
+            return False
+        if sum(1 for ln in lines if _GOPHER_ELLIPSIS_END.search(ln)) / n_l >= 0.3:
+            return False
+    if sum(1 for w in words if re.search("[A-Za-z]", w)) / n_w < 0.8:
+        return False
+    low = text.lower()
+    hits = sum(1 for w in _GOPHER_REQ if re.search(rf"\b{w}\b", low))
+    return hits >= 2
+
+
 def _canon_planted_url(uri: str) -> str:
     """functions/urls.canonicalize_url restricted to the URL shapes
     q_crawl_e2e plants (http scheme, example.com host with optional
@@ -454,9 +510,14 @@ def _minhash_survivors_twin(
 @functools.lru_cache(maxsize=4)
 def crawl_expected(sf_dir: str) -> tuple[tuple[str, int], ...]:
     """((stage, n), ...) for q_crawl_e2e: the whole crawl pipeline
-    recomputed sequentially — see q_crawl_e2e's docstring for the
-    planted-URL construction and the near-dedup closed form this twin
-    ASSERTS (cross-text 3-shingle Jaccard < 0.8 over gate survivors)."""
+    recomputed sequentially — the planted-URL/Gopher-suffix fixture
+    reconstructed from the parquet rows, then every gate re-derived
+    with independent code: quality and gopher from the rule formulas,
+    near-dedup by a FULL minhash simulation (signatures, banding and
+    exact-Jaccard verification re-run on bit-equal pure-Python xxh64 —
+    ``_minhash_survivors_twin``; no closed-form shortcut), and BPE by
+    an O(n²)-recount trainer + encoder. See q_crawl_e2e's docstring
+    for the planted structure."""
     import duckdb
 
     from dataforge_spark.functions.xxh64 import xxh64_str
@@ -465,12 +526,16 @@ def crawl_expected(sf_dir: str) -> tuple[tuple[str, int], ...]:
         f"SELECT doc_id, text, lang FROM '{_src(sf_dir, 'documents')}' "
         "ORDER BY doc_id"
     ).fetchall()
+    # Gopher planting (round 13): suffix applied on the ORIGINAL id
+    # before duplication, exactly like the engine fixture
+    rows = [
+        (int(i), t + CRAWL_GOPHER_SUFFIX if int(i) % 3 == 0 else t, lang)
+        for i, t, lang in rows
+    ]
     records = []  # (raw_uri, lang, text)
     for i, t, lang in rows:
-        i = int(i)
         records.append((f"http://Example.com/doc/{i}", lang, t))
     for i, t, lang in rows:
-        i = int(i)
         if i % 5 == 0:
             nid = i + 100000
             if nid % 10 == 0:
@@ -494,6 +559,9 @@ def crawl_expected(sf_dir: str) -> tuple[tuple[str, int], ...]:
 
     docs = [(i, t) for i, t in docs if _quality_keep(t, 0.75)]
     stages.append(("after_quality", len(docs)))
+
+    docs = [(i, t) for i, t in docs if _gopher_keep(t)]
+    stages.append(("after_gopher", len(docs)))
 
     survivors = sorted(_minhash_survivors_twin(docs))
     stages.append(("after_near_dedup", len(survivors)))
