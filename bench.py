@@ -46,37 +46,67 @@ SPARK_CAL_STEADY = 0.35
 PANDAS_CAL_STEADY = 1.0
 
 # Per-row steady-state references for the per-row contention guard
-# (VERDICT r11 task 1): the r10 committed values (the last clean run),
-# overridden where a row legitimately grew legs since (x_text_suite
-# +HTML extraction in r11; txt_metrics +gopher/c4/classifier columns in
-# r12) or shrank (curation_split: the z-order WRITE moved to
-# build_zorder_layout in r12). These are GUARD thresholds (a row is
-# suspect above 3x its reference), not oracles — a genuinely-regressed
-# row still records its measured value after re-measures confirm the
-# host was quiet.
+# (VERDICT r11 task 1): refreshed to the r12 committed artifact
+# (VERDICT r12 task 8 — the r10 table under-triggered on rows that
+# changed shape since), calibrations [0.149, 0.144], clean
+# contended_rows. The r12 run carried the session-documented ~1.5-2x
+# host elevation on a few rows (m5_m6, pipeline_e2e isolated at 4.43),
+# so these are conservative (slightly high) thresholds: a trip at 3x
+# of an already-elevated value is unambiguous weather. These are GUARD
+# thresholds, not oracles — a genuinely-regressed row still records
+# its measured value after re-measures confirm the host was quiet.
 STEADY_REF = {
-    "s4_profile": 1.73, "s4_profile_approx": 1.18,
-    "m5_m6_fill_stats": 3.41, "m8_m9_ordered_fill": 0.79,
-    "d1_dedup_keep_first": 0.36, "o6_o7_outlier_actions": 2.99,
-    "t234_auto_convert": 2.10, "x_text_suite": 1.85,
-    "dt1_datetime_features": 0.77, "e2_onehot_encode": 0.71,
-    "y1_common_typos": 0.52, "n1_n5_standard_roundtrip": 0.86,
-    "dedup_exact_intercorpus": 0.47, "dedup_spans": 1.00,
-    "dedup_minhash_verified": 3.34, "dedup_jaccard_pairs": 1.82,
-    "sim_cosine_topk": 0.77, "sim_pq_topk": 1.48, "sim_ivf_topk": 0.47,
-    # 5.46 measured quiet r12: the row genuinely grew gopher/c4 columns
-    # + classifier scoring this round
-    "txt_metrics": 4.50, "stream_sessionize_native": 0.48,
-    "stream_sessionize_stateful": 2.11, "pipeline_e2e": 2.62,
-    "join_asof": 0.45, "join_range": 1.76, "curation_split": 0.50,
-    "curation_contamination": 1.48, "curation_pack": 0.70,
-    "stream_window_agg": 1.32, "o4_isolation_forest": 1.49,
-    "sim_ivf_disk_topk": 0.78, "stream_sjoin": 2.69,
+    "s4_profile": 1.86, "s4_profile_approx": 1.28,
+    "m5_m6_fill_stats": 5.09, "m8_m9_ordered_fill": 1.37,
+    "d1_dedup_keep_first": 1.05, "o6_o7_outlier_actions": 3.27,
+    "t234_auto_convert": 3.25, "x_text_suite": 1.68,
+    "dt1_datetime_features": 1.24, "e2_onehot_encode": 1.27,
+    "y1_common_typos": 0.55, "n1_n5_standard_roundtrip": 1.25,
+    "dedup_exact_intercorpus": 0.60, "dedup_spans": 1.26,
+    "dedup_minhash_verified": 6.02, "dedup_jaccard_pairs": 2.63,
+    "sim_cosine_topk": 0.95, "sim_pq_topk": 1.93, "sim_ivf_topk": 0.60,
+    # r12 committed 4.60 with clf training in-row; r13 amortized the
+    # training behind the corpus fingerprint, so steady shrinks — keep
+    # the tighter post-amortization estimate so the guard can see it
+    "txt_metrics": 3.50, "stream_sessionize_native": 0.53,
+    "stream_sessionize_stateful": 3.42, "pipeline_e2e": 4.64,
+    "join_asof": 0.52, "join_range": 2.22, "curation_split": 0.42,
+    "curation_contamination": 1.89, "curation_pack": 0.90,
+    "stream_window_agg": 1.41, "o4_isolation_forest": 1.62,
+    "sim_ivf_disk_topk": 0.87, "stream_sjoin": 2.79,
 }
 # a row re-measures while it exceeds this multiple of its reference AND
 # a calibration probe confirms the host is off steady state
 ROW_GUARD_FACTOR = 3.0
 ROW_GUARD_RETRIES = 2
+
+# sf1 per-row references (VERDICT r12 task 3: the headline loop got the
+# per-row guard in r12, but the sf1 rows still slipped contended values
+# into the artifact — stream_sjoin 9.2 s vs the committed 3.3 s behind
+# a 0.32 post-calibration). Values: the r12 committed sf1 block where
+# it ran quiet, the builder's committed values for the two rows the
+# driver re-run caught contended (stream_sjoin 3.3; m8_m9 — r13
+# decomposition). The sf1 loop is already best-of-3 per row, so a 2x
+# excess over steady is a stronger contention signal than the
+# headline's single-shot 3x.
+SF1_STEADY_REF = {
+    "s4_profile": 1.32, "s4_profile_approx": 0.83,
+    "m5_m6_fill_stats": 7.08, "m8_m9_ordered_fill": 4.70,
+    "d1_dedup_keep_first": 0.99, "o6_o7_outlier_actions": 1.61,
+    "t234_auto_convert": 2.72, "x_text_suite": 1.22,
+    "dt1_datetime_features": 0.92, "e2_onehot_encode": 1.00,
+    "y1_common_typos": 0.68, "n1_n5_standard_roundtrip": 0.91,
+    "dedup_exact_intercorpus": 1.05, "dedup_spans": 1.61,
+    "dedup_minhash_verified": 4.70, "dedup_jaccard_pairs": 6.23,
+    "sim_cosine_topk": 0.82, "sim_pq_topk": 1.93, "sim_ivf_topk": 0.65,
+    "txt_metrics": 5.10, "stream_sessionize_native": 0.65,
+    "stream_sessionize_stateful": 2.95, "pipeline_e2e": 8.09,
+    "join_asof": 1.09, "join_range": 3.33, "curation_split": 0.44,
+    "curation_contamination": 2.01, "curation_pack": 1.08,
+    "stream_window_agg": 2.48, "o4_isolation_forest": 4.70,
+    "sim_ivf_disk_topk": 1.14, "stream_sjoin": 3.30,
+}
+SF1_ROW_GUARD_FACTOR = 2.0
 
 # Headline set: one per operator family + the scale-relevant extensions.
 BENCH_QUERIES = [
@@ -216,9 +246,25 @@ def crossover_bench(spark, n_rows: int) -> dict:
     }
 
 
+# Per-leg steady references for the 600M block's re-measure rule
+# (VERDICT r12 task 3): r12/r13 quiet-host values. A leg above
+# XHUGE_GUARD_FACTOR x its reference triggers a calibration probe;
+# off-steady probe => the number is weather, re-run the leg once and
+# keep the min (attempts recorded). The plain dedup leg's reference is
+# the builder's r12 committed run (415 s) — the driver's re-run hit
+# 1062 s on a contended host, the exact 2.5x swing this rule exists to
+# catch. New-leg references measured quiet this round (r13).
+XHUGE_LEG_REF = {
+    "iqr_cap": 38.0, "standard_scale": 4.4, "dedup": 420.0,
+    "distinct_count": 165.0, "distinct_approx": 30.0,
+    "dedup_repart": 230.0, "dedup_bucketed": 75.0,
+}
+XHUGE_GUARD_FACTOR = 2.0
+
+
 def crossover_spark_only(spark, n_rows: int) -> dict:
     """Next-decade probe (VERDICT r11 task 9): the crossover block's
-    four operator classes Spark-only at ≥600 M rows — the 6M/60M paired
+    operator classes Spark-only at ≥600 M rows — the 6M/60M paired
     blocks already bracket the pandas crossover; at this scale the
     single-core baseline is minutes of wall for no added signal, so the
     evidence is absolute throughput (rows/sec) holding up another 10×.
@@ -227,50 +273,129 @@ def crossover_spark_only(spark, n_rows: int) -> dict:
     capped at 512): no cluster runs a 600 M-row wide aggregation on the
     sf0.1-tuned 32 reducers — measured at 150 M rows, 32 partitions
     spill-bound count_distinct to 114 s where 256 partitions run it in
-    10.8 s. The conf is restored after the block."""
+    10.8 s. The conf is restored after the block.
+
+    Round 13 (VERDICT r12 tasks 1/3/4) adds:
+
+    - ``distinct_approx``: the profiler's documented production path
+      (HyperLogLog++, fixed-KB state per column) next to the exact
+      count_distinct leg, with its measured relative error vs the
+      closed-form truth (k has exactly n_rows/2 distinct values, v 97).
+    - ``dedup_repart``: repartition-by-key FIRST, then aggregate — the
+      zero-layout mitigation for the plain leg's map-side partial-agg
+      spill (each input partition holds ~all-distinct keys, so the
+      partial pass builds a task-sized hash map, spills, and reduces
+      nothing; shuffling rows unaggregated costs the same bytes and
+      lets both agg passes run over ~n/partitions keys).
+    - ``dedup_bucketed``: keep-first dedup reading a pre-bucketed
+      layout (``partitioning.write_bucketed``, 512 buckets) — the
+      recurring-dedup answer: NO exchange in the agg plan (bucketed
+      scan satisfies the clustering) and per-task hash maps bounded by
+      the bucket's key count. The one-time layout write is reported
+      separately as ``bucket_layout_sec`` (0.0 = reused the on-disk
+      table from an earlier run, like the IVF/PQ index builds).
+    - a per-leg re-measure rule (XHUGE_LEG_REF): legs far above their
+      steady reference re-run once when a calibration probe confirms
+      the host was off steady state — the r12 artifact carried a 2.5×
+      contended swing on the plain dedup leg."""
     import numpy as np  # noqa: F401
     from pyspark.sql import functions as F
 
     from dataforge_spark.operators.outliers import handle_outliers
     from dataforge_spark.operators.normalization import normalize_data
+    from dataforge_spark.partitioning import register_bucketed, write_bucketed
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     target = min(512, max(int(prev_parts), n_rows // 2_500_000))
     spark.conf.set("spark.sql.shuffle.partitions", target)
+    secs: dict[str, float] = {}
+    contended: dict[str, dict] = {}
+
+    def leg(name, fn):
+        t0 = time.time()
+        fn()
+        best = round(time.time() - t0, 3)
+        ref = XHUGE_LEG_REF.get(name)
+        if ref and best > XHUGE_GUARD_FACTOR * ref:
+            probe = _calibration_sec(spark)
+            if probe > SPARK_CAL_STEADY:
+                t0 = time.time()
+                fn()
+                best = min(best, round(time.time() - t0, 3))
+            contended[name] = {"ref": ref, "best": best,
+                               "probe": round(probe, 3)}
+        secs[name] = best
+
     try:
         gen = spark.range(n_rows).select(
             "id",
             (F.sin(F.col("id").cast("double")) * 1000 + 5000).alias("price"),
         )
-        secs: dict[str, float] = {}
-        t0 = time.time()
-        _noop(handle_outliers(gen, columns=["price"], method="iqr",
-                              action="cap"))
-        secs["iqr_cap"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _noop(normalize_data(gen, columns=["price"], method="standard")[0])
-        secs["standard_scale"] = round(time.time() - t0, 3)
+        leg("iqr_cap", lambda: _noop(
+            handle_outliers(gen, columns=["price"], method="iqr",
+                            action="cap")))
+        leg("standard_scale", lambda: _noop(
+            normalize_data(gen, columns=["price"], method="standard")[0]))
         dup = spark.range(n_rows).select(
             (F.col("id") % (n_rows // 2)).alias("k"),
             (F.col("id") % 97).alias("v"),
         )
-        t0 = time.time()
-        _noop(dup.groupBy("k").agg(F.min("v").alias("v")))
-        secs["dedup"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _noop(dup.agg(F.count_distinct("k").alias("n"),
-                      F.count_distinct("v").alias("m")))
-        secs["distinct_count"] = round(time.time() - t0, 3)
+        leg("dedup", lambda: _noop(
+            dup.groupBy("k").agg(F.min("v").alias("v"))))
+        leg("dedup_repart", lambda: _noop(
+            dup.repartition(target, F.col("k"))
+            .groupBy("k").agg(F.min("v").alias("v"))))
+        leg("distinct_count", lambda: _noop(
+            dup.agg(F.count_distinct("k").alias("n"),
+                    F.count_distinct("v").alias("m"))))
+        # HLL++ leg + measured relative error vs the closed-form truth
+        approx_row: dict = {}
+
+        def _approx():
+            approx_row.update(
+                dup.agg(
+                    F.approx_count_distinct("k").alias("n"),
+                    F.approx_count_distinct("v").alias("m"),
+                ).collect()[0].asDict()
+            )
+
+        leg("distinct_approx", _approx)
+        # bucketed-layout leg: one-time write (disclosed), then the
+        # exchange-free aggregation over the bucketed scan
+        buckets = 512
+        tbl = f"dedup_bucketed_{n_rows}"
+        bpath = f"/tmp/dataforge_bucketed_{n_rows}_{buckets}"
+        layout_sec = 0.0
+        if not os.path.exists(os.path.join(bpath, "_SUCCESS")):
+            t0 = time.time()
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            write_bucketed(dup, tbl, "k", buckets=buckets, path=bpath,
+                           align=True)
+            layout_sec = round(time.time() - t0, 3)
+        register_bucketed(spark, tbl, bpath, "k", buckets,
+                          "k BIGINT, v BIGINT")
+        leg("dedup_bucketed", lambda: _noop(
+            spark.table(tbl).groupBy("k").agg(F.min("v").alias("v"))))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return {
+    out = {
         "rows": n_rows,
         "spark_sec": secs,
         "shuffle_partitions": target,
+        "bucket_layout_sec": layout_sec,
         "mrows_per_sec": {
             k: round(n_rows / v / 1e6, 1) for k, v in secs.items() if v > 0
         },
     }
+    if approx_row:
+        exact_k, exact_v = n_rows // 2, 97
+        out["distinct_approx_rel_err"] = {
+            "k": round(abs(int(approx_row["n"]) - exact_k) / exact_k, 4),
+            "v": round(abs(int(approx_row["m"]) - exact_v) / exact_v, 4),
+        }
+    if contended:
+        out["contended_legs"] = contended
+    return out
 
 
 def _gen_index_corpus(spark, n_rows: int):
@@ -580,22 +705,48 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
     cal: list[float] = []
     spark_attempts = 0
     best_cal_max = float("inf")
+    sf1_contended: dict[str, dict] = {}
     for _ in range(2):
         spark_attempts += 1
         cal_pre = _calibration_sec(spark)
         attempt_sec: dict[str, float] = {}
         for name in BENCH_QUERIES:
-            best = float("inf")
-            # best-of-3 at sf1 (r8): the edge calibrations can be steady
-            # while a co-tenant burst lands mid-loop on one query's both
-            # runs (observed: dedup_spans 3.45 in-loop vs 1.3 isolated,
-            # sim_cosine_topk 5.3 vs ~1.3); a third sample makes the
-            # recorded min a much better steady-state proxy for ~2.5 min
-            # of extra wall.
-            for _ in range(3):
-                t0 = time.time()
-                _noop(qs[name](spark, sf1_dir))
-                best = min(best, time.time() - t0)
+
+            def _row_best3() -> float:
+                # best-of-3 at sf1 (r8): the edge calibrations can be
+                # steady while a co-tenant burst lands mid-loop on one
+                # query's both runs (observed: dedup_spans 3.45 in-loop
+                # vs 1.3 isolated, sim_cosine_topk 5.3 vs ~1.3); a third
+                # sample makes the recorded min a much better
+                # steady-state proxy for ~2.5 min of extra wall.
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    _noop(qs[name](spark, sf1_dir))
+                    best = min(best, time.time() - t0)
+                return best
+
+            best = _row_best3()
+            # Per-row contention guard at sf1 (VERDICT r12 task 3 —
+            # same protocol as the headline loop): a row far above its
+            # steady reference probes the host; off-steady probe =>
+            # weather, re-measure; steady probe => real, record it.
+            ref = SF1_STEADY_REF.get(name)
+            if ref and best > SF1_ROW_GUARD_FACTOR * ref:
+                attempts = [round(best, 3)]
+                probes = []
+                for _r in range(ROW_GUARD_RETRIES):
+                    probe = _calibration_sec(spark)
+                    probes.append(round(probe, 3))
+                    if probe <= SPARK_CAL_STEADY:
+                        break  # quiet host: trust the measurement
+                    best = min(best, _row_best3())
+                    attempts.append(round(best, 3))
+                    if best <= SF1_ROW_GUARD_FACTOR * ref:
+                        break
+                sf1_contended[name] = {
+                    "ref": ref, "attempts": attempts, "probes": probes,
+                }
             attempt_sec[name] = round(best, 3)
         attempt_cal = [cal_pre, _calibration_sec(spark)]
         if max(attempt_cal) < best_cal_max:
@@ -678,6 +829,9 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
         "pandas_runs_per_query": pandas_runs,
         "spark_attempts": spark_attempts,
         "pandas_attempts": pandas_attempts,
+        # rows that tripped the sf1 per-row contention guard (VERDICT
+        # r12 task 3) — same record shape as the headline loop's
+        "contended_rows": sf1_contended,
         "ivf_index_build_sec": ivf_build,
         "pq_index_build_sec": pq_build,
         "calibration_sec": cal,
@@ -1162,6 +1316,9 @@ def main() -> None:
                     sum(detail["crossover_600m"]["spark_sec"].values()), 3
                 ),
                 "mrows_per_sec": detail["crossover_600m"]["mrows_per_sec"],
+                "bucket_layout_sec": detail["crossover_600m"][
+                    "bucket_layout_sec"
+                ],
             }
         except Exception as exc:  # reporting, not a gate
             out["crossover_600m"] = {"error": str(exc)[:120]}
@@ -1192,6 +1349,9 @@ def main() -> None:
             "ratio": (round(sp_total / pd_total, 3) if pd_total else None),
             "fold_checks_pass": sum(1 for v in folds.values() if v.get("match")),
             "fold_checks_total": len(folds),
+            # count of sf1 rows that tripped the per-row guard (full
+            # records in bench_detail.json sf1.contended_rows)
+            "crows": len(s1.get("contended_rows") or {}),
             "calibration_sec": s1.get("calibration_sec"),
             "pandas_calibration_sec": s1.get("pandas_calibration_sec"),
             "spark_attempts": s1.get("spark_attempts"),
@@ -1250,6 +1410,7 @@ _LINE_DROP_ORDER: list[tuple[str, ...]] = [
     ("sf1", "spark_attempts"),
     ("sf1", "pandas_attempts"),
     ("sf1", "runs"),
+    ("sf1", "crows"),
     ("sf1", "wagg_steady_sec"),
     ("sf1", "sess_stateful_steady_sec"),
     ("wall_sec",),
