@@ -57,7 +57,9 @@ PANDAS_CAL_STEADY = 1.0
 # its measured value after re-measures confirm the host was quiet.
 STEADY_REF = {
     "s4_profile": 1.86, "s4_profile_approx": 1.28,
-    "m5_m6_fill_stats": 5.09, "m8_m9_ordered_fill": 1.37,
+    # m8_m9: r13 re-tune (gate 512 MiB -> 2 MiB, one-job boundary
+    # sketch) — measured 0.75 steady at sf0.1 (fast path unchanged)
+    "m5_m6_fill_stats": 5.09, "m8_m9_ordered_fill": 0.85,
     "d1_dedup_keep_first": 1.05, "o6_o7_outlier_actions": 3.27,
     "t234_auto_convert": 3.25, "x_text_suite": 1.68,
     "dt1_datetime_features": 1.24, "e2_onehot_encode": 1.27,
@@ -91,7 +93,10 @@ ROW_GUARD_RETRIES = 2
 # headline's single-shot 3x.
 SF1_STEADY_REF = {
     "s4_profile": 1.32, "s4_profile_approx": 0.83,
-    "m5_m6_fill_stats": 7.08, "m8_m9_ordered_fill": 4.70,
+    # m8_m9: the r12 4.70 was a REAL regression (512 MiB gate routed
+    # 1M rows into one serial window task) — r13 re-tuned the gate and
+    # cheapened the boundary sketch; measured 2.84 at cal 0.16-0.24
+    "m5_m6_fill_stats": 7.08, "m8_m9_ordered_fill": 2.90,
     "d1_dedup_keep_first": 0.99, "o6_o7_outlier_actions": 1.61,
     "t234_auto_convert": 2.72, "x_text_suite": 1.22,
     "dt1_datetime_features": 0.92, "e2_onehot_encode": 1.00,

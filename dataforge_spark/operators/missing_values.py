@@ -125,10 +125,15 @@ def _order_key(df: DataFrame, order_col: str):
 
 
 # Below this Catalyst size estimate a single-partition window beats the
-# sketch+buckets+carry plan (which pays ~3 extra jobs of fixed overhead).
-# 512 MiB ≈ high-single-digit-millions of typical rows — well inside what
-# one task sorts in seconds. Module-level so tests can monkeypatch.
-FAST_FILL_MAX_BYTES = 512 * 1024 * 1024
+# sketch+buckets+carry plan. Retuned r13 (the 512 MiB original missed
+# that parquet-derived plan stats run ~7 B/row compressed, so it kept
+# the serial window up to ~75 M rows — the m8_m9 sf1 drift): measured
+# at 1 M events rows (est 6.9 MB) the serial window costs 4.7 s vs
+# 3.1 s bucketed, at 100 k rows (0.7 MB) 0.6 s vs 2.4 s; with the
+# boundary sketch now a single approx job the crossover sits near
+# ~300 k rows ≈ 2 MiB of estimate. Module-level so tests can
+# monkeypatch.
+FAST_FILL_MAX_BYTES = 2 * 1024 * 1024
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
@@ -154,6 +159,13 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
     order columns) or from a seeded deterministic sample (string order
     columns, where no numeric surrogate exists).
 
+    The boundary sketch is ONE ``approx_percentile`` aggregate job at
+    coarse accuracy (r13 — it was the 3-job exact-quantile machinery at
+    rank error 1e-3, ~0.9 s per fill at sf1 for boundaries whose
+    precision buys nothing): splits only steer load balance, the output
+    is bit-identical for ANY split literals because in-bucket fills and
+    the carry map reconstruct the same global order either way.
+
     Size-gated fast path: when Catalyst's size estimate is under
     ``FAST_FILL_MAX_BYTES`` the boundary machinery costs more than it
     saves, so we use zero splits — one bucket, one window task — which is
@@ -176,12 +188,16 @@ def _ordered_fill(df: DataFrame, cols: list[str], direction: str, order_col: str
         probs = [i / n_buckets for i in range(1, n_buckets)]
         dfk = df.withColumn("_ord_key", key)
         if probs:
-            from ..functions.quantiles import sketch_quantiles
-
-            sk = sketch_quantiles(
-                dfk.select("_ord_key"), ["_ord_key"], probs, 0.001
-            )["_ord_key"]
-            splits = sorted(set(sk.values()))
+            # accuracy 1/eps: rank error ~1/(8·n_buckets) keeps buckets
+            # within ~±12% of even — plenty for load balance, one job.
+            row = dfk.agg(
+                F.approx_percentile(
+                    "_ord_key",
+                    F.array(*[F.lit(p) for p in probs]),
+                    F.lit(8 * n_buckets),
+                ).alias("q")
+            ).first()
+            splits = sorted(set(row["q"] or []))
         else:
             splits = []
         key_col = key
