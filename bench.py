@@ -260,9 +260,9 @@ def crossover_bench(spark, n_rows: int) -> dict:
 # 1062 s on a contended host, the exact 2.5x swing this rule exists to
 # catch. New-leg references measured quiet this round (r13).
 XHUGE_LEG_REF = {
-    "iqr_cap": 38.0, "standard_scale": 4.4, "dedup": 420.0,
-    "distinct_count": 165.0, "distinct_approx": 30.0,
-    "dedup_repart": 230.0, "dedup_bucketed": 75.0,
+    "iqr_cap": 38.0, "standard_scale": 5.0, "dedup": 420.0,
+    "distinct_count": 165.0, "distinct_approx": 12.0,
+    "dedup_repart": 245.0, "dedup_bucketed": 25.0,
 }
 XHUGE_GUARD_FACTOR = 2.0
 
