@@ -94,6 +94,34 @@ def crawl_to_training_data(
         pinned.append(df.persist())
         return df
 
+    # Stage counts are DEFERRED (r13): an inline .count() per stage is
+    # a full pipeline barrier per stage — ~9 actions whose fixed job
+    # cost dominates at small SF and whose barrier cost compounds on a
+    # cluster. Instead each counted stage is pinned and queued; the
+    # terminal write materializes every cache in ONE pass through the
+    # pipeline, then all stage counts run as ONE unioned aggregate job
+    # over the (already-populated) caches.
+    counted: list[tuple[str, DataFrame]] = []
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        df = _pin(df)
+        counted.append((name, df))
+        return df
+
+    def _flush_counts() -> None:
+        import functools
+
+        aggs = [
+            d.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+                F.lit(i).alias("i"), "n"
+            )
+            for i, (_, d) in enumerate(counted)
+        ]
+        rows = functools.reduce(lambda a, b: a.unionAll(b), aggs).collect()
+        by_i = {int(r["i"]): int(r["n"]) for r in rows}
+        for i, (name, _) in enumerate(counted):
+            report[name] = by_i[i]
+
     recs = read_warc(spark, warc_path).where(
         F.col("warc_type").isin("conversion", "response", "resource")
     )
@@ -106,8 +134,7 @@ def crawl_to_training_data(
         F.col("payload").cast("string").alias("raw_text"),
         is_html.alias("is_html"),
     ).where(F.col("uri").isNotNull() & F.col("raw_text").isNotNull())
-    raw = _pin(raw)
-    report["records_in"] = raw.count()
+    raw = _stage("records_in", raw)
 
     # boilerplate strip only where the payload is HTML
     text = raw.withColumn(
@@ -128,8 +155,8 @@ def crawl_to_training_data(
         )
 
     if keep_langs:
-        text = _pin(text.where(F.col("lang").isin(*keep_langs)))
-        report["after_lang_filter"] = text.count()
+        text = _stage("after_lang_filter",
+                      text.where(F.col("lang").isin(*keep_langs)))
 
     # canonical-URL keep-first dedup (first = smallest raw URI string:
     # deterministic under retries, unlike dropDuplicates)
@@ -143,33 +170,29 @@ def crawl_to_training_data(
         .drop("_rn")
         .withColumn("doc_id", F.xxhash64("canon_url"))
     )
-    deduped_url = _pin(deduped_url)
-    report["after_url_dedup"] = deduped_url.count()
+    deduped_url = _stage("after_url_dedup", deduped_url)
 
     if c4:
         from dataforge_spark.functions.c4 import c4_filter
 
-        deduped_url = _pin(c4_filter(deduped_url, text_col="text"))
-        report["after_c4"] = deduped_url.count()
+        deduped_url = _stage("after_c4", c4_filter(deduped_url, text_col="text"))
 
     kept = quality_filter(
         deduped_url, text_col="text", id_col="doc_id",
         min_quality=min_quality,
     ).where(F.col("keep")).select("doc_id", "canon_url", "lang", "text")
-    kept = _pin(kept)
-    report["after_quality"] = kept.count()
+    kept = _stage("after_quality", kept)
 
     if gopher:
         from dataforge_spark.functions.gopher import gopher_filter
 
-        kept = _pin(gopher_filter(kept, text_col="text"))
-        report["after_gopher"] = kept.count()
+        kept = _stage("after_gopher", gopher_filter(kept, text_col="text"))
 
     if ppl_model is not None and max_perplexity is not None:
         from dataforge_spark.functions.charlm import filter_by_perplexity
 
-        kept = _pin(filter_by_perplexity(kept, "text", ppl_model, max_perplexity))
-        report["after_perplexity"] = kept.count()
+        kept = _stage("after_perplexity",
+                      filter_by_perplexity(kept, "text", ppl_model, max_perplexity))
 
     if quality_model is not None:
         from dataforge_spark.functions.quality_classifier import (
@@ -187,13 +210,18 @@ def crawl_to_training_data(
             kept = scored.where(
                 F.col("_qp") >= F.lit(quality_min_prob)
             ).drop("_qp")
-        kept = _pin(kept)
-        report["after_classifier"] = kept.count()
+        kept = _stage("after_classifier", kept)
 
-    corpus = _pin(minhash_dedup(
+    # Materialize the minhash input BEFORE building its plan: the LSH
+    # join's broadcast subtrees execute as independent driver-eager
+    # jobs, and against an unfilled cache EACH one re-runs the whole
+    # WARC→filters prefix (measured 3x the row at sf0.01). One cheap
+    # count here fills the chain linearly; every later scan hits cache.
+    kept.count()
+    corpus = _stage("after_near_dedup", minhash_dedup(
         kept, text_col="text", id_col="doc_id", threshold=minhash_threshold
     ))
-    report["after_near_dedup"] = corpus.count()
+    corpus.count()  # same reason: BPE + chunking + edge aggs re-scan it
 
     if tokenizer is None:
         tokenizer = train_bpe(corpus, "text", vocab_size=vocab_size)
@@ -239,6 +267,7 @@ def crawl_to_training_data(
         report["tokens_out"] = int(agg["t"] or 0)
 
         write_tfrecord(chunks, out_path, compression="gzip")
+        _flush_counts()
     finally:
         for df in pinned:
             df.unpersist()
