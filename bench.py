@@ -1310,7 +1310,9 @@ def main() -> None:
     # sf100-scale block (VERDICT r11 task 9): 600 M rows ≈ lineitem at
     # sf100 — Spark-only throughput evidence for the decade past 60 M
     # (the 6M/60M paired blocks already bracket the pandas crossover).
-    # Last on purpose: ~11 min of honest shuffle at this scale.
+    # Last on purpose: ~19 min of honest shuffle at this scale (the
+    # r13 dedup-mitigation legs add ~4.5 min; the plain dedup leg is
+    # ~10 min of it, retained for honesty next to its fixes).
     xhuge = int(os.environ.get("SPARK_GRAFT_XROWS_HUGE", "600000000"))
     if xhuge > 0:
         try:
