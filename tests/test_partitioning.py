@@ -201,3 +201,39 @@ def test_bucketed_external_reattach_and_aligned_files(spark, tmp_path):
                           "k BIGINT, v BIGINT")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ext_buck")
+
+
+def test_drop_duplicates_over_bucketed_layout_is_exchange_free(spark, tmp_path):
+    """Product-level composition of the 600M dedup mitigation (r13,
+    VERDICT r12 task 1): operators.duplicates.drop_duplicates
+    (keep='first', the groupBy-partial-min path) over a table written
+    with write_bucketed on the dedup key plans with NO Exchange — the
+    bucketed scan satisfies the aggregation's clustering, so each task's
+    hash map is bounded by its bucket's key count instead of the whole
+    task's distinct keys (the map-side partial-agg spill that capped
+    plain full-width dedup at ~1 Mrows/s at 600M)."""
+    from dataforge_spark.operators.duplicates import drop_duplicates
+    from dataforge_spark.partitioning import write_bucketed
+
+    n, buckets = 20_000, 8
+    path = str(tmp_path / "dedup_bucketed")
+    dup = spark.range(n).select(
+        (F.col("id") % (n // 2)).alias("k"), (F.col("id") % 97).alias("v")
+    )
+    try:
+        write_bucketed(dup, "t_dd_buck", "k", buckets=buckets, path=path,
+                       align=True)
+        out = drop_duplicates(
+            spark.table("t_dd_buck"), subset=["k"], keep="first",
+            order_col="v",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {r["k"]: r["v"] for r in out.collect()}
+        want = {
+            r["k"]: r["v"]
+            for r in dup.groupBy("k").agg(F.min("v").alias("v")).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dd_buck")
