@@ -1144,9 +1144,9 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (similarity/pq.py) with exact re-rank,
-    oracle-matched against DuckDB brute-force cosine, as one tagged
-    union with the exact brute-force row it must reproduce:
+    """Quantized-ANN family (similarity/pq.py, similarity/sq.py) with
+    exact re-rank, oracle-matched against DuckDB brute-force cosine, as
+    one tagged union with the exact brute-force row it must reproduce:
 
     - ``exact``: brute_force.cosine_topk (the former sim_cosine_topk
       registry row, folded in to free the slot — VERDICT r8 task 3);
@@ -1165,6 +1165,13 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       before suspecting the PQ implementation. The genuinely approximate
       low-refine settings stay pinned by the recall pytests/bench block,
       like small-nprobe IVF.
+    - ``sq`` (r13): scalar quantization — one byte PER DIMENSION (4× vs
+      f32 where PQ is 32×, with far lower distortion), aggregate-exact
+      per-dim min/max fit (no sampling — the index is a pure function
+      of corpus content), persisted codes + params sidecar
+      (build_sq_index), dequantize-and-matmul candidate scan, exact
+      re-rank at the same refine=24, held to the same brute-force
+      oracle with the same recall-vs-correctness diagnosis contract.
 
     Fit/encode are index-build work, not per-query work (the same
     amortization as the IVF rows): the codes + codebooks are persisted
@@ -1193,7 +1200,21 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, k=5, id_col="vec_id", vec_col="embedding",
         m=8, ks=256, refine=24, codebooks=books, encoded=codes,
     ).withColumn("variant", F.lit("pq"))
-    return exact.unionByName(pq)
+    # r13: SQ8 leg (similarity/sq.py) — one byte PER DIMENSION (4× vs
+    # f32; PQ is 32×), near-exact candidate ordering, same persisted-
+    # index + exact-re-rank contract, held to the same oracle. The
+    # aggregate-exact fit means the index is content-deterministic with
+    # no sampling caveat at all.
+    from dataforge_spark.similarity.sq import read_sq_params, sq_cosine_topk
+
+    sq_path, _ = build_sq_index(spark, sf_dir)
+    sq_params = read_sq_params(spark, sq_path)
+    sq_codes = spark.read.parquet(f"{sq_path}/codes")
+    sq = sq_cosine_topk(
+        emb, q, k=5, id_col="vec_id", vec_col="embedding",
+        refine=24, params=sq_params, encoded=sq_codes,
+    ).withColumn("variant", F.lit("sq"))
+    return exact.unionByName(pq).unionByName(sq)
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,6 +1360,30 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, float]:
     )
     t0 = _time.time()
     write_pq_index(emb, path, id_col="vec_id", vec_col="embedding", m=8, ks=256)
+    return path, round(_time.time() - t0, 3)
+
+
+def build_sq_index(spark: SparkSession, sf_dir: str) -> tuple[str, float]:
+    """Build (or reuse) the persisted SQ8 index (byte codes + per-dim
+    range params sidecar) for ``sf_dir``'s embeddings — same
+    once-per-corpus amortization and fingerprint as ``build_pq_index``.
+    The SQ fit is aggregate-exact (per-dim min/max), so the index is a
+    pure function of corpus content."""
+    import os as _os
+    import time as _time
+
+    from dataforge_spark.similarity.sq import write_sq_index
+
+    path = f"/tmp/dataforge_sq_idx_{_corpus_ident(sf_dir)}"
+    if _os.path.exists(
+        _os.path.join(path, "codes", "_SUCCESS")
+    ) and _os.path.exists(_os.path.join(path, "params", "_SUCCESS")):
+        return path, 0.0
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    t0 = _time.time()
+    write_sq_index(emb, path, id_col="vec_id", vec_col="embedding")
     return path, round(_time.time() - t0, 3)
 
 
@@ -1569,6 +1614,55 @@ def _get_txt_classifier(spark: SparkSession, sf_dir: str):
         os.replace(tmp, cache)  # atomic: concurrent runs see whole files
     _TXT_CLF[key] = model
     return model
+
+
+_DSIR_MODELS: dict = {}
+_DSIR_BUCKETS = 10_000
+
+
+def _dsir_model(spark: SparkSession, sf_dir: str):
+    """Fit (or reuse) the DSIR importance model for ``sf_dir``'s
+    documents — target = lang='en' docs, raw = all docs — plus the
+    resample size k = ceil(n/10). Same once-per-corpus-fingerprint
+    amortization as the IVF/PQ/z-order/classifier builds: the fitted
+    table is 10k int64 micro-nats (~80 KB npz) and fit is deterministic
+    (integer counts + scalar libm logs), so a disk cache serves any
+    later process bit-identically."""
+    import math as _math
+
+    import numpy as _np
+
+    from dataforge_spark.functions.dsir import DsirModel, fit_dsir
+
+    key = _corpus_ident(sf_dir, "documents")
+    hit = _DSIR_MODELS.get(key)
+    if hit is not None:
+        return hit
+    cache = f"/tmp/dataforge_dsir_{key}_{_DSIR_BUCKETS}.npz"
+    docs = _t(spark, sf_dir, "documents")
+    if os.path.exists(cache):
+        z = _np.load(cache)
+        model = DsirModel(
+            n_buckets=int(z["n_buckets"]), seed=int(z["seed"]),
+            alpha=float(z["alpha"]), ratio_micro=z["ratio_micro"],
+            n_target_grams=int(z["nt"]), n_raw_grams=int(z["nr"]),
+        )
+        k = int(z["k"])
+    else:
+        model = fit_dsir(
+            docs.where(F.col("lang") == "en"), docs,
+            n_buckets=_DSIR_BUCKETS, seed=0,
+        )
+        k = _math.ceil(docs.count() / 10)
+        tmp = f"{cache}.{os.getpid()}.tmp.npz"
+        _np.savez(
+            tmp, n_buckets=model.n_buckets, seed=model.seed,
+            alpha=model.alpha, ratio_micro=model.ratio_micro,
+            nt=model.n_target_grams, nr=model.n_raw_grams, k=k,
+        )
+        os.replace(tmp, cache)
+    _DSIR_MODELS[key] = (model, k)
+    return model, k
 
 
 def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2179,8 +2273,26 @@ def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     once-per-corpus via ``build_zorder_layout`` (bench reports it as
     ``zorder_write_sec``); this row keeps the READ side — the full
     read-back identity leg plus a predicate read that row-group
-    pruning serves from the clustered layout."""
+    pruning serves from the clustered layout.
+
+    Round 13 adds the DSIR legs (functions/dsir.py — Xie et al.
+    NeurIPS 2023 importance resampling, the published target-matching
+    data-selection recipe): hashed unigram+bigram features (10k
+    xxhash64 buckets, pure Catalyst), a Laplace-smoothed
+    target-vs-raw log-ratio model (target = lang='en' docs, raw = all
+    docs; fit once per corpus fingerprint like the IVF/PQ/classifier
+    builds), per-doc log-importance-weights as INTEGER micro-nat sums
+    (order-free — bit-identical under any partitioning or engine), and
+    deterministic Gumbel top-k resampling of ceil(n/10) docs.
+    ``dsir_w`` attests every document's weight; ``dsir_sel`` the full
+    resampled set with ranks. The oracle twin
+    (tools/oracle_recompute.dsir_expected) recomputes both
+    sequentially — dict counting vs Spark explode/groupBy, a Python
+    per-doc sum vs the broadcast-join + partial-agg path — from the
+    same parquet, inlined as VALUES (same contract as the classifier
+    and crawl twins)."""
     from dataforge_spark.curation import hash_split, stratified_sample
+    from dataforge_spark.functions.dsir import dsir_select, dsir_weights
 
     docs = _t(spark, sf_dir, "documents")
     split = hash_split(
@@ -2204,7 +2316,19 @@ def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("zorder_pruned").alias("op"), "doc_id",
         F.col("lang").alias("label"),
     )
-    return split.unionByName(samp).unionByName(zleg).unionByName(zpruned)
+    model, k = _dsir_model(spark, sf_dir)
+    wleg = dsir_weights(docs, model).select(
+        F.lit("dsir_w").alias("op"), "doc_id",
+        F.col("dsir_logw_micro").cast("string").alias("label"),
+    )
+    sleg = dsir_select(docs, model, k, seed=0).select(
+        F.lit("dsir_sel").alias("op"), "doc_id",
+        F.col("rank").cast("string").alias("label"),
+    )
+    return (
+        split.unionByName(samp).unionByName(zleg).unionByName(zpruned)
+        .unionByName(wleg).unionByName(sleg)
+    )
 
 
 def q_curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2506,6 +2630,39 @@ def _iforest_oracle() -> str:
     return f"""
         SELECT CAST({n_kept} AS BIGINT) AS n_kept,
                CAST({kept_id_sum} AS BIGINT) AS kept_id_sum
+    """
+
+
+def _dsir_oracle_legs() -> str:
+    """UNION ALL legs for curation_split's DSIR rows, recomputed at
+    oracle-construction time by the sequential twin
+    (tools/oracle_recompute.dsir_expected) and inlined as VALUES — the
+    engine's integer micro-nat weights make the comparison exact, not
+    approximate. Fallback on recompute failure: one impossible row so
+    only curation_split fails (same contract as _crawl_oracle)."""
+    try:
+        from tools.oracle_recompute import dsir_expected, oracle_sf_dir
+
+        weights, selected = dsir_expected(oracle_sf_dir())
+    except Exception:  # pragma: no cover - harness resilience
+        import logging
+
+        logging.getLogger("dataforge_spark").warning(
+            "DSIR oracle recompute failed; curation_split will mismatch",
+            exc_info=True,
+        )
+        weights, selected = ((-1, -1),), ((-1, -1),)
+    wvals = ", ".join(f"({d}, {w})" for d, w in weights)
+    svals = ", ".join(f"({d}, {r})" for d, r in selected)
+    return f"""
+        UNION ALL
+        SELECT 'dsir_w' AS op, CAST(v.doc_id AS BIGINT) AS doc_id,
+               CAST(v.w AS VARCHAR) AS label
+        FROM (VALUES {wvals}) v(doc_id, w)
+        UNION ALL
+        SELECT 'dsir_sel' AS op, CAST(s.doc_id AS BIGINT) AS doc_id,
+               CAST(s.rank AS VARCHAR) AS label
+        FROM (VALUES {svals}) s(doc_id, rank)
     """
 
 
@@ -3216,6 +3373,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cos_sim, 'exact' AS variant FROM topk
         UNION ALL
         SELECT query_id, neighbor_id, cos_sim, 'pq' AS variant FROM topk
+        UNION ALL
+        SELECT query_id, neighbor_id, cos_sim, 'sq' AS variant FROM topk
     """
 
     # (r12: the sim_lsh_topk oracle moved into dedup_embedding's
@@ -3781,7 +3940,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'zorder_pruned' AS op, doc_id, lang AS label FROM documents
         WHERE n_chars < 200 AND lang = 'en'
-    """
+    """ + _dsir_oracle_legs()
 
     sql["curation_contamination"] = """
         WITH toks AS (

@@ -815,6 +815,21 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
     )
     _tm = qs["txt_metrics"]
     qs["txt_metrics"] = lambda s, d: _tm(s, d).drop("clf_prob", "clf_keep")
+    # curation_split's DSIR legs likewise come from a VALUES twin
+    # recomputed for the sf0.01 gate corpus (pure-Python xxh64 over
+    # every gram — ~25M driver-side hashes at 50k sf1 docs for no added
+    # signal); the fold checks the other legs at sf1, the DSIR legs'
+    # verification scale is the row-exact sf0.01 gate.
+    from pyspark.sql import functions as _F
+
+    oracles["curation_split"] = (
+        "SELECT * FROM (" + oracles["curation_split"]
+        + ") WHERE op NOT IN ('dsir_w', 'dsir_sel')"
+    )
+    _cs = qs["curation_split"]
+    qs["curation_split"] = lambda s, d: _cs(s, d).where(
+        ~_F.col("op").isin("dsir_w", "dsir_sel")
+    )
     correctness: dict[str, dict] = {}
     for name in SF1_SPOT_QUERIES:
         try:
@@ -1112,6 +1127,8 @@ def main() -> None:
     _, ivf_build_sec = entry.build_ivf_disk_index(spark, sf_dir)
     # PQ index: same amortization — the sim_pq_topk row times the search
     _, pq_build_sec = entry.build_pq_index(spark, sf_dir)
+    # SQ8 index (r13 sim_pq_topk 'sq' leg): same amortization
+    _, sq_build_sec = entry.build_sq_index(spark, sf_dir)
     # Z-order layout: a once-per-corpus clustering WRITE (VERDICT r11
     # task 4) — the curation_split row now times the read side only
     _, zorder_write_sec = entry.build_zorder_layout(spark, sf_dir)
@@ -1120,6 +1137,11 @@ def main() -> None:
     t0 = time.time()
     entry._get_txt_classifier(spark, sf_dir)
     clf_train_sec = round(time.time() - t0, 3)
+    # DSIR importance model (r13 curation_split legs): fit once per
+    # corpus fingerprint — the row times scoring + Gumbel top-k
+    t0 = time.time()
+    entry._dsir_model(spark, sf_dir)
+    dsir_fit_sec = round(time.time() - t0, 3)
 
     # Contention-aware retry (r8, symmetric with sf1_block): if either
     # edge calibration of the headline loop lands far off steady state
@@ -1200,8 +1222,10 @@ def main() -> None:
         # the sim_ivf_disk_topk row
         "ivf_index_build_sec": ivf_build_sec,
         "pq_index_build_sec": pq_build_sec,
+        "sq_index_build_sec": sq_build_sec,
         "zorder_write_sec": zorder_write_sec,
         "clf_train_sec": clf_train_sec,
+        "dsir_fit_sec": dsir_fit_sec,
         # rows that tripped the per-row contention guard: reference,
         # best-so-far after each re-measure, calibration probes (see the
         # guard comment in the loop) — empty means no row was suspect
@@ -1404,6 +1428,7 @@ _LINE_DROP_ORDER: list[tuple[str, ...]] = [
     ("contended_rows",),
     ("zorder_write_sec",),
     ("clf_train_sec",),
+    ("dsir_fit_sec",),
     ("calibration_sec",),
     ("stream_setup_sec",),
     ("stream_overhead_sec",),

@@ -1,1 +1,1 @@
-from . import brute_force, lsh, pq  # noqa: F401
+from . import brute_force, lsh, pq, sq  # noqa: F401

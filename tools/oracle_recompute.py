@@ -598,3 +598,93 @@ def crawl_expected(sf_dir: str) -> tuple[tuple[str, int], ...]:
         ("tfr_ids_sum", ids_sum),
     ]
     return tuple(stages)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 13): sequential twin of
+# functions/dsir.py — independent gram counting (dict loop vs Spark
+# explode/groupBy), independent per-doc scoring (Python sum vs
+# broadcast-join + partial agg), same published formulas. All heavy
+# arithmetic is INTEGER micro-nats (the engine quantizes the per-bucket
+# log-ratio driver-side before any distributed sum), so twin and engine
+# agree bit-exactly by construction; the only floats are the per-bucket
+# log-ratio and per-doc Gumbel noise, both evaluated by CPython math.log
+# here and floor-quantized identically.
+
+DSIR_BUCKETS = 10_000
+DSIR_SEED = 0
+
+
+def _dsir_grams(text: str) -> list[str]:
+    t = (text or "").lower().strip()
+    ws = _WS.split(t) if t else []
+    return ws + [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+
+
+@functools.lru_cache(maxsize=4)
+def dsir_expected(
+    sf_dir: str,
+) -> tuple[tuple[tuple[int, int], ...], tuple[tuple[int, int], ...]]:
+    """(weights, selected) for the registry's DSIR legs: target = docs
+    with lang='en', raw = all docs, k = ceil(n/10), seed 0, temp 1.
+    weights = ((doc_id, logw_micro), ...) for EVERY doc; selected =
+    ((doc_id, rank), ...) for the Gumbel top-k."""
+    import duckdb
+    import math
+
+    from dataforge_spark.functions.xxh64 import xxh64_str
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text, lang FROM '{_src(sf_dir, 'documents')}' "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+    def bucket(g: str) -> int:
+        return xxh64_str(f"{DSIR_SEED}\x1f{g}") % DSIR_BUCKETS
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    doc_buckets: dict[int, list[int]] = {}
+    for doc_id, text, lang in rows:
+        bs = [bucket(g) for g in _dsir_grams(text)]
+        doc_buckets[doc_id] = bs
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    nt = sum(ct.values())
+    nr = sum(cr.values())
+    alpha, B = 1.0, DSIR_BUCKETS
+    lr_micro = {
+        b: math.floor(
+            (
+                math.log(ct.get(b, 0) + alpha)
+                - math.log(nt + alpha * B)
+                - math.log(cr.get(b, 0) + alpha)
+                + math.log(nr + alpha * B)
+            )
+            * 1_000_000
+        )
+        for b in set(ct) | set(cr)
+    }
+    # every scored gram bucket has cr ≥ 1 (raw = all docs), so lr_micro
+    # always covers it; docs with no grams score 0 like the engine's
+    # explode_outer + coalesce
+    weights = tuple(
+        (doc_id, sum(lr_micro[b] for b in bs) if bs else 0)
+        for doc_id, bs in sorted(doc_buckets.items())
+    )
+    wmap = dict(weights)
+    k = math.ceil(len(rows) / 10)
+    keyed = []
+    for doc_id, _bs in sorted(doc_buckets.items()):
+        h = xxh64_str(f"gumbel\x1f{DSIR_SEED}\x1f{doc_id}") % (2 ** 53)
+        u = (h + 0.5) / float(2 ** 53)
+        g = -math.log(-math.log(u))
+        key = int(math.floor(wmap[doc_id] / 1.0)) + math.floor(g * 1_000_000)
+        keyed.append((key, doc_id))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    selected = tuple(
+        (doc_id, rank + 1) for rank, (_k, doc_id) in enumerate(keyed[:k])
+    )
+    return weights, selected
