@@ -103,7 +103,16 @@ def candidate_pairs(
     as ``stats`` to have it filled with ``dropped_buckets`` /
     ``dropped_members`` (one extra small aggregate job over the bucket
     sizes; opt-in so the production pair path stays single-shuffle)."""
-    banded = banded_keys(signatures, bands, rows_per_band)
+    # banded is referenced FOUR times downstream (self-join a/b + the
+    # bucket-sizes aggregate under each): without materialization Spark
+    # re-executes the whole signature lineage — scan, shingle explode,
+    # num_perm-way min aggregate and its exchange — once per reference
+    # (measured plan: 4 copies of the subtree). localCheckpoint cuts
+    # the lineage to one computation per invocation; it is NOT a
+    # CacheManager entry, so a fresh invocation recomputes from the
+    # parquet inputs (no cross-run result reuse). Size is |docs|·bands
+    # small rows — negligible storage at any scale.
+    banded = banded_keys(signatures, bands, rows_per_band).localCheckpoint()
     # Self-join within buckets; prune degenerate buckets first. NO
     # broadcast hint on the sizes table: it has one row per surviving
     # (band, bucket) — proportional to the number of duplicate clusters,

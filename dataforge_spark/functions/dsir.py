@@ -169,6 +169,13 @@ def _ratio_table(spark, model: DsirModel) -> DataFrame:
     )
 
 
+# Above this many buckets the literal-array lookup ships too much with
+# every task (8 B/bucket rides in the serialized expression tree) and
+# scoring falls back to the explode → broadcast-join → re-aggregate
+# plan. 2^17 buckets = 1 MiB — comparable to a small broadcast table.
+_MAX_LITERAL_BUCKETS = 1 << 17
+
+
 def dsir_weights(
     df: DataFrame,
     model: DsirModel,
@@ -178,7 +185,27 @@ def dsir_weights(
 ) -> DataFrame:
     """(id, log-importance-weight in micro-nats) for every document —
     integer-exact (see module docstring). Documents with no grams score
-    0. One explode → broadcast-join → sum pass; shuffle O(documents)."""
+    0.
+
+    Scoring is a PURE PROJECTION (r13 optimization): the quantized
+    ratio table rides as one ``array<bigint>`` literal and the per-doc
+    sum is ``aggregate(transform(buckets, element_at))`` — no explode
+    (which multiplied rows by grams/doc), no join, no aggregation
+    exchange; zero shuffles, and the scan's column pruning survives.
+    The integer sum is associative, so the value is bit-identical to
+    the former explode → broadcast-join → groupBy(id) plan (kept as
+    the fallback for models too wide to ship as a literal). ``id_col``
+    is assumed unique per document (the DSIR contract); the fallback
+    path would merge duplicate ids where the projection keeps one row
+    per input row."""
+    if model.n_buckets <= _MAX_LITERAL_BUCKETS:
+        arr = F.lit([int(v) for v in model.ratio_micro])
+        w = F.aggregate(
+            gram_buckets(F.col(text_col), model.n_buckets, model.seed),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(arr, b + F.lit(1)),
+        )
+        return df.select(F.col(id_col), w.alias(out_col))
     spark = df.sparkSession
     table = _ratio_table(spark, model)
     g = df.select(
