@@ -106,9 +106,16 @@ def jaccard_pairs(
     from ..partitioning import ensure_parallelism
 
     base = ensure_parallelism(df.select(id_col, text_col))
+    shingle_col = shingles_for(base, F.col(text_col), n)
+    # NOTE: explode directly over the shingle EXPRESSION, never over an
+    # intermediate array column — an `explode(attr)` whose attr resolves
+    # to the shingle computation lets InferFiltersFromGenerate add a
+    # `size(shingles(text)) > 0` predicate that pushdown then evaluates
+    # row-at-a-time INTERPRETED inside the scan (measured: +5 s at
+    # sf0.1, i.e. the whole interpreted-HOF cost a second time).
     sh = base.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_for(base, F.col(text_col), n)).alias("s"),
+        F.explode(shingle_col).alias("s"),
     )
     # Set sizes come from the FULL (un-pruned) shingle sets: with the
     # denominator fixed, max_df pruning can only shrink the numerator, so
@@ -117,7 +124,18 @@ def jaccard_pairs(
     # Computing sizes after the prune inflated scores instead — two docs
     # sharing only rare shingles, with all their boilerplate pruned,
     # scored 1.0 and were falsely dropped.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    #
+    # r13: sizes is ``size(shingles)`` — shingles are distinct within a
+    # doc, so the array length equals the old count-of-exploded-rows
+    # (a doc with zero shingles now gets an n_sh=0 row instead of no
+    # row; it can never reach the inner joins below, so the output is
+    # unchanged). This deletes the per-doc groupBy aggregate + exchange,
+    # and the localCheckpoint stops the join's two size references from
+    # re-running the shingle pass over the corpus — (id, int) rows,
+    # negligible at any scale, recomputed per invocation.
+    sizes = base.select(
+        F.col(id_col).alias("id"), F.size(shingle_col).alias("n_sh")
+    ).localCheckpoint()
     if max_df is not None:
         # Unhinted anti-join: the hot-shingle set is the head of the
         # corpus' shingle Zipf curve — usually tiny, but it GROWS with the

@@ -176,6 +176,30 @@ def _ratio_table(spark, model: DsirModel) -> DataFrame:
 _MAX_LITERAL_BUCKETS = 1 << 17
 
 
+def _array_literal(spark, values: np.ndarray) -> Column:
+    """ONE ``array<bigint>`` Literal built on the JVM from a ``long[]``.
+
+    ``F.lit(list)`` instead expands to ``array(lit, lit, ...)`` — a
+    CreateArray with one child per element, re-evaluated on every
+    ``element_at`` call inside an interpreted higher-order function
+    (measured 5.5 s vs 0.6 s for the 10k-bucket scoring pass at sf0.1).
+    A true Literal is materialized once per task.
+
+    The values cross py4j as ONE byte[] (big-endian int64) decoded by a
+    LongBuffer bulk get — a per-element ``jarr[i] = v`` loop is 10k
+    py4j round-trips ≈ 2.5 s of driver time per call."""
+    from pyspark.sql.column import Column as _C
+
+    gw = spark.sparkContext._gateway
+    jvm = spark._jvm
+    arr64 = np.ascontiguousarray(values, dtype=">i8")
+    jarr = gw.new_array(jvm.long, int(arr64.shape[0]))
+    jvm.java.nio.ByteBuffer.wrap(
+        bytearray(arr64.tobytes())
+    ).asLongBuffer().get(jarr)
+    return _C(jvm.org.apache.spark.sql.functions.lit(jarr))
+
+
 def dsir_weights(
     df: DataFrame,
     model: DsirModel,
@@ -199,13 +223,19 @@ def dsir_weights(
     path would merge duplicate ids where the projection keeps one row
     per input row."""
     if model.n_buckets <= _MAX_LITERAL_BUCKETS:
-        arr = F.lit([int(v) for v in model.ratio_micro])
+        from ..partitioning import ensure_parallelism
+
+        arr = _array_literal(df.sparkSession, model.ratio_micro)
         w = F.aggregate(
             gram_buckets(F.col(text_col), model.n_buckets, model.seed),
             F.lit(0).cast("long"),
             lambda acc, b: acc + F.element_at(arr, b + F.lit(1)),
         )
-        return df.select(F.col(id_col), w.alias(out_col))
+        # the gram hashing is CPU-bound; a single-row-group input would
+        # otherwise run it on one core (same rationale as
+        # minhash_signatures)
+        base = ensure_parallelism(df.select(id_col, text_col))
+        return base.select(F.col(id_col), w.alias(out_col))
     spark = df.sparkSession
     table = _ratio_table(spark, model)
     g = df.select(
