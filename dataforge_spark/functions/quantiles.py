@@ -136,40 +136,20 @@ def exact_quantiles(
         ]
     )
 
-    # Adaptive small-input path: below ``small_input_bytes`` (per the
-    # optimizer's size estimate) percentile()'s one-pass cost beats three
-    # sketch/count/collect jobs, and its distinct-value map is harmless at
-    # that size. Same values either way (bit-exact, property-tested); the
-    # bracketed path is the scale path. Unknown/huge estimates (e.g.
-    # in-memory frames default to "infinite") take the bracketed path —
-    # the conservative choice. Threshold re-measured round 4 after the
-    # approx_percentile sketch swap: the bracketed path reaches parity at
-    # ~25 MB of input, so the cutover sits at 16 MB.
-    if small_input_bytes is not None:
-        try:
-            size = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            size = None
-        if size is not None and 0 <= size <= small_input_bytes:
-            arr = ",".join(repr(q) for q in probs)
-            row = sel.agg(
-                *[
-                    F.expr(f"percentile({_quoted(c)}, array({arr}))").alias(c)
-                    for c in columns
-                ]
-            ).collect()[0]
-            return {
-                c: (
-                    [float(v) for v in row[c]]
-                    if row[c] is not None and row[c][0] is not None
-                    else [None] * len(probs)
-                )
-                for c in columns
-            }
+    # r13: the former small-input ``percentile()`` tier (≤ 16 MB of
+    # whole-frame estimate) is GONE — it was strictly dominated by the
+    # driver-sort tier below. Parquet-compressed estimates run a few
+    # bytes/row, so the 16 MB gate kept engaging percentile() on
+    # ~600k-row mostly-distinct doubles, whose single-reducer
+    # distinct-value map merge measured 1.95 s where one Arrow transfer
+    # + numpy sort of the same column costs 0.13 s — bit-identical
+    # values either way (the same interpolation formula; both tiers are
+    # property-tested against each other). ``small_input_bytes`` stays
+    # in the signature for caller/test compatibility and is now a no-op
+    # (every former small-input case is served by the driver-sort tier,
+    # whose gate is the PRUNED-columns estimate).
 
-    # Mid-size tier: when the PRUNED columns fit comfortably on the
+    # Driver-sort tier: when the PRUNED columns fit comfortably on the
     # driver (per the optimizer's estimate of ``sel``, which accounts
     # for the projection — unknown/in-memory lineages estimate huge and
     # fall through), one Arrow transfer + a numpy sort computes every
