@@ -166,15 +166,34 @@ def minhash_dedup_pairs(
     buckets — see candidate_pairs."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
+    # Checkpoint the candidate pairs: they are referenced twice below
+    # (id pruning + the verify join) and are output-sized — without the
+    # checkpoint each reference re-runs the whole LSH subtree.
     cands = candidate_pairs(sigs, bands, rows_per_band, max_bucket, stats)
+    cands = cands.localCheckpoint()
 
     from ..partitioning import ensure_parallelism
 
-    vbase = ensure_parallelism(df.select(id_col, text_col))
-    sh = vbase.select(
-        F.col(id_col).alias("id"),
-        shingles_for(vbase, F.col(text_col), n).alias("sh"),
+    # Verify touches CANDIDATE docs only, so prune the corpus to the
+    # candidate ids BEFORE the shingle computation: an unpruned verify
+    # side re-shingles the ENTIRE corpus twice (once per join side),
+    # while candidates are output-sized — usually orders of magnitude
+    # smaller. Unhinted semi-join: AQE broadcasts the id list while it
+    # is small and falls back to a shuffled join when a pathological
+    # corpus makes it large. The pruned (id, shingles) frame is
+    # checkpointed so the a/b aliases below read it instead of
+    # re-running the semi-join + shingle pass per side.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
     )
+    vbase = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), text_col)
+    ).join(cand_ids, "id", "left_semi")
+    sh = vbase.select(
+        "id", shingles_for(vbase, F.col(text_col), n).alias("sh")
+    ).localCheckpoint()
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
