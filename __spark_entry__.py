@@ -1730,9 +1730,23 @@ def q_txt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c4 = c4_page_struct(page)
     clf = quality_prob("text", _get_txt_classifier(spark, sf_dir))
     # the per-doc metric projection is CPU-bound; a single-row-group
-    # documents file would otherwise run it on one core
+    # documents file would otherwise run it on one core.
+    #
+    # The pure-Catalyst structs (gopher, c4) are materialized in their
+    # OWN projection and field-extracted in the next: extracting n
+    # fields straight off the struct expression makes
+    # SimplifyExtractValueOps clone the struct's subtree once per field
+    # (measured +50% on the gopher leg at sf0.1), while CollapseProject
+    # declines to merge the two projections precisely because that
+    # would duplicate the non-cheap struct. The Arrow struct (m) is
+    # immune — one ArrowEvalPython node either way.
+    pre = ensure_parallelism(docs).select(
+        "doc_id", "text", g.alias("_g"), c4.alias("_c4")
+    )
+    g = F.col("_g")
+    c4 = F.col("_c4")
     full = (
-        ensure_parallelism(docs)
+        pre
         .select(
             "doc_id",
             token_count(t).alias("n_tokens"),

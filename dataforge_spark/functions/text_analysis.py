@@ -359,12 +359,17 @@ def unigram_logprob_from_counts(
     import math
 
     w, cnt = F.col(w_col), F.col(cnt_col)
+    # vocab feeds BOTH the stats collect below and the scoring join's
+    # broadcast build: un-checkpointed, the explode + groupBy(w) vocab
+    # aggregate executes twice per invocation. The checkpoint is
+    # vocab-sized (distinct tokens, min_count-filtered), distributed,
+    # and recomputed per call — no cross-run reuse.
     vocab = (
         entries.where(w.isNotNull())
         .groupBy(w_col)
         .agg(F.sum(cnt_col).alias("cnt"))
         .where(F.col("cnt") >= min_count)
-    )
+    ).localCheckpoint()
     stats = vocab.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
         F.count(F.lit(1)).alias("v"),
