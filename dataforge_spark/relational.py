@@ -272,35 +272,38 @@ def range_aggregate(
         *[F.sum(f"__s_{c}").over(w).alias(f"__local_{c}") for c in sum_cols],
     ).where(F.col("__sign") != 0)
 
-    totals = sorted(
-        unioned.groupBy("__b").agg(
-            F.sum("__cnt").alias("c"),
-            *[F.sum(f"__s_{c}").alias(f"s_{c}") for c in sum_cols],
-        ).collect(),
-        key=lambda r: r["__b"],
+    # Per-bucket totals -> EXCLUSIVE running offsets, fully distributive:
+    # a single-partition window over <= n_buckets rows (negligible — the
+    # "moving all data to a single partition" the planner warns about is
+    # the bucket-total table, not the data). This replaces a collect +
+    # driver loop + createDataFrame round-trip, keeping the whole
+    # aggregate ONE action with the driver out of the data path (the
+    # offsets job itself disappears into the final DAG). Accumulation
+    # semantics are unchanged: integral columns run as decimal(38,0)
+    # (exact, like the former Python-int loop up to the documented
+    # 38-digit contract), doubles accumulate left-to-right in __b order
+    # — the same association order as the driver loop, so float results
+    # are bit-identical.
+    bt = unioned.groupBy("__b").agg(
+        F.sum("__cnt").alias("c"),
+        *[F.sum(f"__s_{c}").alias(f"s_{c}") for c in sum_cols],
     )
-    from decimal import Decimal
-
-    def _is_dec(c: str) -> bool:
-        return _acc_type(c).startswith("decimal")
-
-    # integral columns accumulate in exact Python ints driver-side
-    offs, acc = [], [0] + [0 if _is_dec(c) else 0.0 for c in sum_cols]
-    for r in totals:
-        offs.append((
-            int(r["__b"]), int(acc[0]),
-            *[Decimal(a) if _is_dec(c) else float(a)
-              for c, a in zip(sum_cols, acc[1:])],
-        ))
-        acc = [acc[0] + int(r["c"] or 0)] + [
-            acc[1 + i] + ((int(r[f"s_{c}"] or 0)) if _is_dec(c)
-                          else float(r[f"s_{c}"] or 0.0))
-            for i, c in enumerate(sum_cols)
-        ]
-    off_schema = "__b bigint, __off_cnt bigint" + "".join(
-        f", __off_{c} {_acc_type(c)}" for c in sum_cols
+    woff = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    off = points.sparkSession.createDataFrame(offs, off_schema)
+    off = bt.select(
+        "__b",
+        F.coalesce(F.sum("c").over(woff), F.lit(0)).cast("bigint")
+        .alias("__off_cnt"),
+        *[
+            F.coalesce(
+                F.sum(F.coalesce(F.col(f"s_{c}"),
+                                 F.lit(0).cast(_acc_type(c)))).over(woff),
+                F.lit(0).cast(_acc_type(c)),
+            ).cast(_acc_type(c)).alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
 
     per_probe = local.join(F.broadcast(off), "__b").select(
         "__iid",
