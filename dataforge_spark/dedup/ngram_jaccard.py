@@ -56,19 +56,29 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
 # Below this many documents the interpreted HOF beats the Arrow UDF
 # (Python-worker startup + Arrow transfer dominate at a few thousand
-# docs; the UDF wins ~7x from tens of thousands up). A bounded
-# limit-count decides — Catalyst's size estimate is compressed bytes,
-# a poor proxy for per-doc CPU work on text.
+# docs; the UDF wins ~7x from tens of thousands up). r13: the gate is
+# now Catalyst's no-job size estimate (~51-56 estimated B/doc on the
+# testdata → 1 MiB ≈ UDF_MIN_DOCS docs) instead of a bounded
+# limit-count: the count, though bounded, was a whole extra Spark job
+# at EVERY shingle site (minhash pays it twice per invocation), and
+# the two implementations are differentially tested identical, so the
+# only cost of a byte-proxy misclassification near the boundary is a
+# small perf delta — while the job saving is paid on every call. An
+# unavailable estimate (in-memory lineage) assumes BIG → UDF, the
+# scale-safe side.
 UDF_MIN_DOCS = 20_000
+SHINGLE_UDF_MIN_BYTES = 1 << 20
 
 
 def shingles_for(df: DataFrame, col: Column, n: int = 3) -> Column:
-    """Size-adaptive shingles: the Arrow UDF for frames past
-    ``UDF_MIN_DOCS`` rows, the codegen HOF below. The gate is a
-    ``limit(n+1).count()`` so a huge frame never pays a full count.
+    """Size-adaptive shingles: the Arrow UDF for frames estimated past
+    ``SHINGLE_UDF_MIN_BYTES``, the interpreted HOF below. Zero jobs.
     Both implementations produce identical arrays (differential test),
     so callers may switch freely."""
-    small = df.limit(UDF_MIN_DOCS + 1).count() <= UDF_MIN_DOCS
+    from ..partitioning import plan_size_bytes
+
+    est = plan_size_bytes(df)
+    small = est is not None and 0 <= est <= SHINGLE_UDF_MIN_BYTES
     return word_shingles_hof(col, n) if small else word_shingles(col, n)
 
 
