@@ -37,8 +37,11 @@ _ELLIPSIS_END_RE = r"(\.\.\.|…)[ \t]*$"
 
 
 def _words(col: Column) -> Column:
-    """Whitespace-split words (Gopher's tokenization), empties dropped."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: F.length(w) > 0)
+    """Whitespace-split words (Gopher's tokenization), empties dropped.
+    ``array_remove(_, '')`` is codegen'd where the r12 lambda filter was
+    an interpreted HOF; ``split`` only ever yields '' for the dropped
+    empties, so the arrays are identical (differential-tested)."""
+    return F.array_remove(F.split(F.trim(col), r"\s+"), "")
 
 
 def gopher_quality_struct(col: Column) -> Column:
@@ -48,15 +51,15 @@ def gopher_quality_struct(col: Column) -> Column:
     without recomputation."""
     words = _words(col)
     n_w = F.size(words).cast("double")
-    total_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    ).cast("double")
+    # sum of word lengths == count of non-whitespace chars (every
+    # non-\s char lands in exactly one word): one codegen'd regex pass
+    # where the r12 F.aggregate lambda interpreted per word.
+    total_chars = F.length(F.regexp_replace(col, r"\s", "")).cast("double")
     mean_wl = F.when(n_w > 0, total_chars / n_w)
 
-    n_sym = (
-        F.regexp_count(col, F.lit("#"))
-        + F.regexp_count(col, F.lit(r"(\.\.\.|…)"))
-    ).cast("double")
+    # '#' and '...' / '…' matches can never overlap, so one alternation
+    # scan counts exactly what the two separate scans counted.
+    n_sym = F.regexp_count(col, F.lit(r"#|\.\.\.|…")).cast("double")
     sym_ratio = F.when(n_w > 0, n_sym / n_w)
 
     lines = F.filter(
@@ -76,20 +79,30 @@ def gopher_quality_struct(col: Column) -> Column:
         ).cast("double") / n_l,
     )
 
+    # Words are exactly the maximal \S runs, and \S*[A-Za-z]\S* matches
+    # each such run iff it contains a letter (greedy + backtracking
+    # consume the whole run), so this one pass counts the same words
+    # the per-word interpreted rlike filter counted.
     alpha_frac = F.when(
         n_w > 0,
         F.size(
-            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+            F.regexp_extract_all(col, F.lit(r"\S*[A-Za-z]\S*"), 0)
         ).cast("double") / n_w,
     )
 
+    # Presence count: distinct required stopwords appearing with \b
+    # boundaries — one alternation pass replaces eight full-text rlike
+    # scans; \b semantics are unchanged (a longer word like 'that'
+    # never yields a bounded 'the' match).
     low = F.lower(col)
-    stop_hits = sum(
-        (
-            F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
-            for w in REQUIRED_STOPWORDS
-        ),
-        F.lit(0),
+    stop_hits = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                low,
+                F.lit(r"\b(" + "|".join(REQUIRED_STOPWORDS) + r")\b"),
+                1,
+            )
+        )
     ).cast("int")
 
     ok_wc = (n_w >= 50) & (n_w <= 100_000)

@@ -105,3 +105,77 @@ def test_pure_codegen_plan(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def _r12_struct(col):
+    """Replica of the r12 formulation (interpreted HOFs + per-word /
+    per-stopword regex scans) — the differential reference for the r13
+    codegen'd single-pass rewrites."""
+    words = F.filter(F.split(F.trim(col), r"\s+"), lambda w: F.length(w) > 0)
+    n_w = F.size(words).cast("double")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_wl = F.when(n_w > 0, total_chars / n_w)
+    n_sym = (
+        F.regexp_count(col, F.lit("#"))
+        + F.regexp_count(col, F.lit(r"(\.\.\.|…)"))
+    ).cast("double")
+    sym_ratio = F.when(n_w > 0, n_sym / n_w)
+    alpha_frac = F.when(
+        n_w > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_w,
+    )
+    low = F.lower(col)
+    stop_hits = sum(
+        (
+            F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
+            for w in REQUIRED_STOPWORDS
+        ),
+        F.lit(0),
+    ).cast("int")
+    return F.when(
+        col.isNotNull(),
+        F.struct(
+            n_w.cast("bigint").alias("word_count"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+            F.round(alpha_frac, 6).alias("alpha_word_frac"),
+            stop_hits.alias("req_stopword_hits"),
+        ),
+    )
+
+
+def test_r13_rewrites_match_r12_formulation(spark):
+    """The r13 single-pass rewrites (array_remove words, regexp_replace
+    char count, merged symbol alternation, one-pass alpha words, one-pass
+    stopword presence) must be cell-identical to the r12 HOF formulation
+    on testdata documents plus adversarial edge strings."""
+    edge = [
+        (None,), ("",), ("   ",), ("\t\n",), ("a",), ("# # #...…..",),
+        ("the the the be to of and that have with",),
+        ("that theory bethe tothe ....",), ("x y the.be,to",),
+        ("....... …… #",), ("123 456 !!! abc",),
+    ]
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = docs.select(F.col("text")).union(
+        spark.createDataFrame(edge, "text string")
+    )
+    got = base.select(
+        gopher_quality_struct(F.col("text")).alias("g"),
+        _r12_struct(F.col("text")).alias("r"),
+    )
+    bad = got.where(
+        ~(
+            F.col("g.word_count").eqNullSafe(F.col("r.word_count"))
+            & F.col("g.mean_word_len").eqNullSafe(F.col("r.mean_word_len"))
+            & F.col("g.symbol_word_ratio").eqNullSafe(
+                F.col("r.symbol_word_ratio"))
+            & F.col("g.alpha_word_frac").eqNullSafe(
+                F.col("r.alpha_word_frac"))
+            & F.col("g.req_stopword_hits").eqNullSafe(
+                F.col("r.req_stopword_hits"))
+        )
+    ).count()
+    assert bad == 0
