@@ -51,10 +51,17 @@ def _domains(
     pairs = []
     for c in cols:
         pairs += [F.lit(c), val_expr(c)]
+    # r13: the distinct (col, val) pairs feed BOTH the sizes aggregate
+    # and the bounded domain collect; un-checkpointed, the melted scan +
+    # distinct shuffle executed once per consumer. The materialized set
+    # is the distinct pairs — the same volume the distinct shuffle
+    # already spills — and is released with the lineage (localCheckpoint,
+    # not cache), with no cross-run reuse.
     melted = (
         df.select(F.explode(F.create_map(*pairs)).alias("col", "val"))
         .where(F.col("val").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     sizes = {
         r["col"]: r["n"]
