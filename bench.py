@@ -59,20 +59,35 @@ STEADY_REF = {
     "s4_profile": 1.86, "s4_profile_approx": 1.28,
     # m8_m9: r13 re-tune (gate 512 MiB -> 2 MiB, one-job boundary
     # sketch) — measured 0.75 steady at sf0.1 (fast path unchanged)
-    "m5_m6_fill_stats": 5.09, "m8_m9_ordered_fill": 0.85,
-    "d1_dedup_keep_first": 1.05, "o6_o7_outlier_actions": 3.27,
+    # m5_m6: r13 dropped exact_quantiles' small-input percentile tier
+    # (f6db425) — measured 1.64 steady at sf0.1
+    "m5_m6_fill_stats": 1.75, "m8_m9_ordered_fill": 0.85,
+    "d1_dedup_keep_first": 1.05,
+    # o6_o7: same quantile-tier drop — measured 0.95-1.29 steady
+    "o6_o7_outlier_actions": 1.30,
     "t234_auto_convert": 3.25, "x_text_suite": 1.68,
-    "dt1_datetime_features": 1.24, "e2_onehot_encode": 1.27,
+    "dt1_datetime_features": 1.24,
+    # e2: r13 domain-pairs checkpoint — quiet-host 0.96 steady
+    "e2_onehot_encode": 1.00,
     "y1_common_typos": 0.55, "n1_n5_standard_roundtrip": 1.25,
     "dedup_exact_intercorpus": 0.60, "dedup_spans": 1.26,
-    "dedup_minhash_verified": 6.02, "dedup_jaccard_pairs": 2.63,
+    # minhash/jaccard: r13 candidate-pruned verify + no-job shingle
+    # gate — interleaved quiet mins 2.71 / 1.99
+    "dedup_minhash_verified": 2.80, "dedup_jaccard_pairs": 2.05,
     "sim_cosine_topk": 0.95, "sim_pq_topk": 1.93, "sim_ivf_topk": 0.60,
     # r12 committed 4.60 with clf training in-row; r13 amortized the
-    # training behind the corpus fingerprint, so steady shrinks — keep
-    # the tighter post-amortization estimate so the guard can see it
-    "txt_metrics": 3.50, "stream_sessionize_native": 0.53,
-    "stream_sessionize_stateful": 3.42, "pipeline_e2e": 4.64,
-    "join_asof": 0.52, "join_range": 2.22, "curation_split": 0.42,
+    # training (fingerprint cache) and rewrote the Gopher leg as
+    # single-pass codegen — measured 2.25-2.57 steady
+    "txt_metrics": 2.60, "stream_sessionize_native": 0.53,
+    "stream_sessionize_stateful": 3.42,
+    # pipeline_e2e: rode the quantile-tier drop — 1.05 steady both
+    # post-change headline runs
+    "pipeline_e2e": 1.20,
+    "join_asof": 0.52, "join_range": 2.22,
+    # curation_split: r13 ADDED the dsir_w/dsir_sel legs (fb481e7,
+    # zero-shuffle after c3483a1) — the r12 0.42 ref predates them;
+    # measured 0.90 steady post-fix
+    "curation_split": 0.92,
     "curation_contamination": 1.89, "curation_pack": 0.90,
     "stream_window_agg": 1.41, "o4_isolation_forest": 1.62,
     "sim_ivf_disk_topk": 0.87, "stream_sjoin": 2.79,
@@ -106,7 +121,11 @@ SF1_STEADY_REF = {
     "sim_cosine_topk": 0.82, "sim_pq_topk": 1.93, "sim_ivf_topk": 0.65,
     "txt_metrics": 5.10, "stream_sessionize_native": 0.65,
     "stream_sessionize_stateful": 2.95, "pipeline_e2e": 8.09,
-    "join_asof": 1.09, "join_range": 3.33, "curation_split": 0.44,
+    # curation_split sf1: the r12 0.44 predates the r13 DSIR legs,
+    # which roughly double the row (2.1x measured at sf0.1) — a stale
+    # ref would false-flag every honest run at the 2x sf1 factor;
+    # scaled estimate until the next committed quiet sf1 block
+    "join_asof": 1.09, "join_range": 3.33, "curation_split": 0.95,
     "curation_contamination": 2.01, "curation_pack": 1.08,
     "stream_window_agg": 2.48, "o4_isolation_forest": 4.70,
     "sim_ivf_disk_topk": 1.14, "stream_sjoin": 3.30,
