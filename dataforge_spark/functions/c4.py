@@ -104,16 +104,37 @@ def c4_filter(
 ) -> DataFrame:
     """Apply the full C4 page cleaning: REWRITES ``text_col`` to the
     line-cleaned text and keeps only pages passing the page-level
-    rules (null text is dropped)."""
-    s = c4_page_struct(
-        F.col(text_col),
-        min_line_words=min_line_words,
-        min_sentences=min_sentences,
-        blocklist=blocklist,
+    rules (null text is dropped).
+
+    The keep-filter and the text rewrite both need the line-cleaned
+    text, and PushPredicateThroughNonJoin substitutes a projected
+    expression into any filter above it — a plain ``withColumn`` +
+    ``where`` evaluates the whole line-cleaning machinery twice per
+    surviving page. Routing a slim ``(text, blocked)`` struct through
+    a one-element ``explode`` pins it to a Generate node: filters on
+    generator output cannot be pushed below the Generate, so the
+    line cleaning runs exactly once per page (still zero Python,
+    zero shuffles; the sentence count is a cheap ``regexp_count``
+    over the already-cleaned text)."""
+    col = F.col(text_col)
+    low = F.lower(col)
+    blocked = low.contains("lorem ipsum") | low.contains("{")
+    if blocklist:
+        from .textfix import contains_any
+
+        blocked = blocked | contains_any(col, list(blocklist))
+    slim = F.when(
+        col.isNotNull(),
+        F.struct(
+            c4_clean_text(col, min_line_words).alias("text"),
+            blocked.alias("blocked"),
+        ),
     )
+    n_sent = F.regexp_count(F.col("_c4")["text"], F.lit(r'[.!?]["”]?(\s|$)'))
+    keep = (n_sent >= min_sentences) & ~F.col("_c4")["blocked"]
     return (
-        df.withColumn("_c4", s)
-        .where(F.coalesce(F.col("_c4")["keep"], F.lit(False)))
+        df.select("*", F.explode(F.array(slim)).alias("_c4"))
+        .where(F.coalesce(keep, F.lit(False)))
         .withColumn(text_col, F.col("_c4")["text"])
         .drop("_c4")
     )

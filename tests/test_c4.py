@@ -105,3 +105,44 @@ def test_pure_codegen_plan(spark):
     plan = c4_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_filter_matches_r12_formulation(spark):
+    """Differential pin (r13): the Generate-barrier c4_filter must be
+    row-identical to the r12 withColumn+where formulation on every edge
+    class (kept page, <3 sentences, blocked raw page, blocklist hit,
+    null, empty string)."""
+    rows = [
+        (1, PAGE),
+        (2, "too short."),
+        (3, None),
+        (4, ""),
+        (5, PAGE + "\nif (x) { y++ }"),
+        (6, PAGE + "\nBuy cheap widgets online right now."),
+        (7, ("One full sentence right here with words.\n"
+             "A second full sentence with plenty of words.")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    for kw in ({}, {"blocklist": ["cheap widgets"]},
+               {"min_line_words": 2, "min_sentences": 2}):
+        s = c4_page_struct(F.col("text"), **kw)
+        old = (
+            df.withColumn("_c4", s)
+            .where(F.coalesce(F.col("_c4")["keep"], F.lit(False)))
+            .withColumn("text", F.col("_c4")["text"])
+            .drop("_c4")
+        )
+        new = c4_filter(df, **kw)
+        assert sorted(map(tuple, new.collect())) == \
+            sorted(map(tuple, old.collect())), kw
+
+
+def test_single_line_cleaning_evaluation(spark):
+    """The r13 win itself: the line-cleaning machinery (its 'javascript'
+    rule is a unique marker) must appear exactly ONCE in the physical
+    plan — the keep-filter must reference the Generate's output instead
+    of a pushed-down copy of the cleaning expression."""
+    df = spark.createDataFrame([(PAGE,)], "text string")
+    plan = c4_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+    assert plan.count("javascript") == 1
