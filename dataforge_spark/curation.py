@@ -394,27 +394,51 @@ def pack_sequences(
             F.lit(0).cast("bigint").alias("pack_id"),
         )
     width = max(1, (int(span["hi"]) - int(span["lo"])) // n_buckets + 1)
+    # the explicit isnotnull matches the inner join's inferred null
+    # filter, so BOTH window consumers below share one byte-identical
+    # Exchange subtree and ReuseExchange fires (null ids never packed:
+    # the final inner join drops them either way)
     bucketed = base.withColumn(
         "__b", ((F.col("id") - F.lit(int(span["lo"]))) / F.lit(width)).cast("bigint")
-    )
+    ).where(F.col("__b").isNotNull())
 
-    totals = sorted(
-        bucketed.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect(),
-        key=lambda r: r["__b"],
-    )
-    offsets, acc = [], 0
-    for r in totals:
-        offsets.append((int(r["__b"]), acc))
-        acc += int(r["t"])
-    off = df.sparkSession.createDataFrame(offsets, "__b bigint, __off bigint")
-
+    # Within-bucket exclusive cumsum AND the bucket total as two frames
+    # of ONE window spec (same partition+order): the bucket-total table
+    # then derives from the byte-identical Exchange subtree, so
+    # ReuseExchange computes the text scan + token count + shuffle ONCE
+    # — where the former groupBy-totals collect + driver prefix-sum loop
+    # + createDataFrame round-trip cost a second full text scan, an
+    # extra job, and a driver hop in the data path. Only 24 B/row of
+    # (id, n_tokens, __b) proxy ever crosses the exchange; the heavy
+    # text column never shuffles.
     w = (
         Window.partitionBy("__b")
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = bucketed.withColumn(
-        "__local", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    wtot = (
+        Window.partitionBy("__b")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    local = bucketed.select(
+        "id", "n_tokens", "__b",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("__local"),
+        F.sum("n_tokens").over(wtot).alias("__t"),
+    )
+    # per-bucket totals -> EXCLUSIVE running offsets: a single-partition
+    # window over <= n_buckets rows (the tiny bucket-total table, not
+    # the data). Bigint accumulation in __b order = exactly the former
+    # Python-int driver loop (token counts stay far below 2^63 at any
+    # realistic corpus size).
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        local.select("__b", "__t").distinct()
+        .select(
+            "__b",
+            F.coalesce(F.sum("__t").over(woff), F.lit(0))
+            .cast("bigint").alias("__off"),
+        )
     )
     return (
         local.join(F.broadcast(off), "__b")
