@@ -974,11 +974,28 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep (``tools/oracle_recompute.py``) — no pinned literals; the
     brute-force comparison inside the query is the actual guarantee (the
     O(n²) sweep is the verification harness, not the production path)."""
-    from dataforge_spark.dedup.simhash import hamming, simhash
+    from dataforge_spark.dedup.simhash import (
+        hamming,
+        pairs_from_signatures,
+        simhash,
+    )
 
     docs = _docs_with_dups(spark, sf_dir)
-    banded = simhash_pairs(docs, text_col="text", id_col="doc_id", max_hamming=3)
-    sigs = simhash(docs, text_col="text", id_col="doc_id")
+    # r13: signatures computed ONCE (guide §1.2 count-the-jobs). The old
+    # shape ran FOUR separate .count() actions — n_disagree, n_banded,
+    # n_brute, n_planted — each re-executing the token-explode + 64-vote
+    # signature aggregate for every sigs reference in its lineage
+    # (~10 signature computations per invocation, 25 jobs), then shipped
+    # the counts through a driver createDataFrame. Now: one eager
+    # localCheckpoint of the tiny (id, simhash) frame (|docs| × 16 B;
+    # lineage-only, recomputed from parquet on every invocation), the
+    # banded and brute pair sets both derive from it, and all four
+    # counts come out of ONE aggregate over the full-outer-joined pair
+    # sets — the O(n²) verification sweep runs once instead of thrice,
+    # and the whole row is a single Spark plan (2 jobs: checkpoint +
+    # aggregate) instead of a driver round-trip.
+    sigs = simhash(docs, text_col="text", id_col="doc_id").localCheckpoint()
+    banded = pairs_from_signatures(sigs, max_hamming=3)
     a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
     brute = (
@@ -986,18 +1003,22 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(hamming(F.col("sa"), F.col("sb")) <= 3)
         .select("id_a", "id_b")
     )
-    both = banded.select("id_a", "id_b").withColumn("_x", F.lit(1)).join(
-        brute.withColumn("_y", F.lit(1)), ["id_a", "id_b"], "full"
-    )
-    n_disagree = both.where(F.col("_x").isNull() | F.col("_y").isNull()).count()
-    n_banded = banded.count()
-    n_brute = brute.count()
-    n_planted = banded.where(
-        (F.col("id_b") - F.col("id_a") == 100000) & (F.col("hamming") == 0)
-    ).count()
-    return spark.createDataFrame(
-        [(n_banded, n_brute, n_disagree, n_planted)],
-        "n_pairs bigint, n_brute bigint, n_disagree bigint, n_planted bigint",
+    both = banded.select("id_a", "id_b", "hamming").withColumn(
+        "_x", F.lit(1)
+    ).join(brute.withColumn("_y", F.lit(1)), ["id_a", "id_b"], "full")
+    return both.agg(
+        F.count("_x").alias("n_pairs"),
+        F.count("_y").alias("n_brute"),
+        F.count(
+            F.when(F.col("_x").isNull() | F.col("_y").isNull(), F.lit(1))
+        ).alias("n_disagree"),
+        F.count(
+            F.when(
+                (F.col("id_b") - F.col("id_a") == 100000)
+                & (F.col("hamming") == 0),
+                F.lit(1),
+            )
+        ).alias("n_planted"),
     )
 
 

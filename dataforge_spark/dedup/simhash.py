@@ -52,7 +52,14 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming), id_a < id_b."""
-    sigs = simhash(df, text_col, id_col)
+    return pairs_from_signatures(simhash(df, text_col, id_col), max_hamming)
+
+
+def pairs_from_signatures(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The Manku banded candidate join over an existing ``(id, simhash)``
+    frame — split out of :func:`simhash_pairs` so a caller that needs the
+    signatures AND the pairs (e.g. a verification sweep) can compute the
+    signatures once instead of once per consumer."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     # two's-complement literal: at width 64 (max_hamming=0, exact match)

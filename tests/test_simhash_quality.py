@@ -100,3 +100,32 @@ def test_drop_near_duplicates_works_for_any_pair_source(spark, documents):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert not any(k >= 5000 for k in kept)  # every planted clone dropped
     assert kept >= {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_pairs_from_signatures_matches_simhash_pairs(spark, documents):
+    """r13 seam: the banded join split out of simhash_pairs must produce
+    the identical pair set when fed precomputed (and checkpointed)
+    signatures — the shape q_dedup_simhash_verified relies on to compute
+    signatures once per invocation instead of once per count."""
+    from dataforge_spark.dedup.simhash import (
+        pairs_from_signatures,
+        simhash,
+        simhash_pairs,
+    )
+
+    docs = documents.select("doc_id", "text").limit(80)
+    dup = docs.where(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    direct = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(corpus, max_hamming=3).collect()
+    }
+    via_sigs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in pairs_from_signatures(
+            simhash(corpus).localCheckpoint(), max_hamming=3
+        ).collect()
+    }
+    assert direct == via_sigs and len(direct) >= 8
