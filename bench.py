@@ -42,7 +42,23 @@ RUNS_PER_QUERY = 2
 # fixed reference job runs ~0.10-0.15 s Spark-side and the pandas numpy
 # twin ~0.65 s on a quiet host; a phase whose [pre, post] calibrations
 # exceed these re-runs once and the cleanest attempt is recorded.
-SPARK_CAL_STEADY = 0.35
+#
+# Every Spark-side reference below (this ceiling, STEADY_REF,
+# SF1_STEADY_REF, XHUGE_LEG_REF) was measured at local[32]. The driver
+# ALSO runs this bench at a lower core count to measure scaling; there
+# the calibration job and the parallel rows slow down by up to
+# 32/cpus, which is core scaling, not co-tenant contention — without
+# the scale factor the guards would mass-trigger, re-measuring clean
+# rows and filling contended_rows with junk. Scaling the trip points
+# by the linear bound makes the guard deliberately conservative away
+# from its 32-core measurement point (sub-linear rows sit below the
+# scaled refs); the pandas twin is single-threaded and needs no
+# scaling.
+_REF_CPUS = 32
+_BENCH_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS",
+                                 str(os.cpu_count() or _REF_CPUS)))
+_CORE_SCALE = max(1.0, _REF_CPUS / max(1, _BENCH_CPUS))
+SPARK_CAL_STEADY = 0.35 * _CORE_SCALE
 PANDAS_CAL_STEADY = 1.0
 
 # Per-row steady-state references for the per-row contention guard
@@ -279,6 +295,19 @@ XHUGE_LEG_REF = {
     "dedup_repart": 245.0, "dedup_bucketed": 25.0,
 }
 XHUGE_GUARD_FACTOR = 2.0
+
+# Apply the core-count bound to every Spark-side reference table (see
+# the _CORE_SCALE comment above SPARK_CAL_STEADY): trip points follow
+# the measurement conditions, contended_rows["ref"] records the trip
+# point actually used.
+if _CORE_SCALE != 1.0:
+    STEADY_REF = {k: round(v * _CORE_SCALE, 3) for k, v in STEADY_REF.items()}
+    SF1_STEADY_REF = {
+        k: round(v * _CORE_SCALE, 3) for k, v in SF1_STEADY_REF.items()
+    }
+    XHUGE_LEG_REF = {
+        k: round(v * _CORE_SCALE, 3) for k, v in XHUGE_LEG_REF.items()
+    }
 
 
 def crossover_spark_only(spark, n_rows: int) -> dict:
