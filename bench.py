@@ -282,17 +282,25 @@ def crossover_bench(spark, n_rows: int) -> dict:
 
 
 # Per-leg steady references for the 600M block's re-measure rule
-# (VERDICT r12 task 3): r12/r13 quiet-host values. A leg above
-# XHUGE_GUARD_FACTOR x its reference triggers a calibration probe;
-# off-steady probe => the number is weather, re-run the leg once and
-# keep the min (attempts recorded). The plain dedup leg's reference is
-# the builder's r12 committed run (415 s) — the driver's re-run hit
-# 1062 s on a contended host, the exact 2.5x swing this rule exists to
-# catch. New-leg references measured quiet this round (r13).
+# (VERDICT r12 task 3): a leg above XHUGE_GUARD_FACTOR x its reference
+# triggers a calibration probe; off-steady probe => the number is
+# weather, re-run the leg once and keep the min (attempts recorded).
+# Re-baselined end-of-r13 to the standalone quiet-host block
+# (steal 0.00%: iqr 19.1, scale 3.4, dedup 68.3, repart 24.8,
+# distinct 36.6, approx 2.2, bucketed 10.4 — data-sized shuffle
+# partitions + steal-free host; the old r12-era values sat 2-17x high
+# and let a 3.4x-elevated distinct_count pass unflagged), with ~25%
+# margin. Values are 32-core; the _CORE_SCALE bound above applies at
+# lower core counts.
 XHUGE_LEG_REF = {
-    "iqr_cap": 38.0, "standard_scale": 5.0, "dedup": 420.0,
-    "distinct_count": 165.0, "distinct_approx": 12.0,
-    "dedup_repart": 245.0, "dedup_bucketed": 25.0,
+    "iqr_cap": 24.0, "standard_scale": 4.5, "dedup": 85.0,
+    "distinct_count": 46.0, "distinct_approx": 3.0,
+    "dedup_repart": 31.0,
+    # bucketed: the only disk-read leg (3.3 GB layout). 10-13 s with
+    # the layout page-cached (just written), ~31 s cold at this box's
+    # ~106 MB/s disk — the ref spans the band so an honest cold read
+    # does not trip as weather.
+    "dedup_bucketed": 16.0,
 }
 XHUGE_GUARD_FACTOR = 2.0
 
@@ -934,6 +942,30 @@ def sf1_block(spark, sf1_dir: str, stream_overhead_sec: float | None = None) -> 
     return out
 
 
+def _release_session_state(spark) -> None:
+    """Drop cross-block session state before a heavy evidence block:
+    cached frames, localCheckpoint RDD blocks whose Python refs are
+    gone, dead broadcasts. The 6M index block otherwise leaves GBs in
+    the 48g single-JVM BlockManager and the 600M shuffle legs then
+    measure spill/IO pressure inherited from the PREVIOUS block, not
+    the operator — measured: dedup_repart 63.6 s / distinct_count
+    122.8 s run directly after the index block vs 24.8 s / 36.6 s
+    standalone, quiet calibrations both times. A driver-side GC lets
+    the ContextCleaner actually release the blocks; the pause lets the
+    async cleanup land. Measurement hygiene between independent
+    sections — nothing here persists results or warms the next block's
+    inputs."""
+    import gc
+
+    try:
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+    except Exception:
+        pass  # hygiene, never a gate
+
+
 def _calibration_sec(spark) -> float:
     """Host-speed calibration: a fixed CPU-bound reference job (no I/O,
     no shuffle — a 200M-row codegen'd aggregate) timed best-of-3, steady
@@ -1370,6 +1402,7 @@ def main() -> None:
     idx_rows = int(os.environ.get("SPARK_GRAFT_INDEX_ROWS", "6000000"))
     if idx_rows > 0:
         try:
+            _release_session_state(spark)
             detail["index_match"] = index_match_block(spark, idx_rows)
             out["index_match"] = {
                 k: detail["index_match"][k]
@@ -1388,6 +1421,7 @@ def main() -> None:
     xhuge = int(os.environ.get("SPARK_GRAFT_XROWS_HUGE", "600000000"))
     if xhuge > 0:
         try:
+            _release_session_state(spark)
             detail["crossover_600m"] = crossover_spark_only(spark, xhuge)
             out["crossover_600m"] = {
                 "rows": detail["crossover_600m"]["rows"],
