@@ -640,8 +640,19 @@ def q_t234_auto_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 auto-numeric (both the double path and the all-integral→Int64
     rule), T3 auto-datetime, T4 auto-boolean — one auto_detect pass over
     four stringified columns — plus the T6 residual-stringify leg
-    (manual cast map to str, auto_detect off) joined in on event_id, so
-    one driver row attests T2/T3/T4/T6 together."""
+    (manual cast map to str, auto_detect off) chained on the same frame,
+    so one driver row attests T2/T3/T4/T6 together.
+
+    r14 (guide §2.4 remove shuffles outright): the T6 leg used to be a
+    SECOND read of events joined back on event_id — a 1M×1M sort-merge
+    join (2 exchanges + sorts) whose two sides are row-wise projections
+    of the SAME table on a unique key. Carrying the raw bigint user_id
+    THROUGH the auto-detect call (auto-detection only touches string
+    columns, and the detect scan column-prunes to them, so detection
+    sees identical input) and applying the same manual
+    ``{'user_id': 'str'}`` conversion to the combined frame yields the
+    identical rows with zero joins: the whole apply phase is one
+    projection over one scan. Oracle-verified identical (tuned gate)."""
     _utc(spark)
     ev = _events(spark, sf_dir).select(
         "event_id",
@@ -649,16 +660,17 @@ def q_t234_auto_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("int_str"),
         F.date_format("ts", "yyyy-MM-dd").alias("dt_str"),
         F.when(F.col("event_id") % 2 == 0, F.lit("yes")).otherwise(F.lit("no")).alias("b_str"),
+        "user_id",
     )
-    out = convert_data_types(ev, auto_detect=True).select(
+    out = convert_data_types(ev, auto_detect=True)
+    t6 = convert_data_types(
+        out, type_mapping={"user_id": "str"}, auto_detect=False,
+    )
+    return t6.select(
         "event_id", "num_str", "int_str",
         F.date_format("dt_str", "yyyy-MM-dd HH:mm:ss").alias("dt_str"), "b_str",
+        F.col("user_id").alias("str_col"),
     )
-    t6 = convert_data_types(
-        _events(spark, sf_dir).select("event_id", "user_id"),
-        type_mapping={"user_id": "str"}, auto_detect=False,
-    ).select("event_id", F.col("user_id").alias("str_col"))
-    return out.join(t6, "event_id")
 
 
 def q_x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
