@@ -2364,11 +2364,20 @@ def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("label"),
     )
     model, k = _dsir_model(spark, sf_dir)
-    wleg = dsir_weights(docs, model).select(
+    # r14 (guide §1.2): the weights projection (repartition + gram-hash
+    # scoring of every document) fed BOTH the dsir_w leg and, recomputed
+    # from scratch inside dsir_select, the dsir_sel leg. Compute it once
+    # and cut lineage — (doc_id, long) rows, output-sized, recomputed
+    # from parquet per invocation (not a cross-run cache); both legs now
+    # read the one scoring pass. LAZY checkpoint: it materializes inside
+    # the union job itself, so sharing costs no extra job (A/B min-of-6:
+    # old 0.663 / eager ckpt 0.545 / lazy 0.504 s, identical checksums).
+    w = dsir_weights(docs, model).localCheckpoint(eager=False)
+    wleg = w.select(
         F.lit("dsir_w").alias("op"), "doc_id",
         F.col("dsir_logw_micro").cast("string").alias("label"),
     )
-    sleg = dsir_select(docs, model, k, seed=0).select(
+    sleg = dsir_select(docs, model, k, seed=0, weights=w).select(
         F.lit("dsir_sel").alias("op"), "doc_id",
         F.col("rank").cast("string").alias("label"),
     )

@@ -281,6 +281,7 @@ def dsir_select(
     id_col: str = "doc_id",
     seed: int = 0,
     temperature: float = 1.0,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Gumbel top-k importance resampling: k documents sampled without
     replacement with P(doc) ∝ exp(logw / temperature), deterministically
@@ -288,8 +289,18 @@ def dsir_select(
     rank 1..k by descending key, ties broken by id. ``temperature=1``
     is the paper's resampling; higher flattens toward uniform. The
     selection is a global sort-limit — only k rows ever leave the
-    executors."""
-    w = dsir_weights(df, model, text_col, id_col)
+    executors.
+
+    ``weights`` (r14, guide §1.2 don't compute things twice): a caller
+    that already holds the ``dsir_weights(df, model)`` frame — e.g. one
+    that reports weights AND a selection from them — passes it here so
+    the gram-hash scoring pass over the corpus runs once, not once per
+    consumer. Must be exactly ``dsir_weights(df, model, text_col,
+    id_col)`` for the same inputs; selection output is identical either
+    way (the frame is the same relation)."""
+    w = weights if weights is not None else dsir_weights(
+        df, model, text_col, id_col
+    )
     key = (
         F.floor(F.col("dsir_logw_micro") / F.lit(float(temperature)))
         .cast("long")
