@@ -1088,7 +1088,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    u = emb.unionByName(_perturbed_embeddings(emb))
+    # r14 (guide §1.2, VERDICT task 4): the union corpus feeds SEVEN
+    # consumers — the lsh pair leg, three semantic_dedup calls (each
+    # referencing it up to 3× internally: bucketing, the survivor
+    # semi-join, the unkeyed branch), the k=4 centroid fit, the bucket
+    # assignment for the split-pair guard, and their construction-time
+    # jobs (2 k=1 fits, 1 k=4 fit, the n_split count). Materialize it
+    # once per invocation: scan + perturbation projection run one time
+    # instead of once per reference. Lineage cut only — recomputed from
+    # parquet next invocation, never a cross-run cache.
+    u = emb.unionByName(_perturbed_embeddings(emb)).localCheckpoint()
 
     exact = cosine_neardup_pairs(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.45
@@ -1120,13 +1129,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     legs = [exact, lsh, topk]
+    # r14: the two k=1 legs fitted IDENTICAL centroids (same input,
+    # k, sample_rows, iters, seed) twice — one sample/fit job each.
+    # Fit once, pass it to both (the documented `centroids` hook).
+    C1 = fit_centroids(
+        u.where(F.col("vec_id").isNotNull()), "embedding", k=1, seed=42
+    )
     for variant, keep in (
         ("sem_min_id", "min_id"),
         ("sem_far_centroid", "far_from_centroid"),
     ):
         s = semantic_dedup(
             u, id_col="vec_id", vec_col="embedding",
-            threshold=0.9, k=1, keep=keep,
+            threshold=0.9, k=1, keep=keep, centroids=C1,
         )
         legs.append(_sem_leg(s, variant))
 
@@ -1145,17 +1160,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 100000).alias("vec_id"),
         F.col("_b").alias("_b_copy"),
     )
-    n_split = (
+    # r14: the split-pair count used to be an eager .count() action +
+    # driver createDataFrame round-trip (guide §5.1: keep the driver out
+    # of the data path) — now it is an aggregate leg INSIDE the one
+    # union plan; same single-row result, one construction job fewer.
+    n_split_leg = (
         orig.join(copy, "vec_id")
         .where(F.col("_b_orig") != F.col("_b_copy"))
-        .count()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vec_id"))
     )
-    legs.append(
-        _sem_leg(
-            spark.createDataFrame([(n_split,)], "vec_id bigint"),
-            "sem_k4_split_pairs",
-        )
-    )
+    legs.append(_sem_leg(n_split_leg, "sem_k4_split_pairs"))
 
     out = legs[0]
     for leg in legs[1:]:

@@ -127,6 +127,12 @@ def connected_components(
         # the extra self-join halves remaining path length every round,
         # giving O(log diameter) total rounds.
         hop = labels.select(F.col("u").alias("comp"), F.col("comp").alias("hcomp"))
+        # r14 (guide §1.2, VERDICT r13 task 5): LAZY checkpoint — the
+        # convergence check right below is the action that materializes
+        # this round's labels, so each round pays ONE job (aggregate
+        # through the checkpointing RDD) instead of two (eager
+        # checkpoint job + separate aggregate job). Later rounds read
+        # the materialized blocks exactly as before.
         labels = (
             labels.join(hop, "comp", "left")
             .select(
@@ -135,7 +141,7 @@ def connected_components(
                     "comp"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if integral:
             # labels only ever decrease, so an unchanged EXACT sum ==
