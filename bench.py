@@ -55,9 +55,43 @@ RUNS_PER_QUERY = 2
 # scaled refs); the pandas twin is single-threaded and needs no
 # scaling.
 _REF_CPUS = 32
-_BENCH_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS",
-                                 str(os.cpu_count() or _REF_CPUS)))
-_CORE_SCALE = max(1.0, _REF_CPUS / max(1, _BENCH_CPUS))
+
+
+def _available_cpus() -> int:
+    """CPUs actually available to this process: cgroup/affinity-aware
+    (ADVICE r13 item 2 — os.cpu_count() reports HOST logical CPUs, so a
+    driver lowering cores via cpuset/taskset instead of
+    SPARK_GRAFT_CPUS would leave the guard scale at 1.0 while local[32]
+    oversubscribes)."""
+    try:
+        return len(os.sched_getaffinity(0)) or _REF_CPUS
+    except (AttributeError, OSError):
+        return os.cpu_count() or _REF_CPUS
+
+
+def _parse_cpus(raw: str | None) -> int:
+    """SPARK_GRAFT_CPUS, tolerantly (ADVICE r13 item 1): session.py
+    passes the value verbatim into local[{cpus}], where non-numeric
+    forms like '*' are legal — the bench must not crash at import on
+    what the session accepts. Non-numeric → the affinity count."""
+    if raw is not None:
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+    return _available_cpus()
+
+
+_BENCH_CPUS = _parse_cpus(os.environ.get("SPARK_GRAFT_CPUS"))
+# Sub-linear (sqrt) core scaling of the trip points (ADVICE r13 item 4):
+# the r13 8-vs-32-core driver run measured every sf0.1 row FLAT to
+# FASTER at 8 cores (ratios 0.49-1.36), so a LINEAR 32/cpus bound made
+# every guard 4x and effectively inert at low core counts — real
+# co-tenant contention would pass unflagged. sqrt keeps low-core
+# headroom for the few rows that do lean on cores (x_text 1.36x at 8)
+# while leaving the guards meaningful: at 8 cores thresholds are 2x,
+# not 4x.
+_CORE_SCALE = max(1.0, (_REF_CPUS / max(1, _BENCH_CPUS)) ** 0.5)
 SPARK_CAL_STEADY = 0.35 * _CORE_SCALE
 PANDAS_CAL_STEADY = 1.0
 
@@ -117,28 +151,30 @@ ROW_GUARD_RETRIES = 2
 # decomposition). The sf1 loop is already best-of-3 per row, so a 2x
 # excess over steady is a stronger contention signal than the
 # headline's single-shot 3x.
-# Values: the end-of-r13 quiet-host sf1 block (calibrations
-# [0.144, 0.098], 13/13 fold checks, spark_total 51.33 s), rounded up
-# to the next 0.05 s. sim_pq_topk's 6.01 in that run was the
-# once-per-corpus SQ8 index build + first-plan compilation landing in
-# the timed best-of-3 (the SQ leg postdated the sf1 prewarm) — fixed
-# by prewarming build_sq_index above; the ref is the re-measured warm
-# row.
+# Values (r14, ADVICE r13 item 3 — the r13 table left some refs BELOW
+# honestly-measured quiet rows, e.g. m5_m6 ref 1.20 vs 1.95 measured):
+# per-row MAX over the two committed quiet sf1 runs — the builder's
+# end-of-r13 single pass (b97c69e bench_detail, calibrations
+# [0.137, 0.134]) and the driver's r13 run (cd34d96 bench_detail,
+# calibrations [0.137, 0.134], 13/13 fold checks) — rounded UP to the
+# next 0.05 s. The two runs differ up to ~2x on some rows (different
+# host weather/page-cache state); taking the max keeps these as
+# re-measure trip points that honest quiet runs cannot trip.
 SF1_STEADY_REF = {
-    "s4_profile": 1.65, "s4_profile_approx": 0.60,
-    "m5_m6_fill_stats": 1.20, "m8_m9_ordered_fill": 3.35,
+    "s4_profile": 1.65, "s4_profile_approx": 0.75,
+    "m5_m6_fill_stats": 1.95, "m8_m9_ordered_fill": 3.35,
     "d1_dedup_keep_first": 0.70, "o6_o7_outlier_actions": 1.70,
-    "t234_auto_convert": 2.10, "x_text_suite": 1.00,
-    "dt1_datetime_features": 0.50, "e2_onehot_encode": 0.55,
-    "y1_common_typos": 0.50, "n1_n5_standard_roundtrip": 0.60,
-    "dedup_exact_intercorpus": 0.80, "dedup_spans": 1.05,
-    "dedup_minhash_verified": 3.25, "dedup_jaccard_pairs": 4.00,
-    "sim_cosine_topk": 0.55, "sim_pq_topk": 2.90, "sim_ivf_topk": 0.50,
-    "txt_metrics": 3.20, "stream_sessionize_native": 0.55,
-    "stream_sessionize_stateful": 2.10, "pipeline_e2e": 1.30,
-    "join_asof": 0.95, "join_range": 1.55, "curation_split": 1.20,
-    "curation_contamination": 1.20, "curation_pack": 0.55,
-    "stream_window_agg": 1.10, "o4_isolation_forest": 3.25,
+    "t234_auto_convert": 2.45, "x_text_suite": 1.50,
+    "dt1_datetime_features": 0.60, "e2_onehot_encode": 0.75,
+    "y1_common_typos": 0.55, "n1_n5_standard_roundtrip": 1.15,
+    "dedup_exact_intercorpus": 0.80, "dedup_spans": 1.50,
+    "dedup_minhash_verified": 3.95, "dedup_jaccard_pairs": 8.75,
+    "sim_cosine_topk": 0.65, "sim_pq_topk": 2.90, "sim_ivf_topk": 0.60,
+    "txt_metrics": 5.70, "stream_sessionize_native": 0.60,
+    "stream_sessionize_stateful": 3.55, "pipeline_e2e": 2.80,
+    "join_asof": 0.95, "join_range": 1.65, "curation_split": 1.85,
+    "curation_contamination": 1.50, "curation_pack": 0.70,
+    "stream_window_agg": 1.35, "o4_isolation_forest": 3.45,
     "sim_ivf_disk_topk": 0.70, "stream_sjoin": 4.35,
 }
 SF1_ROW_GUARD_FACTOR = 2.0
@@ -1294,6 +1330,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # r14 (VERDICT r13 task 6): the core count the run actually
+        # used, so a low-core driver rerun is readable as such straight
+        # from the line (the sf0.1 rows are machinery-bound and ≈flat in
+        # cores; see scaling_600m for the core-sensitive signal)
+        "cpus": _BENCH_CPUS,
         "runs_per_query": RUNS_PER_QUERY,
         "wall_sec": wall,
         "headline_attempts": headline_attempts,
@@ -1433,6 +1474,23 @@ def main() -> None:
                     "bucket_layout_sec"
                 ],
             }
+            # r14 (VERDICT r13 task 6): a COMPACT core-sensitive signal
+            # that survives the line's byte budget even when the verbose
+            # crossover_600m block is trimmed — the sf0.1 headline rows
+            # are machinery-bound (8↔32-core ratios ≈ 1 by nature), so
+            # the 600M per-leg throughputs (which DO scale with cores)
+            # plus the core count are the scaling contract's carrier in
+            # the one-line artifact. Additions-only: no existing key
+            # changes shape.
+            out["scaling_600m"] = {
+                "cpus": _BENCH_CPUS,
+                "mrows": {
+                    k: round(v, 1)
+                    for k, v in detail["crossover_600m"][
+                        "mrows_per_sec"
+                    ].items()
+                },
+            }
         except Exception as exc:  # reporting, not a gate
             out["crossover_600m"] = {"error": str(exc)[:120]}
 
@@ -1530,6 +1588,10 @@ _LINE_DROP_ORDER: list[tuple[str, ...]] = [
     ("wall_sec",),
     ("runs_per_query",),
     ("crossover_60m",),
+    # last resort only: the compact scaling signal is the reason the
+    # 600M block survives trimming at all (task 6 r14) — dropped after
+    # everything else optional
+    ("scaling_600m",),
 ]
 
 

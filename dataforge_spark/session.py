@@ -28,7 +28,15 @@ def get_spark(app_name: str = "dataforge_spark") -> SparkSession:
     builder calls are inert. AQE handles runtime coalescing and skew joins —
     essential at 100 TB where static partition counts are always wrong.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    # Default core count is cgroup/affinity-aware (ADVICE r13 item 2):
+    # os.cpu_count() reports HOST logical CPUs, so under a cpuset/
+    # taskset restriction local[host_cpus] would oversubscribe the
+    # actually-available cores. SPARK_GRAFT_CPUS still overrides.
+    try:
+        _avail = len(os.sched_getaffinity(0)) or (os.cpu_count() or 4)
+    except (AttributeError, OSError):
+        _avail = os.cpu_count() or 4
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(_avail))
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
