@@ -110,7 +110,6 @@ def exact_quantiles(
     relative_error: float = 1e-4,
     max_collect: int = 1_000_000,
     max_depth: int = 3,
-    small_input_bytes: int | None = 16 << 20,
     driver_sort_bytes: int | None = 256 << 20,
 ) -> dict[str, list[float | None]]:
     """Exact quantiles for every (column, prob) pair; values identical to
@@ -144,10 +143,10 @@ def exact_quantiles(
     # distinct-value map merge measured 1.95 s where one Arrow transfer
     # + numpy sort of the same column costs 0.13 s — bit-identical
     # values either way (the same interpolation formula; both tiers are
-    # property-tested against each other). ``small_input_bytes`` stays
-    # in the signature for caller/test compatibility and is now a no-op
-    # (every former small-input case is served by the driver-sort tier,
-    # whose gate is the PRUNED-columns estimate).
+    # property-tested against each other). r14 (VERDICT r13 task 8):
+    # the vestigial no-op ``small_input_bytes`` parameter is removed —
+    # every former small-input case is served by the driver-sort tier,
+    # whose gate is the PRUNED-columns estimate (``driver_sort_bytes``).
 
     # Driver-sort tier: when the PRUNED columns fit comfortably on the
     # driver (per the optimizer's estimate of ``sel``, which accounts

@@ -33,12 +33,12 @@ def test_matches_percentile_bitwise(spark, maker):
     vals = maker(rng)
     rows = [(float(v),) if i % 11 else (None,) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "x double")
-    # force the bracketed (scale) path — small in-memory frames would
-    # otherwise take the single-pass percentile shortcut
-    mine = exact_quantiles(df, ["x"], PROBS, small_input_bytes=None)["x"]
+    # force the bracketed (scale) path — small local frames would
+    # otherwise take the driver-sort tier
+    mine = exact_quantiles(df, ["x"], PROBS, driver_sort_bytes=None)["x"]
     ref = _reference(df, "x", PROBS)
     assert mine == [float(r) for r in ref]
-    # the adaptive small-input shortcut must agree exactly
+    # the adaptive tiering (default gates) must agree exactly
     fast = exact_quantiles(df, ["x"], PROBS)["x"]
     assert fast == mine
 
@@ -52,9 +52,9 @@ def test_small_and_empty_inputs(spark):
 
 def test_multi_column_one_call(spark, lineitem):
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    for gate in (None, 64 << 20):  # bracketed path and adaptive shortcut
+    for gate in (None, 1 << 40):  # bracketed path and driver-sort tier
         mine = exact_quantiles(lineitem, cols, [0.25, 0.75],
-                               small_input_bytes=gate)
+                               driver_sort_bytes=gate)
         for c in cols:
             ref = _reference(lineitem, c, [0.25, 0.75])
             assert mine[c] == [float(r) for r in ref]
@@ -72,18 +72,18 @@ def test_refinement_path_still_exact(spark):
 
 
 def test_quoted_identifiers(spark):
-    """Column names with spaces/hyphens must survive both the small-input
-    percentile shortcut and the refine fallback (F.expr interpolation)."""
+    """Column names with spaces/hyphens must survive both the driver-sort
+    tier and the refine fallback (F.expr interpolation)."""
     rows = [(float(i),) for i in range(1000)]
     df = spark.createDataFrame(rows, "`unit price` double")
-    # small-input path (file-size estimate unknown -> force via param)
-    got = exact_quantiles(df, ["unit price"], [0.5], small_input_bytes=1 << 40)
+    # driver-sort tier (estimate may be unknown -> force via gate)
+    got = exact_quantiles(df, ["unit price"], [0.5], driver_sort_bytes=1 << 40)
     assert got["unit price"] == [499.5]
     # bracketed path with max_collect=0 so every pair takes the refine
     # path, and depth exhausted so the percentile fallback (the other
     # F.expr site) fires
     got = exact_quantiles(
-        df, ["unit price"], [0.5], small_input_bytes=None,
+        df, ["unit price"], [0.5], driver_sort_bytes=None,
         max_collect=0, max_depth=0,
     )
     assert abs(got["unit price"][0] - 499.5) < 1.0
@@ -102,7 +102,7 @@ def test_chunked_collect_many_pairs(spark):
     )
     probs = [0.25, 0.5, 0.75]
     got = exact_quantiles(
-        df, cols, probs, small_input_bytes=None, max_collect=2000
+        df, cols, probs, driver_sort_bytes=None, max_collect=2000
     )
     for c in cols:
         ref = _reference(df, c, probs)
@@ -110,7 +110,7 @@ def test_chunked_collect_many_pairs(spark):
 
 
 def test_three_tiers_bit_identical(spark):
-    """small-input percentile(), driver-sort numpy, and the bracketed
+    """adaptive default, forced driver-sort numpy, and the bracketed
     sketch path must all return the SAME bits for the same input."""
     rng = np.random.RandomState(3)
     vals = np.concatenate([
@@ -120,16 +120,13 @@ def test_three_tiers_bit_identical(spark):
     ])
     df = spark.createDataFrame([(float(v),) for v in vals], "x double")
     probs = [0.01, 0.25, 0.5, 0.75, 0.99]
-    small = exact_quantiles(df, ["x"], probs)  # parquet-free frame: tiny est
-    drv = exact_quantiles(df, ["x"], probs, small_input_bytes=None,
-                          driver_sort_bytes=1 << 40)
-    brk = exact_quantiles(df, ["x"], probs, small_input_bytes=None,
-                          driver_sort_bytes=None)
+    small = exact_quantiles(df, ["x"], probs)  # adaptive (default gates)
+    drv = exact_quantiles(df, ["x"], probs, driver_sort_bytes=1 << 40)
+    brk = exact_quantiles(df, ["x"], probs, driver_sort_bytes=None)
     assert small == drv == brk
 
 
 def test_driver_sort_tier_null_column(spark):
     df = spark.createDataFrame([(None,), (None,)], "x double")
-    got = exact_quantiles(df, ["x"], [0.5], small_input_bytes=None,
-                          driver_sort_bytes=1 << 40)
+    got = exact_quantiles(df, ["x"], [0.5], driver_sort_bytes=1 << 40)
     assert got == {"x": [None]}
