@@ -44,14 +44,20 @@ def minhash_signatures(
     """
     # Explode once, hash each distinct shingle ONCE (string → long), then
     # derive the num_perm permutations from that long with fixed-width
-    # re-hashing — whole-stage-codegen'd, with map-side partial min()
-    # aggregation so the shuffle carries |docs|·num_perm longs only.
+    # re-hashing — whole-stage-codegen'd.
     # (Alternatives measured at sf0.1: higher-order-function transforms are
     # interpreted, not codegen'd — 167 s; 64 separate xxhash64(string)
     # aggregates — 16 s; this formulation — see BENCH.)
+    # r14 (guide §2.4): the parallelism rebalance hash-partitions by the
+    # doc id instead of round-robin — explode preserves the
+    # partitioning, so the groupBy(id) below reuses THIS exchange
+    # instead of adding a second one over the partial aggregates
+    # (executed plan 2 Exchanges → 1; A/B min-of-6: 0.979 → 0.874 s at
+    # sf0.1). When the input is already parallel the rebalance no-ops
+    # and the aggregate exchanges exactly as before.
     from ..partitioning import ensure_parallelism
 
-    base = ensure_parallelism(df.select(id_col, text_col))
+    base = ensure_parallelism(df.select(id_col, text_col), key=id_col)
     sh = base.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_for(base, F.col(text_col), n)).alias("s"),

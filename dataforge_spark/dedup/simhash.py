@@ -22,7 +22,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """(id, simhash: bigint)."""
     from ..partitioning import ensure_parallelism
 
-    toks = ensure_parallelism(df.select(id_col, text_col)).select(
+    # key=id (r14): the token explode preserves the hash partitioning,
+    # so the 64-vote groupBy(id) reuses this rebalance exchange instead
+    # of adding its own (same 2→1 Exchange move as minhash_signatures).
+    toks = ensure_parallelism(df.select(id_col, text_col), key=id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

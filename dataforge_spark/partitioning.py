@@ -36,7 +36,9 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, factor: int = 1, key: str | None = None
+) -> DataFrame:
     """Rebalance an under-partitioned input to cluster parallelism before
     CPU-bound per-row work (shingling, hashing, Arrow matmuls).
 
@@ -46,11 +48,25 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     one core of the whole cluster. At production scale inputs arrive as
     many files/row groups and this is a no-op (gated on the ACTUAL scan
     partition count, so it never adds a shuffle to an already-parallel
-    plan)."""
+    plan).
+
+    ``key`` (r14, guide §2.4 "two operations keyed the same way can
+    share one exchange"): when the caller's downstream plan aggregates
+    or joins on a column of ``df``, hash-repartition by it instead of
+    round-robin — explode/projections preserve the partitioning, so the
+    downstream groupBy reuses this exchange instead of adding its own
+    (minhash/simhash signatures: 2 exchanges → 1, and the aggregate
+    runs single-phase on co-located keys). Only sound as the SAME
+    gated rebalance: when the gate no-ops (already-parallel input) the
+    downstream exchange happens exactly as before. Skew caveat: the key
+    should spread rows ~uniformly (unique doc ids do); a hot key would
+    make a straggler where round-robin would not."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is not None:
+        return df.repartition(target, F.col(key))
     return df.repartition(target)
 
 
