@@ -264,7 +264,11 @@ def contamination(
     # Gated no-op on already-parallel production inputs.
     from .partitioning import ensure_parallelism
 
-    corpus = ensure_parallelism(corpus)
+    # key=id (r14): the small/bloom tiers below broadcast-join the grams
+    # and then groupBy(id) — hash-partitioning the rebalance by id lets
+    # that aggregate reuse this exchange (broadcast joins and explodes
+    # preserve partitioning); the tiny tier is partitioning-indifferent.
+    corpus = ensure_parallelism(corpus, key=id_col)
     doc_grams = corpus.select(
         F.col(id_col).alias("id"),
         F.explode_outer(shingles_for(corpus, F.col(text_col), n)).alias("g"),
