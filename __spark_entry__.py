@@ -1006,7 +1006,9 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sets — the O(n²) verification sweep runs once instead of thrice,
     # and the whole row is a single Spark plan (2 jobs: checkpoint +
     # aggregate) instead of a driver round-trip.
-    sigs = simhash(docs, text_col="text", id_col="doc_id").localCheckpoint()
+    sigs = simhash(docs, text_col="text", id_col="doc_id").localCheckpoint(
+        eager=False
+    )
     banded = pairs_from_signatures(sigs, max_hamming=3)
     a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
     b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
@@ -1097,7 +1099,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per invocation: scan + perturbation projection run one time
     # instead of once per reference. Lineage cut only — recomputed from
     # parquet next invocation, never a cross-run cache.
-    u = emb.unionByName(_perturbed_embeddings(emb)).localCheckpoint()
+    u = emb.unionByName(_perturbed_embeddings(emb)).localCheckpoint(
+        eager=False
+    )
 
     exact = cosine_neardup_pairs(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.45

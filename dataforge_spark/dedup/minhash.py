@@ -118,7 +118,9 @@ def candidate_pairs(
     # CacheManager entry, so a fresh invocation recomputes from the
     # parquet inputs (no cross-run result reuse). Size is |docs|·bands
     # small rows — negligible storage at any scale.
-    banded = banded_keys(signatures, bands, rows_per_band).localCheckpoint()
+    banded = banded_keys(signatures, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
     # Self-join within buckets; prune degenerate buckets first. NO
     # broadcast hint on the sizes table: it has one row per surviving
     # (band, bucket) — proportional to the number of duplicate clusters,
@@ -176,7 +178,7 @@ def minhash_dedup_pairs(
     # (id pruning + the verify join) and are output-sized — without the
     # checkpoint each reference re-runs the whole LSH subtree.
     cands = candidate_pairs(sigs, bands, rows_per_band, max_bucket, stats)
-    cands = cands.localCheckpoint()
+    cands = cands.localCheckpoint(eager=False)
 
     from ..partitioning import ensure_parallelism
 
@@ -199,7 +201,7 @@ def minhash_dedup_pairs(
     ).join(cand_ids, "id", "left_semi")
     sh = vbase.select(
         "id", shingles_for(vbase, F.col(text_col), n).alias("sh")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (

@@ -145,7 +145,7 @@ def jaccard_pairs(
     # negligible at any scale, recomputed per invocation.
     sizes = base.select(
         F.col(id_col).alias("id"), F.size(shingle_col).alias("n_sh")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized by the final job (r14)
     if max_df is not None:
         # Unhinted anti-join: the hot-shingle set is the head of the
         # corpus' shingle Zipf curve — usually tiny, but it GROWS with the

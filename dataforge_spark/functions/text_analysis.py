@@ -369,7 +369,7 @@ def unigram_logprob_from_counts(
         .groupBy(w_col)
         .agg(F.sum(cnt_col).alias("cnt"))
         .where(F.col("cnt") >= min_count)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialized by the stats collect (r14)
     stats = vocab.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
         F.count(F.lit(1)).alias("v"),

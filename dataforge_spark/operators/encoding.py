@@ -61,7 +61,9 @@ def _domains(
         df.select(F.explode(F.create_map(*pairs)).alias("col", "val"))
         .where(F.col("val").isNotNull())
         .distinct()
-        .localCheckpoint()
+        # eager=False (r14): the sizes collect right below is the
+        # materializing action — the checkpoint costs no dedicated job
+        .localCheckpoint(eager=False)
     )
     sizes = {
         r["col"]: r["n"]
@@ -220,7 +222,8 @@ def encode_frequency(df: DataFrame, columns: list[str] | None = None) -> DataFra
         df.select(F.explode(F.create_map(*pairs)).alias("col", "val"))
         .groupBy("col", "val")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        # eager=False (r14): the n_total collect right below materializes
+        .localCheckpoint(eager=False)
     )
     n_total = counts.where(F.col("col") == cols[0]).agg(F.sum("n")).collect()[0][0]
     out = df
